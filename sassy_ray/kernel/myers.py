@@ -1,0 +1,302 @@
+"""Vectorized bit-parallel Myers kernel (the production scorer).
+
+Implements Myers'99 / Hyyro's bit-vector edit-distance search (public
+algorithms) vectorized with NumPy across a *batch* of (pattern, text) pairs:
+all bit-vector state is ``(B, L)`` uint64 arrays (B pairs x L 64-bit limbs per
+pattern), advanced one text character per step.  This plays the role of the
+reference's SIMD kernels (``/root/reference/src/bitpacking.rs``,
+``src/pattern_tiling/*``) but vectorizes across the batch axis instead of
+text-chunk/pattern lanes — the natural axis for Arrow record batches.
+
+Semantics (pinned by fuzz tests against ``sassy_ray.kernel.oracle``):
+- semi-global: free text start (no horizontal input at row 0);
+- column-0 boundary = cumulative +1 deltas, or the floor(j*alpha) overhang
+  pattern when ``alpha`` is set (cf. search.rs:1692-1748);
+- right overhang via wildcard steps past each text's end (every pattern char
+  matches), plus floor(alpha*o) added to reported costs at extension
+  position o (cf. search.rs:1274-1282).
+
+Outputs a dense ``(B, W)`` end-cost matrix and vectorized local-minima /
+all-minima extraction identical to the reference walk (search.rs:1284-1369).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from sassy_ray.kernel.profiles import Profile
+
+__all__ = ["BatchKernel", "batch_end_costs", "batch_find_minima", "batch_best_costs"]
+
+_BIG = np.int32(2**30)
+_ONE = np.uint64(1)
+_SIX3 = np.uint64(63)
+_ALL_BYTES = np.arange(256, dtype=np.uint8)
+
+
+def _overhang_steps_arr(m: np.ndarray, k: int, alpha: float | None, max_overhang: int | None) -> np.ndarray:
+    if alpha is None:
+        return np.zeros_like(m)
+    cap = math.ceil((k + alpha) / alpha) if alpha > 0 else None
+    o = m.copy()
+    if cap is not None:
+        o = np.minimum(o, cap)
+    if max_overhang is not None:
+        o = np.minimum(o, max_overhang)
+    return o
+
+
+def _left_boundary_deltas(m_pad: int, alpha: float | None, max_overhang: int | None) -> np.ndarray:
+    """Column-0 vertical deltas (one per pattern row), values in {0,1}."""
+    j = np.arange(1, m_pad + 1, dtype=np.int64)
+    if alpha is None:
+        return np.ones(m_pad, dtype=np.uint8)
+    mo = max_overhang if max_overhang is not None else m_pad
+    jm = np.minimum(j, mo)
+    b = np.floor(jm * alpha).astype(np.int64) + np.maximum(j - mo, 0)
+    return np.diff(np.concatenate([[0], b])).astype(np.uint8)
+
+
+def _pack_bits_u64(bits: np.ndarray) -> np.ndarray:
+    """(..., L*64) bool -> (..., L) uint64, little-endian bit order."""
+    packed = np.packbits(bits, axis=-1, bitorder="little")
+    return packed.view(np.uint64)
+
+
+def build_peq(
+    patterns: list[bytes], profile: Profile, alphabet: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """PEQ tables for a batch: returns (peq, m_arr, L).
+
+    ``peq``: (B, A, L) uint64 — bit j of limb l set iff pattern char
+    ``64*l + j`` matches alphabet code a (A=256 when ``alphabet`` is None,
+    else the distinct text bytes — texts rarely use more than a few dozen).
+    Padding rows never match.
+    """
+    m_arr = np.array([len(p) for p in patterns], dtype=np.int64)
+    m_max = max(1, int(m_arr.max()) if len(m_arr) else 1)
+    L = -(-m_max // 64)
+    m_pad = L * 64
+    B = len(patterns)
+    pat = np.zeros((B, m_pad), dtype=np.uint8)
+    for i, p in enumerate(patterns):
+        if p:
+            pat[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+    ab = _ALL_BYTES if alphabet is None else alphabet
+    # bits[b, j, a] = match(pattern[b][j], alphabet byte a)
+    bits = profile.match_matrix[pat[:, :, None], ab[None, None, :]]  # (B, m_pad, A)
+    mask = np.arange(m_pad) < m_arr[:, None]
+    bits &= mask[:, :, None]
+    bits = np.ascontiguousarray(bits.transpose(0, 2, 1))  # (B, A, m_pad)
+    return _pack_bits_u64(bits), m_arr, L
+
+
+def _pad_texts(texts: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    n_arr = np.array([len(t) for t in texts], dtype=np.int64)
+    n_max = max(1, int(n_arr.max()) if len(n_arr) else 1)
+    txt = np.zeros((len(texts), n_max), dtype=np.uint8)
+    for i, t in enumerate(texts):
+        if t:
+            txt[i, : len(t)] = np.frombuffer(t, dtype=np.uint8)
+    return txt, n_arr
+
+
+def batch_end_costs(
+    patterns: list[bytes],
+    texts: list[bytes],
+    profile: Profile,
+    k: int,
+    alpha: float | None = None,
+    max_overhang: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """End costs for each pair: returns (costs, n_arr, max_pos).
+
+    ``costs``: (B, W) int32 where W = max(n+O)+1; ``costs[b, pos]`` is the
+    best alignment cost ending at text position ``pos`` (overhang positions
+    include the floor(alpha*o) overshoot term); positions past ``max_pos[b]``
+    are _BIG.
+    """
+    B = len(patterns)
+    txt, n_arr = _pad_texts(texts)
+    # remap text bytes to a dense code alphabet: texts use few distinct bytes,
+    # which shrinks the PEQ build from 256-wide to A-wide
+    present = np.zeros(256, dtype=bool)
+    present[txt.reshape(-1)] = True
+    alphabet = _ALL_BYTES[present]
+    lut = np.zeros(256, dtype=np.intp)
+    lut[alphabet] = np.arange(len(alphabet))
+    txt = lut[txt]
+    peq, m_arr, L = build_peq(patterns, profile, alphabet)
+    O_arr = _overhang_steps_arr(m_arr, k, alpha, max_overhang)
+    max_pos = n_arr + O_arr
+    steps = int(max_pos.max()) if B else 0
+    W = steps + 1
+
+    # state
+    deltas = _left_boundary_deltas(L * 64, alpha, max_overhang)  # (L*64,)
+    pv0 = _pack_bits_u64(deltas.astype(bool)[None, :])[0]  # (L,)
+    Pv = np.broadcast_to(pv0, (B, L)).copy()
+    Mv = np.zeros((B, L), dtype=np.uint64)
+    # initial score = C[m][0] = left boundary at row m (per pair)
+    if alpha is None:
+        score = m_arr.astype(np.int64).copy()
+    else:
+        mo = max_overhang if max_overhang is not None else int(m_arr.max())
+        jm = np.minimum(m_arr, mo)
+        score = np.floor(jm * alpha).astype(np.int64) + np.maximum(m_arr - mo, 0)
+
+    costs = np.full((B, W), _BIG, dtype=np.int32)
+    costs[:, 0] = score
+
+    last_limb = np.maximum(m_arr - 1, 0) // 64  # (B,)
+    score_shift = ((m_arr - 1) % 64).astype(np.uint64)
+    bidx = np.arange(B)
+    sel_per_limb = [(last_limb == l) for l in range(L)]
+    sel_uniform = [bool(s.all()) for s in sel_per_limb]
+
+    all_ones = np.uint64(0xFFFFFFFFFFFFFFFF)
+    hin_pos = np.zeros(B, dtype=np.uint64)
+    hin_neg = np.zeros(B, dtype=np.uint64)
+    zero64 = np.int64(0)
+    n_uniform = bool((n_arr == n_arr[0]).all()) if B else True
+
+    for t in range(steps):
+        cbytes = txt[:, t] if t < txt.shape[1] else np.zeros(B, dtype=np.intp)
+        if L == 1:
+            Eq = peq[bidx, cbytes, 0]
+            if alpha is not None and not (n_uniform and t < n_arr[0]):
+                Eq = np.where(t < n_arr, Eq, all_ones)
+            Pvl = Pv[:, 0]
+            Mvl = Mv[:, 0]
+            Xv = Eq | Mvl
+            Xh = (((Eq & Pvl) + Pvl) ^ Pvl) | Eq
+            Ph = Mvl | ~(Xh | Pvl)
+            Mh = Pvl & Xh
+            score += ((Ph >> score_shift) & _ONE).view(np.int64)
+            score -= ((Mh >> score_shift) & _ONE).view(np.int64)
+            Ph <<= _ONE
+            Mh <<= _ONE
+            Pv[:, 0] = Mh | ~(Xv | Ph)
+            Mv[:, 0] = Ph & Xv
+        else:
+            hin_pos.fill(0)
+            hin_neg.fill(0)
+            in_text = t < n_arr
+            for l in range(L):
+                Eq = peq[bidx, cbytes, l]
+                if alpha is not None:
+                    # wildcard step past text end: every pattern char matches
+                    Eq = np.where(in_text, Eq, all_ones)
+                Pvl = Pv[:, l]
+                Mvl = Mv[:, l]
+                Xv = Eq | Mvl
+                Eqh = Eq | hin_neg
+                Xh = (((Eqh & Pvl) + Pvl) ^ Pvl) | Eqh
+                Ph = Mvl | ~(Xh | Pvl)
+                Mh = Pvl & Xh
+                # score update for pairs whose last limb is l (pre-shift bits)
+                sel = sel_per_limb[l]
+                upd = ((Ph >> score_shift) & _ONE).view(np.int64) - (
+                    (Mh >> score_shift) & _ONE
+                ).view(np.int64)
+                if sel_uniform[l]:
+                    score += upd
+                else:
+                    score += np.where(sel, upd, zero64)
+                hout_pos = Ph >> _SIX3
+                hout_neg = Mh >> _SIX3
+                Ph = (Ph << _ONE) | hin_pos
+                Mh = (Mh << _ONE) | hin_neg
+                Pv[:, l] = Mh | ~(Xv | Ph)
+                Mv[:, l] = Ph & Xv
+                hin_pos = hout_pos
+                hin_neg = hout_neg
+        costs[:, t + 1] = score  # unsafe downcast int64->int32 is fine (<2^30)
+
+    col = np.arange(W, dtype=np.int64)[None, :]
+    if alpha is not None:
+        # add floor(alpha*o) overshoot for extension positions
+        o = col - n_arr[:, None]
+        in_ext = o > 0
+        over = np.floor(np.maximum(o, 0) * alpha).astype(np.int32)
+        costs = np.where(in_ext, costs + over, costs)
+    # positions past each pair's max_pos are invalid
+    np.putmask(costs, col > max_pos[:, None], _BIG)
+    return costs, n_arr, max_pos
+
+
+def batch_find_minima(
+    costs: np.ndarray, max_pos: np.ndarray, k: int, all_minima: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized reference minima walk.  Returns (pair_idx, end_pos, cost).
+
+    Equivalent to the sequential walk in search.rs:1284-1369: emit position p
+    when costs were (weakly) decreasing into p and strictly increase after,
+    plus the final-position rule — which the _BIG padding past max_pos turns
+    into a regular increase transition.
+    """
+    B, W = costs.shape
+    valid = np.arange(W)[None, :] <= max_pos[:, None]
+    ok = costs <= k
+    if all_minima:
+        pi, pp = np.nonzero(ok & valid)
+        return pi, pp, costs[pi, pp]
+    # pad one artificial rising column so a decreasing run into max_pos emits
+    cpad = np.concatenate([costs, np.full((B, 1), _BIG, dtype=np.int32)], axis=1)
+    d = np.diff(cpad.astype(np.int64), axis=1)  # (B, W)
+    sign = np.sign(d).astype(np.int8)
+    colp1 = np.arange(1, W + 1)
+    nz = np.where(sign != 0, colp1[None, :], 0)
+    last_inc = np.maximum.accumulate(nz, axis=1)  # last nonzero delta idx (1-based), incl current
+    last_excl = np.concatenate([np.zeros((B, 1), dtype=np.int64), last_inc[:, :-1]], axis=1)
+    gather = np.take_along_axis(sign, np.maximum(last_excl - 1, 0), axis=1)
+    prev_sign = np.where(last_excl > 0, gather, -1)
+    decreasing_before = prev_sign < 0
+    emit = (d > 0) & decreasing_before & ok & valid
+    pi, pp = np.nonzero(emit)
+    return pi, pp, costs[pi, pp]
+
+
+def batch_best_costs(
+    patterns: list[bytes],
+    texts: list[bytes],
+    profile: Profile,
+    k: int,
+    alpha: float | None = None,
+    max_overhang: int | None = None,
+) -> np.ndarray:
+    """Min end cost per pair, clamped to k+1 ("no match <= k").
+
+    The cheap scoring mode for ER candidate filtering (the reference's
+    ``without_trace`` + best-match path, search.rs:447-451,1464-1475).
+    """
+    if not patterns:
+        return np.zeros(0, dtype=np.int32)
+    costs, _n, max_pos = batch_end_costs(patterns, texts, profile, k, alpha, max_overhang)
+    best = costs.min(axis=1)
+    return np.minimum(best, k + 1).astype(np.int32)
+
+
+class BatchKernel:
+    """Reusable batch scorer: caches nothing across calls yet, but groups
+    pairs by limb count so mixed-length batches stay dense."""
+
+    def __init__(self, profile: Profile, k: int, alpha: float | None = None, max_overhang: int | None = None):
+        self.profile = profile
+        self.k = k
+        self.alpha = alpha
+        self.max_overhang = max_overhang
+
+    def end_costs(self, patterns: list[bytes], texts: list[bytes]):
+        return batch_end_costs(patterns, texts, self.profile, self.k, self.alpha, self.max_overhang)
+
+    def minima(
+        self, patterns: list[bytes], texts: list[bytes], all_minima: bool = False
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        costs, _n, max_pos = self.end_costs(patterns, texts)
+        return batch_find_minima(costs, max_pos, self.k, all_minima)
+
+    def best_costs(self, patterns: list[bytes], texts: list[bytes]) -> np.ndarray:
+        return batch_best_costs(patterns, texts, self.profile, self.k, self.alpha, self.max_overhang)

@@ -1,10 +1,235 @@
-"""Placeholder: the fast Searcher lands after the oracle is pinned."""
-from sassy_ray.kernel.types import Match  # noqa: F401
+"""The user-facing Searcher: reference Python-binding surface, NumPy engine.
+
+Mirrors ``/root/reference/src/python.rs:27-233``:
+``Searcher(alphabet, rc=True, alpha=None, max_n_frac=None)`` with
+``search`` / ``search_all`` / ``search_with_fn`` / ``search_many`` /
+``search_all_alignments``, plus builder-ish kwargs
+(``only_best_match``, ``without_trace``, ``max_overhang``) from
+search.rs:363-483.
+
+Candidate end positions come from the vectorized bit-parallel kernel
+(``myers.py``); tracebacks run per candidate over an ``m+k`` window with the
+greedy ``=X > D > I`` preference (trace.rs:273-406), shared with the oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from sassy_ray.kernel import oracle
+from sassy_ray.kernel.myers import batch_end_costs, batch_find_minima
+from sassy_ray.kernel.profiles import Profile, get_profile
+from sassy_ray.kernel.types import FWD, RC, UNSET, Match, cigar_to_string
+
+__all__ = ["Searcher", "Match", "search_many"]
+
+# pairs per kernel batch; bounds peak memory of the (B, W) cost matrix
+DEFAULT_CHUNK_PAIRS = 2048
 
 
-class Searcher:  # pragma: no cover - replaced by the NumPy kernel
-    pass
+class Searcher:
+    def __init__(
+        self,
+        alphabet: str = "dna",
+        rc: bool = True,
+        alpha: float | None = None,
+        max_n_frac: float | None = None,
+        max_overhang: int | None = None,
+        only_best_match: bool = False,
+        without_trace: bool = False,
+        case_sensitive: bool = True,
+    ) -> None:
+        name = alphabet.lower()
+        if name == "ascii":
+            name = "ascii" if case_sensitive else "ascii_ci"
+            rc = False  # python.rs:41: ascii is always fwd-only
+        self.profile: Profile = get_profile(name)
+        if alpha is not None and not self.profile.supports_overhang:
+            raise ValueError(f"Overhang is not supported for {name}")
+        if alpha is not None and not (0.0 <= alpha <= 1.0):
+            raise ValueError("Alpha must be in range 0.0 <= alpha <= 1.0")
+        if max_n_frac is not None and max_n_frac == 1.0:
+            max_n_frac = None  # python.rs:36 convention
+        self.rc = bool(rc and self.profile.supports_rc)
+        self.alpha = alpha
+        self.max_overhang = max_overhang
+        self.max_n_frac = max_n_frac
+        self.only_best = only_best_match
+        self.without_trace = without_trace
+
+    # ------------------------------------------------------------------
+    # batch core: one strand over a list of (pattern, text) pairs
+    # ------------------------------------------------------------------
+
+    def _strand_matches(
+        self,
+        patterns: list[bytes],
+        texts: list[bytes],
+        k: int,
+        all_minima: bool,
+        strand: str,
+        filter_fn=None,
+    ) -> list[list[Match]]:
+        """Per input pair, the strand-local matches (coords in the given
+        pattern/text orientation; caller flips RC coords)."""
+        B = len(patterns)
+        out: list[list[Match]] = [[] for _ in range(B)]
+        if B == 0:
+            return out
+        costs, n_arr, max_pos = batch_end_costs(
+            patterns, texts, self.profile, k, self.alpha, self.max_overhang
+        )
+        pi, pp, pc = batch_find_minima(costs, max_pos, k, all_minima)
+
+        # group candidates per pair
+        cands: dict[int, list[tuple[int, int]]] = {}
+        for i, p, c in zip(pi.tolist(), pp.tolist(), pc.tolist()):
+            cands.setdefault(i, []).append((p, c))
+
+        for i, ec in cands.items():
+            pattern, text = patterns[i], texts[i]
+            m, n = len(pattern), len(text)
+            if filter_fn is not None:
+                ec = [(e, c) for (e, c) in ec if filter_fn(pattern, text[: min(e, n)], strand)]
+            if self.max_n_frac is not None:
+                ec = [
+                    (e, c)
+                    for (e, c) in ec
+                    if oracle.endpoint_n_ok(self.profile, e, text, m, k, self.max_n_frac)
+                ]
+            if self.only_best and ec:
+                ec = [min(ec, key=lambda x: (x[1], -x[0]))]
+            res: list[Match] = []
+            for end_pos, cost in ec:
+                if self.without_trace:
+                    res.append(
+                        Match(
+                            text_start=UNSET,
+                            text_end=min(end_pos, n),
+                            pattern_start=UNSET,
+                            pattern_end=m - max(0, end_pos - n),
+                            cost=cost,
+                            strand=strand,
+                        )
+                    )
+                else:
+                    mt = oracle.traceback(
+                        pattern, text, end_pos, self.profile, k, self.alpha, self.max_overhang
+                    )
+                    mt.strand = strand
+                    res.append(mt)
+            if self.max_n_frac is not None and not self.without_trace:
+                res = [
+                    mm for mm in res if oracle.traced_n_ok(self.profile, mm, text, self.max_n_frac)
+                ]
+            out[i] = res
+        return out
+
+    def _pair_matches(
+        self,
+        patterns: list[bytes],
+        texts: list[bytes],
+        k: int,
+        all_minima: bool,
+        filter_fn=None,
+    ) -> list[list[Match]]:
+        """Fwd + (optional) RC matches per pair, RC coords flipped to fwd
+        space (search.rs:813-877)."""
+        fwd = self._strand_matches(patterns, texts, k, all_minima, FWD, filter_fn)
+        if not self.rc:
+            return fwd
+        comp = [self.profile.complement(p) for p in patterns]
+        rev = [t[::-1] for t in texts]
+        rc = self._strand_matches(comp, rev, k, all_minima, RC, filter_fn)
+        for i, (ms, text) in enumerate(zip(rc, texts)):
+            n = len(text)
+            for mm in ms:
+                s, e = mm.text_start, mm.text_end
+                mm.text_start = n - e if e != UNSET else UNSET
+                if self.without_trace:
+                    mm.text_end = UNSET
+                else:
+                    mm.text_end = n - s
+            fwd[i] = fwd[i] + ms
+        return fwd
+
+    # ------------------------------------------------------------------
+    # public surface
+    # ------------------------------------------------------------------
+
+    def search(self, pattern: bytes, text: bytes, k: int) -> list[Match]:
+        return self._pair_matches([_b(pattern)], [_b(text)], k, False)[0]
+
+    def search_all(self, pattern: bytes, text: bytes, k: int) -> list[Match]:
+        return self._pair_matches([_b(pattern)], [_b(text)], k, True)[0]
+
+    def search_with_fn(
+        self, pattern: bytes, text: bytes, k: int, all_minima: bool, filter_fn
+    ) -> list[Match]:
+        return self._pair_matches([_b(pattern)], [_b(text)], k, all_minima, filter_fn)[0]
+
+    def search_many(
+        self,
+        patterns: list[bytes],
+        texts: list[bytes],
+        k: int,
+        mode: str = "auto",
+        chunk_pairs: int = DEFAULT_CHUNK_PAIRS,
+    ) -> list[Match]:
+        """All patterns x all texts (the reference's cartesian search_many,
+        search.rs:527-603).  ``mode`` selects nothing semantically here —
+        batching is automatic — it is accepted for surface parity
+        ('single' | 'batch_patterns' | 'batch_texts' | 'auto')."""
+        if mode not in ("single", "batch_patterns", "batch_texts", "auto"):
+            raise ValueError(
+                "Unsupported search mode. Must be one of 'single', 'batch_patterns', or 'batch_texts'"
+            )
+        patterns = [_b(p) for p in patterns]
+        texts = [_b(t) for t in texts]
+        pairs = [(ip, it) for ip in range(len(patterns)) for it in range(len(texts))]
+        out: list[Match] = []
+        for s in range(0, len(pairs), chunk_pairs):
+            chunk = pairs[s : s + chunk_pairs]
+            ps = [patterns[ip] for ip, _ in chunk]
+            ts = [texts[it] for _, it in chunk]
+            res = self._pair_matches(ps, ts, k, False)
+            for (ip, it), ms in zip(chunk, res):
+                for mm in ms:
+                    mm.pattern_idx = ip
+                    mm.text_idx = it
+                out.extend(ms)
+        return out
+
+    def search_pairs(
+        self, patterns: list[bytes], texts: list[bytes], k: int, all_minima: bool = False
+    ) -> list[list[Match]]:
+        """Parallel-list pair scoring (ER hot path): pattern[i] vs text[i]."""
+        return self._pair_matches([_b(p) for p in patterns], [_b(t) for t in texts], k, all_minima)
+
+    def search_all_alignments(self, pattern: bytes, text: bytes, k: int) -> list[list[Match]]:
+        """All distinct alignments per end anchor (alignment_iterator.rs).
+        Groups sorted by anchor; anchor = text_end for Fwd, text_start for RC."""
+        from sassy_ray.kernel.alignments import search_all_alignments
+
+        return search_all_alignments(self, _b(pattern), _b(text), k)
 
 
-def search_many(*a, **k):  # pragma: no cover
-    raise NotImplementedError
+def _b(x) -> bytes:
+    if isinstance(x, bytes):
+        return x
+    if isinstance(x, str):
+        return x.encode()
+    return bytes(x)
+
+
+def search_many(
+    patterns: list[bytes],
+    texts: list[bytes],
+    k: int,
+    alphabet: str = "dna",
+    rc: bool = True,
+    **kwargs,
+) -> list[Match]:
+    return Searcher(alphabet, rc=rc, **kwargs).search_many(patterns, texts, k)

@@ -1,0 +1,133 @@
+"""Fast Searcher surface tests: parity with the oracle + the reference's
+all-alignments unit vectors (search.rs:1760-1980)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from sassy_ray.kernel.oracle import OracleSearcher
+from sassy_ray.kernel.search import Searcher
+from sassy_ray.kernel.types import FWD, RC
+
+
+def keys(ms):
+    return sorted(m.key() for m in ms)
+
+
+@pytest.mark.parametrize("rc", [False, True])
+def test_matches_oracle_fuzz(rc):
+    rng = random.Random(4242)
+    fast = Searcher("dna", rc=rc)
+    slow = OracleSearcher("dna", rc=rc)
+    for _ in range(60):
+        m = rng.randrange(1, 40)
+        n = rng.randrange(0, 150)
+        k = rng.randrange(0, 5)
+        pat = "".join(rng.choice("ACGT") for _ in range(m)).encode()
+        txt = "".join(rng.choice("ACGT") for _ in range(n)).encode()
+        assert keys(fast.search(pat, txt, k)) == keys(slow.search(pat, txt, k))
+        assert keys(fast.search_all(pat, txt, k)) == keys(slow.search_all(pat, txt, k))
+
+
+def test_matches_oracle_overhang():
+    rng = random.Random(77)
+    fast = Searcher("iupac", rc=True, alpha=0.5)
+    slow = OracleSearcher("iupac", rc=True, alpha=0.5)
+    for _ in range(40):
+        m = rng.randrange(2, 30)
+        n = rng.randrange(0, 80)
+        k = rng.randrange(0, 4)
+        pat = "".join(rng.choice("ACGT") for _ in range(m)).encode()
+        txt = "".join(rng.choice("ACGTN") for _ in range(n)).encode()
+        assert keys(fast.search(pat, txt, k)) == keys(slow.search(pat, txt, k))
+
+
+def test_matches_oracle_options():
+    rng = random.Random(55)
+    for opts in (
+        dict(only_best_match=True),
+        dict(without_trace=True),
+        dict(max_n_frac=0.2),
+    ):
+        fast = Searcher("iupac", rc=True, **opts)
+        slow = OracleSearcher("iupac", rc=True, **opts)
+        for _ in range(30):
+            m = rng.randrange(1, 25)
+            n = rng.randrange(0, 100)
+            k = rng.randrange(0, 4)
+            pat = "".join(rng.choice("ACGT") for _ in range(m)).encode()
+            txt = "".join(rng.choice("ACGTN") for _ in range(n)).encode()
+            assert keys(fast.search(pat, txt, k)) == keys(slow.search(pat, txt, k)), (
+                f"opts={opts} pat={pat} txt={txt} k={k}"
+            )
+
+
+def test_search_many_cartesian():
+    s = Searcher("dna", rc=False)
+    ms = s.search_many([b"ATG", b"TTT"], [b"CCCCATGCCCCTTT", b"TTTGGG"], 1)
+    idx = {(m.pattern_idx, m.text_idx) for m in ms}
+    assert (0, 0) in idx and (1, 0) in idx and (1, 1) in idx
+    # mode validation mirrors python.rs:99-105
+    with pytest.raises(ValueError):
+        s.search_many([b"A"], [b"A"], 0, mode="bogus")
+
+
+def test_search_pairs():
+    s = Searcher("dna", rc=False)
+    res = s.search_pairs([b"ATG", b"AAA"], [b"CCATGCC", b"TTTTTT"], 1)
+    assert len(res[0]) >= 1 and res[0][0].cost == 0
+    assert len(res[1]) == 0  # AAA vs TTTTTT at k=1: min cost 3
+
+
+# --- all-alignments vectors (search.rs:1760-1980) --------------------------
+
+
+def test_aa_exact():
+    groups = Searcher("dna", rc=False).search_all_alignments(b"ACGT", b"ACGT", 0)
+    assert len(groups) == 1
+    m = groups[0][0]
+    assert (m.cost, m.cigar, m.text_start, m.text_end) == (0, "4=", 0, 4)
+
+
+def test_aa_no_match():
+    groups = Searcher("dna", rc=False).search_all_alignments(b"ACGT", b"TTTT", 2)
+    assert groups == []
+
+
+def test_aa_multiple_alignments_one_end():
+    groups = Searcher("dna", rc=False).search_all_alignments(b"AT", b"ACT", 1)
+    multi = [g for g in groups if len(g) > 1]
+    assert len(multi) == 1
+    aligns = multi[0]
+    assert len(aligns) == 3
+    assert all(m.cost == 1 and m.pattern_start == 0 for m in aligns)
+    assert len({m.cigar for m in aligns}) == 3
+
+
+def test_aa_combinatorial_count():
+    t, k = 5, 3
+    groups = Searcher("dna", rc=False).search_all_alignments(b"A" * (t + k), b"A" * t, k)
+    total = sum(len(g) for g in groups)
+    assert total == 56  # C(8,3)
+
+
+def test_aa_homopolymer_prune():
+    groups = Searcher("dna", rc=False).search_all_alignments(b"AAAA", b"AAAAAA", 2)
+    assert sum(len(g) for g in groups) == 3
+    for g in groups:
+        assert len(g) == 1
+        m = g[0]
+        assert m.cost == 0 and m.cigar == "4="
+        assert m.text_end - m.text_start == m.pattern_end - m.pattern_start
+
+
+@pytest.mark.parametrize("rc", [False, True])
+def test_aa_no_leading_trailing_deletions(rc):
+    groups = Searcher("iupac", rc=rc).search_all_alignments(b"ACGT", b"XACGTX", 1)
+    for g in groups:
+        for m in g:
+            assert not m.cigar.endswith("D"), m.cigar
+            # leading deletion would be '1D...' at cigar start
+            assert not (m.cigar[0] == "1" and m.cigar[1] == "D"), m.cigar
