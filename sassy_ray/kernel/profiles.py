@@ -171,12 +171,13 @@ def _make_ascii(case_sensitive: bool) -> Profile:
         la = low(_ALL)
         mm = la[:, None] == la[None, :]
     valid = np.ones(256, dtype=bool)
+    # overhang is Iupac-only in the reference (profiles.rs:63-65, iupac.rs:218)
     return Profile(
         "ascii" if case_sensitive else "ascii_ci",
         mm,
         valid,
         complement_lut=None,
-        supports_overhang=True,
+        supports_overhang=False,
     )
 
 

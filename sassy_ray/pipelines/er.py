@@ -1,0 +1,275 @@
+"""The flagship entity-resolution pipeline (north rule).
+
+    read docs -> concat spans -> minhash blocking -> candidate pairs
+    -> actor-pool pair scoring (Myers kernel) -> match edges
+    -> transitive clustering -> (doc_id, cluster_id)
+
+Every stage is a Ray Data transform; stateful scoring is an actor pool;
+shuffles: groupby(block_key), groupby(pair key), per-round groupby(node)
+(SURVEY.md §7.4).  With ``checkpoint_dir`` set, each stage writes a parquet
+checkpoint + manifest and reruns skip completed stages (stages/checkpoint.py).
+
+Text resolution for scoring: 'broadcast' ships a doc_id->text dict through
+the object store once (``ray.put``) and each scorer actor reads it in
+``__init__`` — no shuffle; 'join' uses two hash-partitioned Dataset.join
+passes — the 10^12-doc path where the corpus doesn't fit a worker.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from sassy_ray.sources.docs import add_doc_text
+from sassy_ray.stages.blocking import BlockingConfig, minhash_block_rows
+from sassy_ray.stages.checkpoint import StageCheckpoint
+from sassy_ray.stages.clustering import connected_components
+from sassy_ray.stages.pairs import PairGenConfig, make_pairs_dataset
+from sassy_ray.stages.scoring import PairScorer, ScoreConfig
+
+__all__ = ["ERConfig", "run_er_pipeline", "evaluate_clusters"]
+
+
+class ERConfig:
+    def __init__(
+        self,
+        blocking: BlockingConfig | None = None,
+        pairs: PairGenConfig | None = None,
+        score: ScoreConfig | None = None,
+        text_mode: str = "broadcast",  # 'broadcast' | 'join'
+        score_concurrency: int | tuple = 4,
+        score_batch_size: int = 1024,
+        max_cc_iters: int = 25,
+        join_partitions: int = 32,
+        input_blocks: int = 32,
+    ) -> None:
+        self.join_partitions = join_partitions
+        self.input_blocks = input_blocks
+        self.blocking = blocking or BlockingConfig()
+        self.pairs = pairs or PairGenConfig()
+        self.score = score or ScoreConfig()
+        self.text_mode = text_mode
+        self.score_concurrency = score_concurrency
+        self.score_batch_size = score_batch_size
+        self.max_cc_iters = max_cc_iters
+
+    def fingerprint(self) -> str:
+        return "|".join(
+            [
+                self.blocking.fingerprint(),
+                self.pairs.fingerprint(),
+                self.score.fingerprint(),
+                self.text_mode,
+            ]
+        )
+
+
+def _ckpt(checkpoint_dir, stage, fp):
+    return StageCheckpoint(checkpoint_dir, stage, fp) if checkpoint_dir else None
+
+
+def _maybe(stage_fn, ck):
+    """Run a stage unless its checkpoint is complete.  Stage outputs are
+    pinned (checkpoint parquet or materialize) because each is consumed by
+    more than one downstream op — without pinning the lazy graph re-executes
+    the whole prefix per consumer.  These intermediates (block rows, pairs,
+    scored edges) are orders of magnitude smaller than the corpus."""
+    if ck is not None and ck.complete():
+        return ck.load(), True
+    ds = stage_fn()
+    if ck is not None:
+        ds = ck.save(ds)
+    else:
+        ds = ds.materialize()
+    return ds, False
+
+
+def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | None = None):
+    """docs Dataset (doc_id, spans) -> dict(clusters=Dataset, stats=dict)."""
+    import ray
+
+    cfg = cfg or ERConfig()
+    fp = cfg.fingerprint()
+    stats: dict = {"resumed_stages": []}
+
+    # spread the input across blocks so every stage parallelizes (from_arrow
+    # yields ONE block otherwise; at real scale read_parquet handles this)
+    if cfg.input_blocks:
+        docs_ds = docs_ds.repartition(cfg.input_blocks)
+    # consumed by both the blocking stage and the broadcast text lookup
+    texts_ds = docs_ds.map_batches(add_doc_text, batch_format="pyarrow").materialize()
+
+    # --- blocking ---------------------------------------------------------
+    bcfg = cfg.blocking
+
+    def _block():
+        return texts_ds.map_batches(
+            lambda b: minhash_block_rows(b, bcfg), batch_format="pyarrow"
+        )
+
+    ck = _ckpt(checkpoint_dir, "block_rows", fp)
+    block_rows, resumed = _maybe(_block, ck)
+    if resumed:
+        stats["resumed_stages"].append("block_rows")
+
+    # --- candidate pairs --------------------------------------------------
+    ck = _ckpt(checkpoint_dir, "pairs", fp)
+    pairs_ds, resumed = _maybe(lambda: make_pairs_dataset(block_rows, cfg.pairs), ck)
+    if resumed:
+        stats["resumed_stages"].append("pairs")
+
+    # --- scoring ----------------------------------------------------------
+    scorer_kwargs: dict = {"cfg": cfg.score}
+    if cfg.text_mode == "broadcast":
+        id_to_text: dict[str, bytes] = {}
+        for batch in texts_ds.select_columns(["doc_id", "text"]).iter_batches(
+            batch_size=8192, batch_format="pyarrow"
+        ):
+            for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+                id_to_text[d] = (t or "").encode()
+        scorer_kwargs["docs_ref"] = ray.put(id_to_text)
+        join_input = pairs_ds
+    elif cfg.text_mode == "join":
+        txt = texts_ds.select_columns(["doc_id", "text"])
+        # cap by cluster CPUs: a hash-join spawns aggregator actors per
+        # partition, and over-subscribing a small node deadlocks the pool
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        nparts = max(2, min(cfg.join_partitions, cpus))
+        a = txt.map_batches(
+            lambda b: pa.table({"doc_id_a": b.column("doc_id"), "text_a": b.column("text")}),
+            batch_format="pyarrow",
+        )
+        b_ = txt.map_batches(
+            lambda b: pa.table({"doc_id_b": b.column("doc_id"), "text_b": b.column("text")}),
+            batch_format="pyarrow",
+        )
+        join_input = pairs_ds.join(a, join_type="inner", num_partitions=nparts, on=("doc_id_a",))
+        join_input = join_input.join(
+            b_, join_type="inner", num_partitions=nparts, on=("doc_id_b",)
+        )
+    else:
+        raise ValueError(f"unknown text_mode {cfg.text_mode!r}")
+
+    def _score():
+        return join_input.map_batches(
+            PairScorer,
+            fn_constructor_kwargs=scorer_kwargs,
+            batch_format="pyarrow",
+            batch_size=cfg.score_batch_size,
+            concurrency=cfg.score_concurrency,
+        )
+
+    ck = _ckpt(checkpoint_dir, "scored", fp)
+    scored, resumed = _maybe(_score, ck)
+    if resumed:
+        stats["resumed_stages"].append("scored")
+
+    # --- edges + clustering ----------------------------------------------
+    edges = scored.map_batches(
+        lambda b: b.filter(b.column("is_match")), batch_format="pyarrow"
+    ).select_columns(["doc_id_a", "doc_id_b"])
+    nodes = docs_ds.select_columns(["doc_id"])
+
+    ck = _ckpt(checkpoint_dir, "clusters", fp)
+    clusters, resumed = _maybe(
+        lambda: connected_components(edges, nodes, max_iters=cfg.max_cc_iters), ck
+    )
+    if resumed:
+        stats["resumed_stages"].append("clusters")
+
+    return {"clusters": clusters, "scored": scored, "pairs": pairs_ds, "stats": stats}
+
+
+class DSU:
+    """Driver-side union-find (for exhaustive truth + small edge sets)."""
+
+    def __init__(self, items):
+        self.parent = {x: x for x in items}
+
+    def find(self, x):
+        p = self.parent
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            self.parent[rb] = ra
+
+
+def exhaustive_truth(docs_table: pa.Table, score: ScoreConfig, chunk: int = 4096) -> pa.Table:
+    """Reference clusters: score ALL doc pairs with the exact kernel (no
+    blocking) and take the transitive closure.  This is the oracle the
+    blocked+distributed pipeline must reproduce (north rule: F1>=0.99 against
+    the reference's clusters) — single-process, test/bench scale only."""
+    from sassy_ray.kernel.myers import batch_best_costs
+    from sassy_ray.kernel.profiles import get_profile
+    from sassy_ray.sources.docs import concat_spans
+
+    ids = docs_table.column("doc_id").to_pylist()
+    texts = [t.encode() for t in concat_spans(docs_table.column("spans")).to_pylist()]
+    if score.lowercase:
+        texts = [t.lower() for t in texts]
+    prof = get_profile(score.profile)
+    n = len(ids)
+    dsu = DSU(ids)
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    for s in range(0, len(pairs), chunk):
+        part = pairs[s : s + chunk]
+        pats, txts, kp = [], [], []
+        for i, j in part:
+            a, b = texts[i], texts[j]
+            if len(a) > len(b):
+                a, b = b, a
+            pats.append(a)
+            txts.append(b)
+            kp.append(max(score.k_min, int(score.rel_k * len(a))))
+        kmax = max(kp)
+        cost = batch_best_costs(pats, txts, prof, kmax)
+        if score.rc and prof.supports_rc:
+            rc = batch_best_costs([prof.reverse_complement(p) for p in pats], txts, prof, kmax)
+            cost = np.minimum(cost, rc)
+        for (i, j), c, kk in zip(part, cost.tolist(), kp):
+            if c <= kk:
+                dsu.union(ids[i], ids[j])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "cluster_id": pa.array([dsu.find(d) for d in ids]),
+        }
+    )
+
+
+def evaluate_clusters(clusters_ds, truth_table: pa.Table) -> dict:
+    """Pairwise precision/recall/F1 of predicted clusters vs ground truth."""
+    pred = clusters_ds.to_pandas()
+    true = truth_table.to_pandas()
+
+    def pairs_of(df, id_col, cl_col):
+        out = set()
+        for _cl, grp in df.groupby(cl_col):
+            ids = sorted(grp[id_col])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out.add((ids[i], ids[j]))
+        return out
+
+    p_pred = pairs_of(pred, "doc_id", "cluster_id")
+    p_true = pairs_of(true, "doc_id", "cluster_id")
+    tp = len(p_pred & p_true)
+    prec = tp / len(p_pred) if p_pred else 1.0
+    rec = tp / len(p_true) if p_true else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {
+        "precision": prec,
+        "recall": rec,
+        "f1": f1,
+        "pred_pairs": len(p_pred),
+        "true_pairs": len(p_true),
+        "tp": tp,
+    }

@@ -1,0 +1,763 @@
+"""Driver-contract query catalog: Ray Data pipelines + DuckDB oracle SQL.
+
+Each entry implements one operator family from SURVEY.md §2 as an idiomatic
+Ray Data pipeline over the driver's parquet tables, with (where expressible)
+an ANSI-SQL twin for the correctness gate.  Column names match the SQL
+exactly; float aggregates are rounded identically on both sides.
+
+Ray is initialised by the driver — nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["QUERIES", "ORACLE_SQL"]
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _path(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
+    i = t.column_names.index(col)
+    return t.set_column(i, col, pc.round(t.column(col), ndigits=nd))
+
+
+# ---------------------------------------------------------------------------
+# relational core (SURVEY.md §2.2, §2.4-2.6 -> Ray Data primitives)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered scan -> computed cols -> groupby multi-agg.
+    Exercises read-prune, vectorized map_batches, Sum/Mean/Count aggregation
+    (the reference's cost-histogram aggregate family, grep.rs:309-328)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _rd().read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    cutoff = datetime(1998, 9, 2)
+
+    def cents(x):
+        return pc.cast(pc.round(pc.multiply(x, pa.scalar(100.0)), round_mode="half_towards_infinity"), pa.int64())
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), pa.scalar(cutoff)))
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t.column("l_tax")))
+        t = t.append_column("base_price_cents", cents(t.column("l_extendedprice")))
+        t = t.append_column("disc_price_cents", cents(disc_price))
+        t = t.append_column("charge_cents", cents(charge))
+        t = t.append_column("qty_centi", cents(t.column("l_quantity")))
+        return t
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_centi", alias_name="sum_qty_centi"),
+            Sum("base_price_cents", alias_name="sum_base_price_cents"),
+            Sum("disc_price_cents", alias_name="sum_disc_price_cents"),
+            Sum("charge_cents", alias_name="sum_charge_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)                                       AS sum_qty_centi,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)                                  AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)               AS sum_disc_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+       count(*)                                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def filter_project(sf_dir: str):
+    """Vectorized filter + projection (M8/S6 family)."""
+    ds = _rd().read_parquet(
+        _path(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity", "l_extendedprice"]
+    )
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("l_quantity"), pa.scalar(45.0))),
+        batch_format="pyarrow",
+    ).select_columns(["l_orderkey", "l_quantity"])
+
+
+FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45
+"""
+
+
+def broadcast_join(sf_dir: str):
+    """Broadcast hash join: small dim side shipped once, looked up per batch
+    inside map_batches (the reference's pattern-broadcast J1 shape,
+    search.rs:1520-1550)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    seg_of = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())
+    )
+    orders = _rd().read_parquet(_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def add_seg(t: pa.Table) -> pa.Table:
+        keys = t.column("o_custkey").to_numpy()
+        segs = pa.array(np.array([seg_of.get(int(k), "") for k in keys], dtype=object))
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), pa.scalar(100.0)), round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"c_mktsegment": segs, "price_cents": cents})
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        orders.map_batches(add_seg, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("price_cents", alias_name="total_price_cents"), Count(alias_name="n_orders"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+BROADCAST_JOIN_SQL = """
+SELECT c.c_mktsegment AS c_mktsegment,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def hash_join(sf_dir: str):
+    """Partitioned hash join (Dataset.join) of two large sides:
+    lineitem x orders -> revenue by order priority."""
+    li = _rd().read_parquet(
+        _path(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        rc = pc.cast(pc.round(pc.multiply(r, pa.scalar(100.0)), round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "revenue_cents": rc})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    orders = _rd().read_parquet(
+        _path(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    orders = orders.map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t.column("o_orderkey"), "o_orderpriority": t.column("o_orderpriority")}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = li.join(orders, join_type="inner", num_partitions=16, on=("l_orderkey",))
+    from ray.data.aggregate import Count, Sum
+
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"), Count(alias_name="n")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+HASH_JOIN_SQL = """
+SELECT o.o_orderpriority AS o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def sort_topk(sf_dir: str):
+    """Global sort + limit (O1-O4): top-10 orders by price."""
+    ds = _rd().read_parquet(
+        _path(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SORT_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def distinct_pairs(sf_dir: str):
+    """Distinct over two columns (§2.7)."""
+    ds = _rd().read_parquet(
+        _path(sf_dir, "lineitem"), columns=["l_returnflag", "l_linestatus"]
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).count()
+    return pa.Table.from_pandas(
+        out.to_pandas()[["l_returnflag", "l_linestatus"]], preserve_index=False
+    )
+
+
+DISTINCT_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+def events_window(sf_dir: str):
+    """Tumbling 1-hour window per event_type (streaming-shaped groupby)."""
+    ds = _rd().read_parquet(_path(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        w = pc.cast(pc.floor_temporal(t.column("ts"), unit="hour"), pa.timestamp("us"))
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), pa.scalar(100.0)), round_mode="half_towards_infinity"), pa.int64())
+        return pa.table(
+            {"window_start": w, "event_type": t.column("event_type"), "value_cents": cents}
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("value_cents", alias_name="sum_value_cents"), Count(alias_name="n_events"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+EVENTS_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def value_histogram(sf_dir: str):
+    """The reference's cost histogram (A1, grep.rs:309-328) transplanted:
+    integer-bucket histogram of event values via groupby count."""
+    ds = _rd().read_parquet(_path(sf_dir, "events"), columns=["value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(t.column("value")), pa.int64())
+        return pa.table({"bucket": b})
+
+    out = ds.map_batches(bucket, batch_format="pyarrow").groupby("bucket").count()
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.rename_columns(["bucket", "n"])
+
+
+VALUE_HISTOGRAM_SQL = """
+SELECT CAST(floor(value) AS BIGINT) AS bucket, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# sassy-parity search operators over the documents table (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+SEARCH_PATTERN = "spark"
+
+
+def search_exact_count(sf_dir: str):
+    """k=0 substring search per doc (M1 with k=0): count of occurrences.
+    SQL-checkable via replace-length arithmetic."""
+    ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    pat = SEARCH_PATTERN
+
+    def count(t: pa.Table) -> pa.Table:
+        n = pc.count_substring(t.column("text"), pat)
+        return pa.table({"doc_id": t.column("doc_id"), "n_matches": pc.cast(n, pa.int64())})
+
+    out = ds.map_batches(count, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_matches"), 0)), batch_format="pyarrow"
+    )
+
+
+SEARCH_EXACT_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, '{SEARCH_PATTERN}', ''))) / length('{SEARCH_PATTERN}') AS BIGINT) AS n_matches
+FROM documents
+WHERE length(text) - length(replace(text, '{SEARCH_PATTERN}', '')) > 0
+"""
+
+
+class _SearchActor:
+    """Stateful scorer stage: Searcher built once per actor (ST1/ST2)."""
+
+    def __init__(self, patterns: list[bytes], k: int, alphabet: str = "ascii_ci"):
+        from sassy_ray.kernel.search import Searcher
+
+        self.searcher = Searcher(alphabet, rc=False, case_sensitive=False)
+        self.patterns = patterns
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = [x.encode() for x in t.column("text").to_pylist()]
+        rows = {
+            "doc_id": [],
+            "pattern_idx": [],
+            "text_start": [],
+            "text_end": [],
+            "cost": [],
+            "cigar": [],
+        }
+        ms = self.searcher.search_many(self.patterns, texts, self.k)
+        for m in ms:
+            rows["doc_id"].append(ids[m.text_idx])
+            rows["pattern_idx"].append(m.pattern_idx)
+            rows["text_start"].append(m.text_start)
+            rows["text_end"].append(m.text_end)
+            rows["cost"].append(m.cost)
+            rows["cigar"].append(m.cigar)
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "pattern_idx": pa.array(rows["pattern_idx"], pa.int64()),
+                "text_start": pa.array(rows["text_start"], pa.int64()),
+                "text_end": pa.array(rows["text_end"], pa.int64()),
+                "cost": pa.array(rows["cost"], pa.int32()),
+                "cigar": pa.array(rows["cigar"], pa.string()),
+            }
+        )
+
+
+def search_approx(sf_dir: str):
+    """Approximate search (M1): local-minima matches of 'spark' at k=1 over
+    all documents, via an actor-pool map_batches (no SQL equivalent —
+    rows-only check)."""
+    ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        _SearchActor,
+        fn_constructor_kwargs={"patterns": [SEARCH_PATTERN.encode()], "k": 1},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+    return out.sort(["doc_id", "text_start", "cost"])
+
+
+def filter_matching_docs(sf_dir: str):
+    """S6 semantics: emit the doc rows that contain the pattern (k=0),
+    preserving all columns — a semi-join on match existence."""
+    ds = _rd().read_parquet(_path(sf_dir, "documents"))
+    pat = SEARCH_PATTERN
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(pc.count_substring(t.column("text"), pat), 0)),
+        batch_format="pyarrow",
+    )
+
+
+FILTER_MATCHING_DOCS_SQL = f"""
+SELECT * FROM documents WHERE contains(text, '{SEARCH_PATTERN}')
+"""
+
+
+def filter_nonmatching_docs(sf_dir: str):
+    """S6 --invert: docs NOT containing the pattern."""
+    ds = _rd().read_parquet(_path(sf_dir, "documents"))
+    pat = SEARCH_PATTERN
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.count_substring(t.column("text"), pat), 0)),
+        batch_format="pyarrow",
+    )
+
+
+FILTER_NONMATCHING_DOCS_SQL = f"""
+SELECT * FROM documents WHERE NOT contains(text, '{SEARCH_PATTERN}')
+"""
+
+
+def match_cost_histogram(sf_dir: str):
+    """A1 cost histogram over approx matches (rows-only)."""
+    matches = search_approx(sf_dir)
+    out = matches.groupby("cost").count()
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).rename_columns(
+        ["cost", "n"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family (training-data ops) over documents
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partition on content, keep min doc_id per distinct
+    text.  Input is documents unioned with itself so the dedup is exercised."""
+    ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    doubled = ds.union(_rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"]))
+    from ray.data.aggregate import Min
+
+    out = doubled.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id"])
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id
+FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+GROUP BY text
+"""
+
+
+def doc_fingerprint(sf_dir: str):
+    """Content fingerprinting: md5 of text per doc (SQL twin: md5())."""
+    ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        h = [hashlib.md5(x.encode()).hexdigest() for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"), "fingerprint": pa.array(h)})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+"""
+
+
+def dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup clusters over documents (shingle -> minhash ->
+    band groupby -> verified pairs -> connected components). Rows-only."""
+    from sassy_ray.pipelines.er import DSU
+    from sassy_ray.stages.blocking import BlockingConfig, minhash_block_rows
+    from sassy_ray.stages.pairs import PairGenConfig, make_pairs_dataset
+
+    ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    str_ds = ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.string()), "text": t.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    cfg = BlockingConfig(q=12, text_col="text")
+    block = str_ds.map_batches(lambda b: minhash_block_rows(b, cfg), batch_format="pyarrow")
+    pairs = make_pairs_dataset(block, PairGenConfig()).to_pandas()
+    # verify candidates by true jaccard of 12-gram shingle sets
+    texts = {
+        r["doc_id"]: r["text"] for r in str_ds.iter_rows()
+    }
+
+    def jac(a: str, b: str) -> float:
+        sa = {a[i : i + 12] for i in range(max(1, len(a) - 11))}
+        sb = {b[i : i + 12] for i in range(max(1, len(b) - 11))}
+        inter = len(sa & sb)
+        return inter / max(1, len(sa) + len(sb) - inter)
+
+    dsu = DSU(list(texts))
+    for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"]):
+        if jac(texts[a], texts[b]) >= 0.5:
+            dsu.union(a, b)
+    ids = sorted(texts)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "cluster_id": pa.array([dsu.find(d) for d in ids]),
+        }
+    )
+
+
+def dedup_simhash(sf_dir: str):
+    """SimHash near-dup: 64-bit simhash over token hashes; docs whose
+    simhashes differ by <= 3 bits (checked via 4-band exact buckets) are
+    clustered. Rows-only."""
+    from sassy_ray.pipelines.er import DSU
+
+    ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def simhash_batch(t: pa.Table) -> pa.Table:
+        out = []
+        for txt in t.column("text").to_pylist():
+            toks = txt.split()
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                h = np.uint64(hash(tok) & 0xFFFFFFFFFFFFFFFF)
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), 1, -1)
+            sh = np.uint64(0)
+            for i in range(64):
+                if acc[i] > 0:
+                    sh |= np.uint64(1) << np.uint64(i)
+            out.append(int(sh))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "simhash": pa.array(out, pa.uint64())}
+        )
+
+    sh = ds.map_batches(simhash_batch, batch_format="pyarrow").to_pandas()
+    ids = sh["doc_id"].tolist()
+    hs = sh["simhash"].to_numpy().astype(np.uint64)
+    dsu = DSU(ids)
+    # 4 16-bit bands: any shared band -> candidate; verify hamming <= 3
+    from collections import defaultdict
+
+    for band in range(4):
+        buckets = defaultdict(list)
+        part = (hs >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+        for i, p in enumerate(part.tolist()):
+            buckets[p].append(i)
+        for idxs in buckets.values():
+            for x in range(len(idxs)):
+                for y in range(x + 1, len(idxs)):
+                    i, j = idxs[x], idxs[y]
+                    if bin(int(hs[i]) ^ int(hs[j])).count("1") <= 3:
+                        dsu.union(ids[i], ids[j])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array([dsu.find(d) for d in ids], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 neighbors of vec_id=0: numpy matmul per
+    batch against the broadcast query vector (the scale path buckets by
+    coarse quantizer; this is the exact baseline)."""
+    import pyarrow.parquet as pq
+
+    q = None
+    tbl = pq.read_table(_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    for vid, emb in zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()):
+        if vid == 0:
+            q = np.asarray(emb, dtype=np.float64)
+            break
+    qn = q / np.linalg.norm(q)
+    ds = _rd().read_parquet(_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        M = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in t.column("embedding").to_pylist()]
+        )
+        sims = (M / np.linalg.norm(M, axis=1, keepdims=True)) @ qn
+        sim_e6 = np.round(sims * 1e6).astype(np.int64)
+        return pa.table(
+            {"vec_id": t.column("vec_id"), "sim_e6": pa.array(sim_e6)}
+        )
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["sim_e6", "vec_id"], descending=[True, False])
+        .limit(10)
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+ANN_TOPK_SQL = """
+SELECT vec_id,
+       CAST(round(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) * 1000000) AS BIGINT) AS sim_e6
+FROM embeddings
+ORDER BY sim_e6 DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis (training-data ops)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a")
+
+
+def token_stats(sf_dir: str):
+    """Token counting + quality features per doc, vectorized."""
+    ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    sw = set(_STOPWORDS)
+
+    def stats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), " ")
+        n_tokens = pc.list_value_length(toks)
+        n_chars = pc.utf8_length(t.column("text"))
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        stop = pa.compute.is_in(flat.flatten(), value_set=pa.array(list(sw)))
+        stop_lists = pa.ListArray.from_arrays(flat.offsets, pc.cast(stop, pa.int64()))
+        n_stop = pa.array(
+            [sum(x) if x is not None else 0 for x in stop_lists.to_pylist()], pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_stopwords": n_stop,
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars,
+       len(list_filter(string_split(text, ' '), x -> x IN {_STOPWORDS!r})) AS n_stopwords
+FROM documents
+"""
+
+
+def lang_stats(sf_dir: str):
+    """Corpus language profile: docs + mean length per lang tag."""
+    from ray.data.aggregate import Count, Mean
+
+    ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars")
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _round_col(t, "avg_chars", 4)
+
+
+LANG_STATS_SQL = """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# ER pipeline entries (flagship; non-SQL -> rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def er_clusters(sf_dir: str):
+    """Full ER pipeline over the interleaved corpus derived deterministically
+    from this sf_dir's documents table: blocking -> pair scoring ->
+    transitive clusters."""
+    import pyarrow.parquet as pq
+
+    from sassy_ray.pipelines.er import ERConfig, run_er_pipeline
+    from sassy_ray.sources.synth import interleave_flat_documents
+    from sassy_ray.stages.blocking import BlockingConfig
+    from sassy_ray.stages.scoring import ScoreConfig
+
+    flat = pq.read_table(_path(sf_dir, "documents"))
+    docs, _truth = interleave_flat_documents(flat, seed=7)
+    cfg = ERConfig(
+        blocking=BlockingConfig(q=12),
+        score=ScoreConfig(profile="ascii_ci", k_min=3, rel_k=0.03, lowercase=True),
+        score_concurrency=4,
+    )
+    res = run_er_pipeline(_rd().from_arrow(docs), cfg)
+    return res["clusters"].sort("doc_id")
+
+
+def er_match_edges(sf_dir: str):
+    """Scored candidate pairs of the ER pipeline (cost, k, is_match)."""
+    import pyarrow.parquet as pq
+
+    from sassy_ray.pipelines.er import ERConfig, run_er_pipeline
+    from sassy_ray.sources.synth import interleave_flat_documents
+    from sassy_ray.stages.blocking import BlockingConfig
+    from sassy_ray.stages.scoring import ScoreConfig
+
+    flat = pq.read_table(_path(sf_dir, "documents"))
+    docs, _truth = interleave_flat_documents(flat, seed=7)
+    cfg = ERConfig(
+        blocking=BlockingConfig(q=12),
+        score=ScoreConfig(profile="ascii_ci", k_min=3, rel_k=0.03, lowercase=True),
+        score_concurrency=4,
+    )
+    res = run_er_pipeline(_rd().from_arrow(docs), cfg)
+    return res["scored"].sort(["doc_id_a", "doc_id_b"])
+
+
+def er_clusters_dna(sf_dir: str):
+    """ER pipeline over the DNA corpus (RC + overhang duplicate cases);
+    corpus size scales with the sf documents table."""
+    import pyarrow.parquet as pq
+
+    from sassy_ray.pipelines.er import ERConfig, run_er_pipeline
+    from sassy_ray.sources.synth import dna_corpus
+    from sassy_ray.stages.blocking import BlockingConfig
+    from sassy_ray.stages.scoring import ScoreConfig
+
+    n = pq.read_metadata(_path(sf_dir, "documents")).num_rows
+    docs, _truth = dna_corpus(n_docs=max(50, n // 2), seed=42)
+    cfg = ERConfig(
+        blocking=BlockingConfig(q=8, rc_canonical=True),
+        score=ScoreConfig(profile="iupac", rc=True, k_min=4, rel_k=0.12),
+        score_concurrency=4,
+    )
+    res = run_er_pipeline(_rd().from_arrow(docs), cfg)
+    return res["clusters"].sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "filter_project": filter_project,
+    "broadcast_join": broadcast_join,
+    "hash_join": hash_join,
+    "sort_topk": sort_topk,
+    "distinct_pairs": distinct_pairs,
+    "events_window": events_window,
+    "value_histogram": value_histogram,
+    "search_exact_count": search_exact_count,
+    "search_approx": search_approx,
+    "filter_matching_docs": filter_matching_docs,
+    "filter_nonmatching_docs": filter_nonmatching_docs,
+    "match_cost_histogram": match_cost_histogram,
+    "dedup_exact": dedup_exact,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "ann_topk": ann_topk,
+    "token_stats": token_stats,
+    "lang_stats": lang_stats,
+    "er_clusters": er_clusters,
+    "er_match_edges": er_match_edges,
+    "er_clusters_dna": er_clusters_dna,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "filter_project": FILTER_PROJECT_SQL,
+    "broadcast_join": BROADCAST_JOIN_SQL,
+    "hash_join": HASH_JOIN_SQL,
+    "sort_topk": SORT_TOPK_SQL,
+    "distinct_pairs": DISTINCT_SQL,
+    "events_window": EVENTS_WINDOW_SQL,
+    "value_histogram": VALUE_HISTOGRAM_SQL,
+    "search_exact_count": SEARCH_EXACT_COUNT_SQL,
+    "filter_matching_docs": FILTER_MATCHING_DOCS_SQL,
+    "filter_nonmatching_docs": FILTER_NONMATCHING_DOCS_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "ann_topk": ANN_TOPK_SQL,
+    "token_stats": TOKEN_STATS_SQL,
+    "lang_stats": LANG_STATS_SQL,
+}

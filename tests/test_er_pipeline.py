@@ -1,0 +1,168 @@
+"""End-to-end ER pipeline tests (FIXTURES F1/F2/F4/F5)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from sassy_ray.pipelines.er import ERConfig, evaluate_clusters, run_er_pipeline
+from sassy_ray.sources.docs import add_doc_text, spans_fingerprint, validate_span_order
+from sassy_ray.sources.synth import dna_corpus, interleave_flat_documents
+from sassy_ray.stages.blocking import BlockingConfig
+from sassy_ray.stages.scoring import ScoreConfig
+
+
+def _dna_cfg(**kw):
+    return ERConfig(
+        blocking=BlockingConfig(q=8, rc_canonical=True),
+        score=ScoreConfig(profile="iupac", rc=True, k_min=4, rel_k=0.12),
+        score_concurrency=2,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def dna_docs():
+    return dna_corpus(60, seed=42)
+
+
+def test_er_dna_f1(ray_session, dna_docs):
+    import ray.data as rd
+
+    docs, truth = dna_docs
+    res = run_er_pipeline(rd.from_arrow(docs), _dna_cfg())
+    m = evaluate_clusters(res["clusters"], truth)
+    assert m["f1"] >= 0.99, m
+    # span invariant: docs dataset untouched
+    validate_span_order(docs)
+
+
+def test_er_ascii_f1(ray_session):
+    """The blocked distributed pipeline must reproduce the clusters of
+    exhaustive all-pairs kernel scoring (the 'reference clusters' — the
+    driver's flat table itself contains cross-id near-duplicates)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sassy_ray.pipelines.er import exhaustive_truth
+
+    flat = pq.read_table("/root/testdata/sf0.001/documents.parquet").slice(0, 100)
+    docs, _idtruth = interleave_flat_documents(flat, seed=7)
+    score = ScoreConfig(profile="ascii_ci", k_min=3, rel_k=0.03, lowercase=True)
+    truth = exhaustive_truth(docs, score)
+    cfg = ERConfig(blocking=BlockingConfig(q=12), score=score, score_concurrency=2)
+    res = run_er_pipeline(rd.from_arrow(docs), cfg)
+    m = evaluate_clusters(res["clusters"], truth)
+    assert m["f1"] >= 0.99, m
+
+
+def test_er_checkpoint_resume(ray_session, dna_docs, tmp_path):
+    import ray.data as rd
+
+    docs, truth = dna_docs
+    ds = rd.from_arrow(docs)
+    cfg = _dna_cfg()
+    root = str(tmp_path / "ck")
+
+    res1 = run_er_pipeline(ds, cfg, checkpoint_dir=root)
+    c1 = res1["clusters"].to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert res1["stats"]["resumed_stages"] == []
+    assert os.path.exists(os.path.join(root, "scored", "manifest.json"))
+
+    # simulate failure after scoring: clusters checkpoint removed, rerun must
+    # skip the earlier stages and produce byte-identical clusters
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "clusters"))
+    res2 = run_er_pipeline(ds, cfg, checkpoint_dir=root)
+    assert set(res2["stats"]["resumed_stages"]) == {"block_rows", "pairs", "scored"}
+    c2 = res2["clusters"].to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert c1.equals(c2)
+
+    # a config change invalidates the fingerprint -> full rerun
+    cfg2 = _dna_cfg()
+    cfg2.score.k_min = 5
+    res3 = run_er_pipeline(ds, cfg2, checkpoint_dir=root)
+    assert res3["stats"]["resumed_stages"] == []
+
+
+def test_er_join_mode(ray_session, dna_docs):
+    import ray.data as rd
+
+    docs, truth = dna_docs
+    cfg = _dna_cfg(text_mode="join")
+    res = run_er_pipeline(rd.from_arrow(docs), cfg)
+    m = evaluate_clusters(res["clusters"], truth)
+    assert m["f1"] >= 0.99, m
+
+
+def test_distributed_label_propagation(ray_session):
+    """Force the distributed min-label path (driver_edge_limit=0) and check
+    components against driver union-find on a chain + islands graph."""
+    import ray.data as rd
+
+    from sassy_ray.stages.clustering import connected_components
+
+    edges = [
+        {"doc_id_a": f"n{i:03d}", "doc_id_b": f"n{i + 1:03d}"} for i in range(0, 10)
+    ] + [{"doc_id_a": "m000", "doc_id_b": "m001"}]
+    nodes = [{"doc_id": f"n{i:03d}"} for i in range(11)] + [
+        {"doc_id": "m000"},
+        {"doc_id": "m001"},
+        {"doc_id": "z-solo"},
+    ]
+    got = (
+        connected_components(
+            rd.from_items(edges), rd.from_items(nodes), driver_edge_limit=0
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    lab = dict(zip(got.doc_id, got.cluster_id))
+    assert all(lab[f"n{i:03d}"] == "n000" for i in range(11))
+    assert lab["m000"] == lab["m001"] == "m000"
+    assert lab["z-solo"] == "z-solo"
+
+
+def test_blocking_skew_salting(ray_session):
+    """F4: a hot blocking key (many near-identical docs) stays bounded."""
+    import ray.data as rd
+
+    from sassy_ray.stages.blocking import minhash_block_rows
+    from sassy_ray.stages.pairs import PairGenConfig, make_pairs_dataset
+
+    n = 300
+    rows = [
+        {"doc_id": f"hot-{i:04d}", "text": "ACGTACGTACGT" * 10}  # identical docs
+        for i in range(n)
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    cfg = BlockingConfig(q=8, text_col="text")
+    block = rd.from_arrow(tbl).map_batches(
+        lambda b: minhash_block_rows(b, cfg), batch_format="pyarrow"
+    )
+    pcfg = PairGenConfig(salt_cap=32, max_pairs_per_group=500)
+    pairs = make_pairs_dataset(block, pcfg).to_pandas()
+    # bounded: <= bands * max_pairs_per_group, not O(n^2) = 45k
+    assert 0 < len(pairs) <= cfg.bands * pcfg.max_pairs_per_group
+    # canonical + deduped
+    assert (pairs["doc_id_a"] < pairs["doc_id_b"]).all()
+    assert not pairs.duplicated(["doc_id_a", "doc_id_b"]).any()
+
+
+def test_span_passthrough(ray_session, dna_docs):
+    """The spans column survives the text-concat stage byte-identically."""
+    import ray.data as rd
+
+    import numpy as np
+
+    docs, _ = dna_docs
+    out = rd.from_arrow(docs).map_batches(add_doc_text, batch_format="pyarrow")
+    batches = list(out.iter_batches(batch_size=10_000, batch_format="pyarrow"))
+    got_tbl = pa.concat_tables(batches).sort_by("doc_id").select(["doc_id", "spans"])
+    want_fp = spans_fingerprint(docs.sort_by("doc_id"))
+    got_fp = spans_fingerprint(got_tbl)
+    np.testing.assert_array_equal(want_fp, got_fp)
