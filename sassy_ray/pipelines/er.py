@@ -69,19 +69,24 @@ def _ckpt(checkpoint_dir, stage, fp):
     return StageCheckpoint(checkpoint_dir, stage, fp) if checkpoint_dir else None
 
 
-def _maybe(stage_fn, ck):
+def _maybe(stage_fn, ck, stats=None, name=None):
     """Run a stage unless its checkpoint is complete.  Stage outputs are
     pinned (checkpoint parquet or materialize) because each is consumed by
     more than one downstream op — without pinning the lazy graph re-executes
     the whole prefix per consumer.  These intermediates (block rows, pairs,
     scored edges) are orders of magnitude smaller than the corpus."""
+    import time
+
     if ck is not None and ck.complete():
         return ck.load(), True
+    t0 = time.time()
     ds = stage_fn()
     if ck is not None:
         ds = ck.save(ds)
     else:
         ds = ds.materialize()
+    if stats is not None and name:
+        stats.setdefault("stage_sec", {})[name] = round(time.time() - t0, 3)
     return ds, False
 
 
@@ -109,13 +114,13 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
         )
 
     ck = _ckpt(checkpoint_dir, "block_rows", fp)
-    block_rows, resumed = _maybe(_block, ck)
+    block_rows, resumed = _maybe(_block, ck, stats, "block_rows")
     if resumed:
         stats["resumed_stages"].append("block_rows")
 
     # --- candidate pairs --------------------------------------------------
     ck = _ckpt(checkpoint_dir, "pairs", fp)
-    pairs_ds, resumed = _maybe(lambda: make_pairs_dataset(block_rows, cfg.pairs), ck)
+    pairs_ds, resumed = _maybe(lambda: make_pairs_dataset(block_rows, cfg.pairs), ck, stats, "pairs")
     if resumed:
         stats["resumed_stages"].append("pairs")
 
@@ -161,7 +166,7 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
         )
 
     ck = _ckpt(checkpoint_dir, "scored", fp)
-    scored, resumed = _maybe(_score, ck)
+    scored, resumed = _maybe(_score, ck, stats, "scored")
     if resumed:
         stats["resumed_stages"].append("scored")
 
@@ -173,7 +178,10 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
 
     ck = _ckpt(checkpoint_dir, "clusters", fp)
     clusters, resumed = _maybe(
-        lambda: connected_components(edges, nodes, max_iters=cfg.max_cc_iters), ck
+        lambda: connected_components(edges, nodes, max_iters=cfg.max_cc_iters),
+        ck,
+        stats,
+        "clusters",
     )
     if resumed:
         stats["resumed_stages"].append("clusters")

@@ -87,11 +87,29 @@ def make_pairs_dataset(block_rows_ds, cfg: PairGenConfig):
         )
 
     pairs = grouped.map_batches(emit, batch_format="pandas")
-    # exact dedup on the canonical pair key: hash-partitioned aggregate —
-    # groupby.count() emits exactly one row per distinct key
+    # coalesce the many tiny post-shuffle blocks first: the dedup sort's
+    # per-block overhead dominates otherwise
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    pairs = pairs.repartition(max(2, cpus))
+
+    # exact dedup on the canonical pair key.  NB: fold the pair into ONE key
+    # column — Ray's multi-column groupby sort is an order of magnitude
+    # slower than a single key (measured 29s vs 1.5s on 250k rows).
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def addkey(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(t.column("doc_id_a"), t.column("doc_id_b"), "|")
+        return t.append_column("pk", k)
+
+    from ray.data.aggregate import Min
+
     deduped = (
-        pairs.groupby(["doc_id_a", "doc_id_b"])
-        .count()
+        pairs.map_batches(addkey, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Min("doc_id_a", alias_name="doc_id_a"), Min("doc_id_b", alias_name="doc_id_b"))
         .select_columns(["doc_id_a", "doc_id_b"])
     )
     return deduped
