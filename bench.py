@@ -25,6 +25,10 @@ warnings.filterwarnings("ignore")
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# deterministic corpus multiplier: replicates the flat documents table with
+# offset doc_ids before deriving the interleaved corpus, so the headline ER
+# run is compute-bound rather than overhead-bound
+REPLICAS = int(os.environ.get("GRAFT_BENCH_REPLICAS", "3"))
 
 
 def run_bench() -> dict:
@@ -59,6 +63,15 @@ def run_bench() -> dict:
 
     # ---- headline: the ER pipeline over the derived interleaved corpus ----
     t0 = time.time()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if REPLICAS > 1:
+        parts = []
+        for r in range(REPLICAS):
+            ids = pc.add(flat.column("doc_id"), pa.scalar(r * 10_000_000, pa.int64()))
+            parts.append(flat.set_column(0, "doc_id", ids))
+        flat = pa.concat_tables(parts)
     docs, _truth = interleave_flat_documents(flat, seed=7)
     timings["corpus_synth"] = round(time.time() - t0, 3)
 

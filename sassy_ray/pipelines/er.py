@@ -39,11 +39,13 @@ class ERConfig:
         score: ScoreConfig | None = None,
         text_mode: str = "broadcast",  # 'broadcast' | 'join'
         score_concurrency: int | tuple = 4,
-        score_batch_size: int = 1024,
+        score_batch_size: int = 8192,
         max_cc_iters: int = 25,
         join_partitions: int = 32,
         input_blocks: int = 32,
+        score_mode: str = "tasks",  # 'tasks' (warm workers) | 'actors'
     ) -> None:
+        self.score_mode = score_mode
         self.join_partitions = join_partitions
         self.input_blocks = input_blocks
         self.blocking = blocking or BlockingConfig()
@@ -127,13 +129,14 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
     # --- scoring ----------------------------------------------------------
     scorer_kwargs: dict = {"cfg": cfg.score}
     if cfg.text_mode == "broadcast":
-        id_to_text: dict[str, bytes] = {}
-        for batch in texts_ds.select_columns(["doc_id", "text"]).iter_batches(
-            batch_size=8192, batch_format="pyarrow"
-        ):
-            for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-                id_to_text[d] = (t or "").encode()
-        scorer_kwargs["docs_ref"] = ray.put(id_to_text)
+        # broadcast as an Arrow table: zero-copy plasma reads; workers build
+        # their dict once (scoring._resolve_docs cache)
+        tbl = pa.concat_tables(
+            texts_ds.select_columns(["doc_id", "text"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+        )
+        scorer_kwargs["docs_ref"] = ray.put(tbl)
         join_input = pairs_ds
     elif cfg.text_mode == "join":
         txt = texts_ds.select_columns(["doc_id", "text"])
@@ -157,12 +160,23 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
         raise ValueError(f"unknown text_mode {cfg.text_mode!r}")
 
     def _score():
+        if cfg.score_mode == "actors":
+            return join_input.map_batches(
+                PairScorer,
+                fn_constructor_kwargs=scorer_kwargs,
+                batch_format="pyarrow",
+                batch_size=cfg.score_batch_size,
+                concurrency=cfg.score_concurrency,
+            )
+        # stateless tasks in warm workers: same kernel, no actor spin-up;
+        # the broadcast ref resolves plasma-locally once per worker
+        from sassy_ray.stages.scoring import score_pairs_batch
+
         return join_input.map_batches(
-            PairScorer,
-            fn_constructor_kwargs=scorer_kwargs,
+            score_pairs_batch,
+            fn_kwargs=scorer_kwargs,
             batch_format="pyarrow",
             batch_size=cfg.score_batch_size,
-            concurrency=cfg.score_concurrency,
         )
 
     ck = _ckpt(checkpoint_dir, "scored", fp)

@@ -29,9 +29,15 @@ __all__ = ["PairGenConfig", "make_pairs_dataset"]
 
 
 class PairGenConfig:
-    def __init__(self, salt_cap: int = 64, max_pairs_per_group: int = 2048) -> None:
+    def __init__(
+        self,
+        salt_cap: int = 64,
+        max_pairs_per_group: int = 2048,
+        single_task_dedup_limit: int = 5_000_000,
+    ) -> None:
         self.salt_cap = salt_cap
         self.max_pairs_per_group = max_pairs_per_group
+        self.single_task_dedup_limit = single_task_dedup_limit
 
     def fingerprint(self) -> str:
         return f"pairs(cap={self.salt_cap},maxp={self.max_pairs_per_group})"
@@ -86,30 +92,53 @@ def make_pairs_dataset(block_rows_ds, cfg: PairGenConfig):
             }
         )
 
-    pairs = grouped.map_batches(emit, batch_format="pandas")
-    # coalesce the many tiny post-shuffle blocks first: the dedup sort's
-    # per-block overhead dominates otherwise
+    pairs = grouped.map_batches(
+        emit, batch_format="pandas"
+    ).map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
+    # coalesce the many tiny post-shuffle blocks first: per-block overhead
+    # dominates the following steps otherwise
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    pairs = pairs.repartition(max(2, cpus))
+    pairs = pairs.repartition(max(2, cpus)).materialize()
+    n_pre = pairs.count()
 
-    # exact dedup on the canonical pair key.  NB: fold the pair into ONE key
-    # column — Ray's multi-column groupby sort is an order of magnitude
-    # slower than a single key (measured 29s vs 1.5s on 250k rows).
+    if n_pre <= cfg.single_task_dedup_limit:
+        # bounded pair list: one-task pandas dedup beats a full Ray shuffle
+        # by an order of magnitude at this size; re-split so downstream
+        # scoring parallelizes (one block = one task otherwise)
+        return (
+            pairs.repartition(1)
+            .map_batches(lambda df: df.drop_duplicates(ignore_index=True), batch_format="pandas")
+            .repartition(max(2, cpus))
+        )
+
+    # scale path: exact dedup via hash-partitioned aggregate.  NB: fold the
+    # pair into ONE key column — Ray's multi-column groupby sort is an order
+    # of magnitude slower than a single key (measured 29s vs 1.5s on 250k
+    # rows); split the key back afterwards.
     import pyarrow as pa
     import pyarrow.compute as pc
 
     def addkey(t: pa.Table) -> pa.Table:
         k = pc.binary_join_element_wise(t.column("doc_id_a"), t.column("doc_id_b"), "|")
-        return t.append_column("pk", k)
+        return pa.table({"pk": k})
 
-    from ray.data.aggregate import Min
+    def splitkey(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("pk"), "|")
+        flat = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        vals = flat.flatten()
+        n = len(flat)
+        import numpy as np
+
+        a = vals.take(pa.array(np.arange(0, 2 * n, 2)))
+        b = vals.take(pa.array(np.arange(1, 2 * n, 2)))
+        return pa.table({"doc_id_a": a, "doc_id_b": b})
 
     deduped = (
         pairs.map_batches(addkey, batch_format="pyarrow")
         .groupby("pk")
-        .aggregate(Min("doc_id_a", alias_name="doc_id_a"), Min("doc_id_b", alias_name="doc_id_b"))
-        .select_columns(["doc_id_a", "doc_id_b"])
+        .count()
+        .map_batches(splitkey, batch_format="pyarrow")
     )
     return deduped

@@ -49,15 +49,49 @@ class ScoreConfig:
         return f"score({self.profile},k_min={self.k_min},rel_k={self.rel_k},rc={self.rc})"
 
 
+# per-worker cache of the deserialized broadcast lookup: plasma zero-copies
+# the Arrow payload, but the python dict must be built once per process —
+# never once per task/batch
+_BCAST_CACHE: dict[str, dict] = {}
+
+
+def _resolve_docs(docs_ref) -> dict[str, bytes]:
+    if isinstance(docs_ref, dict):
+        return docs_ref
+    key = docs_ref.hex() if hasattr(docs_ref, "hex") else str(id(docs_ref))
+    hit = _BCAST_CACHE.get(key)
+    if hit is None:
+        import ray
+
+        obj = ray.get(docs_ref)
+        if isinstance(obj, pa.Table):
+            obj = dict(
+                zip(
+                    obj.column("doc_id").to_pylist(),
+                    (t.encode() for t in obj.column("text").to_pylist()),
+                )
+            )
+        _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = hit = obj
+    return hit
+
+
+def score_pairs_batch(batch: pa.Table, cfg: ScoreConfig, docs_ref=None) -> pa.Table:
+    """Stateless-task variant of the scorer: runs in Ray's pre-started warm
+    workers (no actor spin-up).  The broadcast lookup resolves through a
+    per-worker cache (one plasma fetch + one dict build per process).  Use
+    the actor-pool ``PairScorer`` when per-worker state is genuinely
+    expensive to build."""
+    return PairScorer(cfg, docs_ref)(batch)
+
+
 class PairScorer:
     def __init__(self, cfg: ScoreConfig, docs_ref=None) -> None:
         self.cfg = cfg
         self.prof = get_profile(cfg.profile)
         self.docs: dict[str, bytes] | None = None
         if docs_ref is not None:
-            import ray
-
-            self.docs = ray.get(docs_ref)
+            self.docs = _resolve_docs(docs_ref)
 
     def _texts(self, batch: pa.Table, col: str, id_col: str) -> list[bytes]:
         if col in batch.column_names:
@@ -98,11 +132,25 @@ class PairScorer:
             min_len[i] = len(pats[-1])
         k_pair = np.maximum(cfg.k_min, (cfg.rel_k * min_len).astype(np.int64)).astype(np.int32)
         k_max = int(k_pair.max())
-        cost = batch_best_costs(pats, txts, self.prof, k_max)
-        if cfg.rc and self.prof.supports_rc:
-            rc_pats = [self.prof.reverse_complement(p) for p in pats]
-            rc_cost = batch_best_costs(rc_pats, txts, self.prof, k_max)
-            cost = np.minimum(cost, rc_cost)
+        # bucket by limb count: a batch's kernel cost is B x max(L); mixing a
+        # 64-char pattern with a 560-char one makes everyone pay 9 limbs
+        order = sorted(range(n), key=lambda i: len(pats[i]))
+        cost = np.empty(n, dtype=np.int32)
+        i = 0
+        while i < n:
+            L0 = (len(pats[order[i]]) + 63) // 64
+            j = i
+            while j < n and (len(pats[order[j]]) + 63) // 64 == L0:
+                j += 1
+            idx = order[i:j]
+            sub_p = [pats[x] for x in idx]
+            sub_t = [txts[x] for x in idx]
+            c = batch_best_costs(sub_p, sub_t, self.prof, k_max)
+            if cfg.rc and self.prof.supports_rc:
+                rc_p = [self.prof.reverse_complement(p) for p in sub_p]
+                c = np.minimum(c, batch_best_costs(rc_p, sub_t, self.prof, k_max))
+            cost[idx] = c
+            i = j
         is_match = cost <= k_pair
         return pa.table(
             {
