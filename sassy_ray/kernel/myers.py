@@ -271,12 +271,99 @@ def batch_best_costs(
 
     The cheap scoring mode for ER candidate filtering (the reference's
     ``without_trace`` + best-match path, search.rs:447-451,1464-1475).
+    Without overhang it tracks a running min instead of materializing the
+    (B, W) cost matrix — less memory traffic, which is what bounds the
+    many-process aggregate throughput.
     """
     if not patterns:
         return np.zeros(0, dtype=np.int32)
-    costs, _n, max_pos = batch_end_costs(patterns, texts, profile, k, alpha, max_overhang)
-    best = costs.min(axis=1)
+    if alpha is None:
+        best = _batch_min_costs(patterns, texts, profile)
+    else:
+        costs, _n, max_pos = batch_end_costs(patterns, texts, profile, k, alpha, max_overhang)
+        best = costs.min(axis=1)
     return np.minimum(best, k + 1).astype(np.int32)
+
+
+def _batch_min_costs(patterns: list[bytes], texts: list[bytes], profile: Profile) -> np.ndarray:
+    """min over end positions of the semi-global cost, no matrix."""
+    B = len(patterns)
+    txt, n_arr = _pad_texts(texts)
+    present = np.zeros(256, dtype=bool)
+    present[txt.reshape(-1)] = True
+    alphabet = _ALL_BYTES[present]
+    lut = np.zeros(256, dtype=np.intp)
+    lut[alphabet] = np.arange(len(alphabet))
+    txt = lut[txt]
+    peq, m_arr, L = build_peq(patterns, profile, alphabet)
+    steps = int(n_arr.max()) if B else 0
+
+    pv0 = _pack_bits_u64(np.ones(L * 64, dtype=bool)[None, :])[0]
+    Pv = np.broadcast_to(pv0, (B, L)).copy()
+    Mv = np.zeros((B, L), dtype=np.uint64)
+    score = m_arr.astype(np.int64).copy()
+    best = score.copy()
+
+    last_limb = np.maximum(m_arr - 1, 0) // 64
+    score_shift = ((m_arr - 1) % 64).astype(np.uint64)
+    bidx = np.arange(B)
+    sel_per_limb = [(last_limb == l) for l in range(L)]
+    sel_uniform = [bool(s.all()) for s in sel_per_limb]
+    zero64 = np.int64(0)
+    hin_pos = np.zeros(B, dtype=np.uint64)
+    hin_neg = np.zeros(B, dtype=np.uint64)
+    in_range = None
+
+    for t in range(steps):
+        cbytes = txt[:, t]
+        if L == 1:
+            Eq = peq[bidx, cbytes, 0]
+            Pvl = Pv[:, 0]
+            Mvl = Mv[:, 0]
+            Xv = Eq | Mvl
+            Xh = (((Eq & Pvl) + Pvl) ^ Pvl) | Eq
+            Ph = Mvl | ~(Xh | Pvl)
+            Mh = Pvl & Xh
+            score += ((Ph >> score_shift) & _ONE).view(np.int64)
+            score -= ((Mh >> score_shift) & _ONE).view(np.int64)
+            Ph <<= _ONE
+            Mh <<= _ONE
+            Pv[:, 0] = Mh | ~(Xv | Ph)
+            Mv[:, 0] = Ph & Xv
+        else:
+            hin_pos.fill(0)
+            hin_neg.fill(0)
+            for l in range(L):
+                Eq = peq[bidx, cbytes, l]
+                Pvl = Pv[:, l]
+                Mvl = Mv[:, l]
+                Xv = Eq | Mvl
+                Eqh = Eq | hin_neg
+                Xh = (((Eqh & Pvl) + Pvl) ^ Pvl) | Eqh
+                Ph = Mvl | ~(Xh | Pvl)
+                Mh = Pvl & Xh
+                upd = ((Ph >> score_shift) & _ONE).view(np.int64) - (
+                    (Mh >> score_shift) & _ONE
+                ).view(np.int64)
+                if sel_uniform[l]:
+                    score += upd
+                else:
+                    score += np.where(sel_per_limb[l], upd, zero64)
+                hout_pos = Ph >> _SIX3
+                hout_neg = Mh >> _SIX3
+                Ph = (Ph << _ONE) | hin_pos
+                Mh = (Mh << _ONE) | hin_neg
+                Pv[:, l] = Mh | ~(Xv | Ph)
+                Mv[:, l] = Ph & Xv
+                hin_pos = hout_pos
+                hin_neg = hout_neg
+        # only positions within each pair's own text are valid
+        if t >= int(n_arr.min()):
+            in_range = t < n_arr
+            np.minimum(best, np.where(in_range, score, best), out=best)
+        else:
+            np.minimum(best, score, out=best)
+    return best
 
 
 class BatchKernel:

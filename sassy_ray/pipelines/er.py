@@ -130,12 +130,20 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
     scorer_kwargs: dict = {"cfg": cfg.score}
     if cfg.text_mode == "broadcast":
         # broadcast as an Arrow table: zero-copy plasma reads; workers build
-        # their dict once (scoring._resolve_docs cache)
+        # their dict once (scoring._resolve_docs cache).  Normalization
+        # (lowercase) happens once here, not per scored pair.
         tbl = pa.concat_tables(
             texts_ds.select_columns(["doc_id", "text"]).iter_batches(
                 batch_size=65536, batch_format="pyarrow"
             )
         )
+        if cfg.score.lowercase:
+            import pyarrow.compute as pc
+
+            tbl = tbl.set_column(
+                tbl.column_names.index("text"), "text", pc.utf8_lower(tbl.column("text"))
+            )
+            scorer_kwargs["pre_lowercased"] = True
         scorer_kwargs["docs_ref"] = ray.put(tbl)
         join_input = pairs_ds
     elif cfg.text_mode == "join":

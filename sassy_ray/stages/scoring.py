@@ -76,19 +76,22 @@ def _resolve_docs(docs_ref) -> dict[str, bytes]:
     return hit
 
 
-def score_pairs_batch(batch: pa.Table, cfg: ScoreConfig, docs_ref=None) -> pa.Table:
+def score_pairs_batch(
+    batch: pa.Table, cfg: ScoreConfig, docs_ref=None, pre_lowercased: bool = False
+) -> pa.Table:
     """Stateless-task variant of the scorer: runs in Ray's pre-started warm
     workers (no actor spin-up).  The broadcast lookup resolves through a
     per-worker cache (one plasma fetch + one dict build per process).  Use
     the actor-pool ``PairScorer`` when per-worker state is genuinely
     expensive to build."""
-    return PairScorer(cfg, docs_ref)(batch)
+    return PairScorer(cfg, docs_ref, pre_lowercased)(batch)
 
 
 class PairScorer:
-    def __init__(self, cfg: ScoreConfig, docs_ref=None) -> None:
+    def __init__(self, cfg: ScoreConfig, docs_ref=None, pre_lowercased: bool = False) -> None:
         self.cfg = cfg
         self.prof = get_profile(cfg.profile)
+        self.pre_lowercased = pre_lowercased
         self.docs: dict[str, bytes] | None = None
         if docs_ref is not None:
             self.docs = _resolve_docs(docs_ref)
@@ -105,7 +108,7 @@ class PairScorer:
         cfg = self.cfg
         ta = self._texts(batch, "text_a", "doc_id_a")
         tb = self._texts(batch, "text_b", "doc_id_b")
-        if cfg.lowercase:
+        if cfg.lowercase and not self.pre_lowercased:
             ta = [t.lower() for t in ta]
             tb = [t.lower() for t in tb]
         n = len(ta)
