@@ -1,0 +1,137 @@
+"""The reference's ``sassy grep|search|filter`` as a Ray Data pipeline.
+
+One code path with preset writers (bin/grep.rs:330-356):
+- ``search``: emit the 8-col match table, deterministically ordered by
+  (text_id, start) — the batch-id reorder buffer of the reference
+  (bin/grep.rs:544-572) becomes a post-sort (SURVEY.md §4: we prefer
+  post-sort over preserve_order);
+- ``filter``: re-emit matching (or ``invert``ed non-matching) document rows
+  with ALL columns preserved (S6; spans survive untouched);
+- cost histogram aggregate (grep.rs:309-328) = groupby("cost").count().
+
+The pattern set is broadcast (tiny side of the cartesian product, J1); the
+per-batch scorer is the batch Myers kernel via ``Searcher.search_many``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sassy_ray.functions.matches import matches_to_table
+from sassy_ray.kernel.search import Searcher
+
+__all__ = ["GrepConfig", "run_grep", "grep_matches_batch"]
+
+
+class GrepConfig:
+    def __init__(
+        self,
+        patterns: list[tuple[str, bytes]],
+        k: int = 1,
+        alphabet: str = "dna",
+        rc: bool = True,
+        alpha: float | None = None,
+        max_overhang: int | None = None,
+        max_n_frac: float | None = None,
+        all_minima: bool = False,
+        only_best_match: bool = False,
+        without_trace: bool = False,
+        sam: bool = False,
+        invert: bool = False,
+        case_sensitive: bool = True,
+    ) -> None:
+        self.patterns = [(pid, s if isinstance(s, bytes) else s.encode()) for pid, s in patterns]
+        self.k = k
+        self.alphabet = alphabet
+        self.rc = rc
+        self.alpha = alpha
+        self.max_overhang = max_overhang
+        self.max_n_frac = max_n_frac
+        self.all_minima = all_minima
+        self.only_best_match = only_best_match
+        self.without_trace = without_trace
+        self.sam = sam
+        self.invert = invert
+        self.case_sensitive = case_sensitive
+
+    def make_searcher(self) -> Searcher:
+        return Searcher(
+            self.alphabet,
+            rc=self.rc,
+            alpha=self.alpha,
+            max_overhang=self.max_overhang,
+            max_n_frac=self.max_n_frac,
+            only_best_match=self.only_best_match,
+            without_trace=self.without_trace,
+            case_sensitive=self.case_sensitive,
+        )
+
+
+def grep_matches_batch(
+    batch: pa.Table, cfg: GrepConfig, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    searcher = cfg.make_searcher()
+    ids = [str(x) for x in batch.column(id_col).to_pylist()]
+    seqs = [(t or "").encode() for t in batch.column(text_col).to_pylist()]
+    pat_seqs = [s for _, s in cfg.patterns]
+    if cfg.all_minima:
+        rows = []
+        for ti, seq in enumerate(seqs):
+            for pi, pseq in enumerate(pat_seqs):
+                for m in searcher.search_all(pseq, seq, cfg.k):
+                    rows.append((cfg.patterns[pi][0], ids[ti], seq, m))
+    else:
+        ms = searcher.search_many(pat_seqs, seqs, cfg.k)
+        rows = [(cfg.patterns[m.pattern_idx][0], ids[m.text_idx], seqs[m.text_idx], m) for m in ms]
+    return matches_to_table(rows, "iupac" if cfg.alphabet == "dna" else cfg.alphabet, cfg.sam)
+
+
+def _matched_ids_batch(batch, cfg, id_col, text_col) -> pa.Table:
+    t = grep_matches_batch(batch, cfg, id_col, text_col)
+    ids = pc.unique(t.column("text_id"))
+    return pa.table({"text_id": ids})
+
+
+def run_grep(
+    texts_ds,
+    cfg: GrepConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 256,
+):
+    """Returns dict(matches=Dataset ordered, histogram=Table, filtered=Dataset)."""
+    matches = (
+        texts_ds.map_batches(
+            lambda b: grep_matches_batch(b, cfg, id_col, text_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        .materialize()
+        .sort(["text_id", "start", "pat_id"])
+    )
+    hist = (
+        matches.groupby("cost")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n"})
+        .sort_values("cost")
+        .reset_index(drop=True)
+    )
+
+    # semi/anti join of documents against matched ids (J3, S6)
+    import ray
+
+    matched = set()
+    for b in matches.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        matched.update(b.column("text_id").to_pylist())
+    matched_ref = ray.put(matched)
+
+    def flt(b: pa.Table) -> pa.Table:
+        got = ray.get(matched_ref)
+        keys = [str(x) in got for x in b.column(id_col).to_pylist()]
+        mask = pa.array([(not k) if cfg.invert else k for k in keys])
+        return b.filter(mask)
+
+    filtered = texts_ds.map_batches(flt, batch_format="pyarrow")
+    return {"matches": matches, "histogram": hist, "filtered": filtered}

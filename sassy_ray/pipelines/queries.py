@@ -761,3 +761,312 @@ ORACLE_SQL = {
     "token_stats": TOKEN_STATS_SQL,
     "lang_stats": LANG_STATS_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# grep / crispr pipelines (sassy CLI parity; rows-only)
+# ---------------------------------------------------------------------------
+
+
+def _dna_texts_ds(sf_dir: str):
+    """Deterministic DNA corpus (with spans concatenated) sized by sf."""
+    import pyarrow.parquet as pq
+
+    from sassy_ray.sources.docs import add_doc_text
+    from sassy_ray.sources.synth import dna_corpus
+
+    n = pq.read_metadata(_path(sf_dir, "documents")).num_rows
+    docs, _ = dna_corpus(n_docs=max(50, n // 2), seed=42)
+    return _rd().from_arrow(docs).map_batches(add_doc_text, batch_format="pyarrow")
+
+
+def grep_search(sf_dir: str):
+    """sassy search: pattern set vs DNA corpus -> ordered 8-col matches."""
+    from sassy_ray.pipelines.grep import GrepConfig, run_grep
+
+    cfg = GrepConfig(
+        patterns=[("p1", b"ACGTACGTACGT"), ("p2", b"TTGACCTTGACC")], k=2, alphabet="dna", rc=True
+    )
+    return run_grep(_dna_texts_ds(sf_dir), cfg)["matches"]
+
+
+def grep_filter(sf_dir: str):
+    """sassy filter: docs with >=1 match (all columns preserved)."""
+    from sassy_ray.pipelines.grep import GrepConfig, run_grep
+
+    cfg = GrepConfig(patterns=[("p1", b"ACGTACGTACGT")], k=2, alphabet="dna", rc=True)
+    out = run_grep(_dna_texts_ds(sf_dir), cfg)["filtered"]
+    return out.select_columns(["doc_id", "text"]).sort("doc_id")
+
+
+def grep_cost_histogram(sf_dir: str):
+    from sassy_ray.pipelines.grep import GrepConfig, run_grep
+
+    cfg = GrepConfig(patterns=[("p1", b"ACGTACGTACGT")], k=3, alphabet="dna", rc=True)
+    return pa.Table.from_pandas(run_grep(_dna_texts_ds(sf_dir), cfg)["histogram"])
+
+
+def crispr_offtarget(sf_dir: str):
+    """CRISPR off-target search over the DNA corpus."""
+    from sassy_ray.pipelines.crispr import CrisprConfig, CrisprConfig as _C, run_crispr
+
+    texts = _dna_texts_ds(sf_dir).materialize()
+    first = next(iter(texts.iter_batches(batch_size=1, batch_format="pyarrow")))
+    seq = first.column("text")[0].as_py()
+    guide = (seq[10:25] if len(seq) >= 25 else (seq * 3)[:15]).encode()
+    cfg = CrisprConfig([guide], k=2, pam_length=3, allow_pam_edits=True)
+    out, _n = run_crispr(texts, cfg)
+    return out.sort(["text_id", "start", "guide"])
+
+
+# ---------------------------------------------------------------------------
+# text analysis / multimodal / ANN extensions
+# ---------------------------------------------------------------------------
+
+
+def lang_id(sf_dir: str):
+    """n-gram heuristic language ID (rows-only; driver table has true lang)."""
+    from sassy_ray.functions.text import lang_id_batch
+
+    ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang", "pred_lang", "lang_score"]
+    )
+
+
+def quality_scores(sf_dir: str):
+    from sassy_ray.functions.text import quality_batch
+
+    ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+def token_counts(sf_dir: str):
+    from sassy_ray.functions.text import token_count_batch
+
+    ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       length(regexp_replace(text, '[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]', 'T', 'g'))
+         - length(replace(regexp_replace(text, '[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]', 'T', 'g'), 'T', ''))
+         + 0 AS bpe_tokens
+FROM documents
+"""
+
+
+def doc_fingerprint64(sf_dir: str):
+    """Rolling-hash 64-bit fingerprint per doc (rows-only; deterministic)."""
+    from sassy_ray.functions.text import fingerprint_batch
+
+    ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def media_features(sf_dir: str):
+    """Multimodal plumbing: media spans -> synthetic payloads -> actor-pool
+    decode/feature stage (stubbed codec, real Ray plumbing)."""
+    import pyarrow.parquet as pq
+
+    from sassy_ray.functions.multimodal import (
+        MediaDecoder,
+        media_refs_from_spans,
+        synthesize_media_payloads,
+    )
+    from sassy_ray.sources.synth import dna_corpus
+
+    n = pq.read_metadata(_path(sf_dir, "documents")).num_rows
+    docs, _ = dna_corpus(n_docs=max(50, n // 2), seed=42)
+    refs_tbl = media_refs_from_spans(docs)
+    refs = sorted(set(refs_tbl.column("media_ref").to_pylist()))
+    media = synthesize_media_payloads(refs)
+    out = (
+        _rd()
+        .from_arrow(media)
+        .map_batches(
+            MediaDecoder,
+            fn_constructor_kwargs={"mode": "deterministic_fake", "dim": 32},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+        )
+    )
+    return out.sort("media_ref")
+
+
+def ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate top-k (scale path next to brute force)."""
+    import pyarrow.parquet as pq
+
+    from sassy_ray.functions.ann import ivf_topk
+
+    tbl = pq.read_table(_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    q = None
+    for vid, emb in zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()):
+        if vid == 0:
+            q = np.asarray(emb)
+            break
+    ds = _rd().read_parquet(_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids, sims = ivf_topk(ds, q[None, :], k=10)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[0], pa.int64()),
+            "sim_e6": pa.array(np.round(sims[0] * 1e6).astype(np.int64)),
+        }
+    )
+
+
+def embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (bucketed + exact verify)."""
+    from sassy_ray.functions.ann import embedding_neardup_pairs
+
+    ds = _rd().read_parquet(_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    t = embedding_neardup_pairs(ds, tau=0.35)
+    import pandas as pd
+
+    df = t.to_pandas().sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df[["vec_id_a", "vec_id_b"]], preserve_index=False)
+
+
+def events_sessionize(sf_dir: str):
+    """Sessionization: per-user sessions split at >30min gaps (streaming-
+    shaped groupby + sorted window logic inside map_groups)."""
+    import pandas as pd
+
+    ds = _rd().read_parquet(_path(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds().fillna(1e9)
+        sid = (gap > 1800).cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("event_id", "count"),
+        )
+        return out.reset_index(drop=True)
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def semi_join_users(sf_dir: str):
+    """Semi join: customers that have at least one order (broadcast key set
+    + vectorized isin filter — S6/J3 family)."""
+    import pyarrow.parquet as pq
+
+    ot = pq.read_table(_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    okeys = set(
+        ot.filter(pc.greater(ot.column("o_totalprice"), 400000.0)).column("o_custkey").to_pylist()
+    )
+    ds = _rd().read_parquet(_path(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    keys = pa.array(sorted(okeys), pa.int64())
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("c_custkey"), value_set=keys)),
+        batch_format="pyarrow",
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def anti_join_users(sf_dir: str):
+    """Anti join: customers with no orders."""
+    import pyarrow.parquet as pq
+
+    ot = pq.read_table(_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    okeys = set(
+        ot.filter(pc.greater(ot.column("o_totalprice"), 400000.0)).column("o_custkey").to_pylist()
+    )
+    ds = _rd().read_parquet(_path(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    keys = pa.array(sorted(okeys), pa.int64())
+    return ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t.column("c_custkey"), value_set=keys))),
+        batch_format="pyarrow",
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def union_all_counts(sf_dir: str):
+    """Union of two filtered streams + count by source tag."""
+    a = _rd().read_parquet(_path(sf_dir, "orders"), columns=["o_orderstatus"])
+    a = a.map_batches(
+        lambda t: pa.table({"status": t.column("o_orderstatus")}), batch_format="pyarrow"
+    )
+    b = _rd().read_parquet(_path(sf_dir, "orders"), columns=["o_orderstatus"])
+    b = b.map_batches(
+        lambda t: pa.table(
+            {"status": pc.utf8_lower(t.column("o_orderstatus"))}
+        ),
+        batch_format="pyarrow",
+    )
+    out = a.union(b).groupby("status").count()
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).rename_columns(
+        ["status", "n"]
+    )
+
+
+UNION_ALL_SQL = """
+SELECT status, count(*) AS n FROM (
+  SELECT o_orderstatus AS status FROM orders
+  UNION ALL
+  SELECT lower(o_orderstatus) AS status FROM orders
+) GROUP BY status
+"""
+
+QUERIES.update(
+    {
+        "grep_search": grep_search,
+        "grep_filter": grep_filter,
+        "grep_cost_histogram": grep_cost_histogram,
+        "crispr_offtarget": crispr_offtarget,
+        "lang_id": lang_id,
+        "quality_scores": quality_scores,
+        "token_counts": token_counts,
+        "doc_fingerprint64": doc_fingerprint64,
+        "media_features": media_features,
+        "ann_ivf_topk": ann_ivf_topk,
+        "embedding_neardup": embedding_neardup,
+        "events_sessionize": events_sessionize,
+        "semi_join_users": semi_join_users,
+        "anti_join_users": anti_join_users,
+        "union_all_counts": union_all_counts,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "events_sessionize": EVENTS_SESSIONIZE_SQL,
+        "semi_join_users": SEMI_JOIN_SQL,
+        "anti_join_users": ANTI_JOIN_SQL,
+        "union_all_counts": UNION_ALL_SQL,
+    }
+)

@@ -1,0 +1,128 @@
+"""Tests for text-analysis, multimodal, ANN and match-formatting functions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sassy_ray.functions.matches import format_cigar, format_match_region
+from sassy_ray.functions.multimodal import (
+    DETERMINISTIC_FAKE,
+    RAISE,
+    MediaDecoder,
+    media_refs_from_spans,
+    synthesize_media_payloads,
+)
+from sassy_ray.functions.text import (
+    fingerprint_batch,
+    lang_id_batch,
+    quality_batch,
+    token_count_batch,
+)
+from sassy_ray.kernel.types import Match
+
+
+def docs_table():
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat and the dog sat on the mat",
+                    "der Hund ist nicht der beste und die Katze",
+                    "",
+                ]
+            ),
+        }
+    )
+
+
+def test_lang_id():
+    out = lang_id_batch(docs_table())
+    langs = out.column("pred_lang").to_pylist()
+    assert langs[0] == "en"
+    assert langs[1] == "de"
+    assert langs[2] == "und"
+
+
+def test_quality():
+    out = quality_batch(docs_table())
+    assert out.column("n_tokens").to_pylist() == [9, 9, 0]
+    assert out.column("n_chars").to_pylist()[0] == 34
+    assert out.column("stopword_ratio").to_pylist()[0] > 0.3
+
+
+def test_token_counts():
+    out = token_count_batch(docs_table())
+    assert out.column("ws_tokens").to_pylist() == [9, 9, 0]
+    assert out.column("bpe_tokens").to_pylist()[0] == 9
+
+
+def test_fingerprint_deterministic():
+    a = fingerprint_batch(docs_table()).column("fingerprint64").to_pylist()
+    b = fingerprint_batch(docs_table()).column("fingerprint64").to_pylist()
+    assert a == b
+    assert len(set(a)) == 3  # distinct texts -> distinct fingerprints
+
+
+def test_match_region_rc():
+    m = Match(text_start=2, text_end=6, cost=0, strand="-", cigar="4=")
+    assert format_match_region(b"AACGATT", m, "dna") == b"ATCG"  # rc of CGAT
+    assert format_match_region(b"AACGATT", m, "dna", sam=True) == b"CGAT"
+    m2 = Match(text_start=0, text_end=3, cost=1, strand="-", cigar="2=1X")
+    assert format_cigar(m2, sam=False) == "2=1X"
+    assert format_cigar(m2, sam=True) == "1X2="
+
+
+def test_media_pipeline():
+    from sassy_ray.sources.synth import dna_corpus
+
+    docs, _ = dna_corpus(30, seed=42)
+    refs_tbl = media_refs_from_spans(docs)
+    refs = sorted(set(refs_tbl.column("media_ref").to_pylist()))
+    assert refs and all(r.startswith("media://") for r in refs)
+    media = synthesize_media_payloads(refs)
+    dec = MediaDecoder(mode=DETERMINISTIC_FAKE, dim=16)
+    out = dec(media)
+    assert out.column_names == ["media_ref", "kind", "features", "n_frames"]
+    feats = out.column("features").to_pylist()
+    assert all(len(f) == 16 for f in feats)
+    # deterministic
+    out2 = MediaDecoder(mode=DETERMINISTIC_FAKE, dim=16)(media)
+    assert out.equals(out2)
+    # video frame sampling stub
+    kinds = out.column("kind").to_pylist()
+    frames = out.column("n_frames").to_pylist()
+    for k, f in zip(kinds, frames):
+        assert f >= 1 and (k == "video" or f == 1)
+
+
+def test_media_raise_mode():
+    media = synthesize_media_payloads(["media://x"])
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(mode=RAISE)(media)
+
+
+def test_ann_brute_vs_ivf(ray_session):
+    import ray.data as rd
+
+    from sassy_ray.functions.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    n, d = 400, 16
+    M = rng.standard_normal((n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(M.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    q = M[7][None, :]
+    ids_b, sims_b = brute_force_topk(ds, q, k=5)
+    assert ids_b[0][0] == 7 and sims_b[0][0] > 0.999
+    ids_i, sims_i = ivf_topk(ds, q, k=5, n_centroids=8, nprobe=4)
+    # IVF must at least find the identical vector and mostly agree
+    assert ids_i[0][0] == 7
+    assert len(set(ids_b[0]) & set(ids_i[0])) >= 3
