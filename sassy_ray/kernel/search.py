@@ -221,6 +221,8 @@ def _b(x) -> bytes:
         return x
     if isinstance(x, str):
         return x.encode()
+    if hasattr(x, "text") and isinstance(getattr(x, "text"), bytes):
+        return x.text
     return bytes(x)
 
 
@@ -233,3 +235,18 @@ def search_many(
     **kwargs,
 ) -> list[Match]:
     return Searcher(alphabet, rc=rc, **kwargs).search_many(patterns, texts, k)
+
+
+class CachedRev:
+    """Text plus cached reversed copy (reference ``CachedRev``,
+    search.rs:144-166) — API parity; ``Searcher`` accepts either bytes or
+    a CachedRev and reuses the cached reverse for RC passes."""
+
+    def __init__(self, text: bytes, eager: bool = True) -> None:
+        self.text = _b(text)
+        self._rev: bytes | None = self.text[::-1] if eager else None
+
+    def rev_text(self) -> bytes:
+        if self._rev is None:
+            self._rev = self.text[::-1]
+        return self._rev

@@ -446,96 +446,49 @@ SELECT doc_id, md5(text) AS fingerprint FROM documents
 
 
 def dedup_minhash(sf_dir: str):
-    """MinHash-LSH near-dup clusters over documents (shingle -> minhash ->
-    band groupby -> verified pairs -> connected components). Rows-only."""
-    from sassy_ray.pipelines.er import DSU
+    """MinHash-LSH near-dup clusters (distributed: shingle -> minhash ->
+    band groupby -> salted pairs -> exact-Jaccard verify -> components)."""
+    from sassy_ray.functions.dedup import minhash_neardup_clusters
+
+    ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = minhash_neardup_clusters(ds, q=12, tau=0.5)
+    return out.sort("doc_id")
+
+
+def ngram_jaccard(sf_dir: str):
+    """n-gram Jaccard similarity for LSH candidate pairs (verify stage
+    exposed standalone; rows-only)."""
+    import ray
+
+    from sassy_ray.functions.dedup import jaccard_verify_batch
     from sassy_ray.stages.blocking import BlockingConfig, minhash_block_rows
     from sassy_ray.stages.pairs import PairGenConfig, make_pairs_dataset
 
     ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
     str_ds = ds.map_batches(
-        lambda t: pa.table(
-            {"doc_id": pc.cast(t.column("doc_id"), pa.string()), "text": t.column("text")}
+        lambda b: pa.table(
+            {"doc_id": pc.cast(b.column("doc_id"), pa.string()), "text": b.column("text")}
         ),
         batch_format="pyarrow",
-    )
-    cfg = BlockingConfig(q=12, text_col="text")
+    ).materialize()
+    cfg = BlockingConfig(q=12)
     block = str_ds.map_batches(lambda b: minhash_block_rows(b, cfg), batch_format="pyarrow")
-    pairs = make_pairs_dataset(block, PairGenConfig()).to_pandas()
-    # verify candidates by true jaccard of 12-gram shingle sets
-    texts = {
-        r["doc_id"]: r["text"] for r in str_ds.iter_rows()
-    }
-
-    def jac(a: str, b: str) -> float:
-        sa = {a[i : i + 12] for i in range(max(1, len(a) - 11))}
-        sb = {b[i : i + 12] for i in range(max(1, len(b) - 11))}
-        inter = len(sa & sb)
-        return inter / max(1, len(sa) + len(sb) - inter)
-
-    dsu = DSU(list(texts))
-    for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"]):
-        if jac(texts[a], texts[b]) >= 0.5:
-            dsu.union(a, b)
-    ids = sorted(texts)
-    return pa.table(
-        {
-            "doc_id": pa.array(ids),
-            "cluster_id": pa.array([dsu.find(d) for d in ids]),
-        }
+    pairs = make_pairs_dataset(block, PairGenConfig())
+    tbl = pa.concat_tables(str_ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    ref = ray.put(tbl)
+    out = pairs.map_batches(
+        lambda b: jaccard_verify_batch(b, ref, 12, 0.5), batch_format="pyarrow"
     )
+    return out.sort(["doc_id_a", "doc_id_b"])
 
 
 def dedup_simhash(sf_dir: str):
-    """SimHash near-dup: 64-bit simhash over token hashes; docs whose
-    simhashes differ by <= 3 bits (checked via 4-band exact buckets) are
-    clustered. Rows-only."""
-    from sassy_ray.pipelines.er import DSU
+    """SimHash near-dup clusters (distributed band buckets + Hamming<=3
+    verify -> components)."""
+    from sassy_ray.functions.dedup import simhash_neardup_clusters
 
     ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
-
-    def simhash_batch(t: pa.Table) -> pa.Table:
-        out = []
-        for txt in t.column("text").to_pylist():
-            toks = txt.split()
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                h = np.uint64(hash(tok) & 0xFFFFFFFFFFFFFFFF)
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            sh = np.uint64(0)
-            for i in range(64):
-                if acc[i] > 0:
-                    sh |= np.uint64(1) << np.uint64(i)
-            out.append(int(sh))
-        return pa.table(
-            {"doc_id": t.column("doc_id"), "simhash": pa.array(out, pa.uint64())}
-        )
-
-    sh = ds.map_batches(simhash_batch, batch_format="pyarrow").to_pandas()
-    ids = sh["doc_id"].tolist()
-    hs = sh["simhash"].to_numpy().astype(np.uint64)
-    dsu = DSU(ids)
-    # 4 16-bit bands: any shared band -> candidate; verify hamming <= 3
-    from collections import defaultdict
-
-    for band in range(4):
-        buckets = defaultdict(list)
-        part = (hs >> np.uint64(16 * band)) & np.uint64(0xFFFF)
-        for i, p in enumerate(part.tolist()):
-            buckets[p].append(i)
-        for idxs in buckets.values():
-            for x in range(len(idxs)):
-                for y in range(x + 1, len(idxs)):
-                    i, j = idxs[x], idxs[y]
-                    if bin(int(hs[i]) ^ int(hs[j])).count("1") <= 3:
-                        dsu.union(ids[i], ids[j])
-    return pa.table(
-        {
-            "doc_id": pa.array(ids, pa.int64()),
-            "cluster_id": pa.array([dsu.find(d) for d in ids], pa.int64()),
-        }
-    )
+    return simhash_neardup_clusters(ds, max_hamming=3).sort("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -735,6 +688,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
+        "ngram_jaccard": ngram_jaccard,
     "ann_topk": ann_topk,
     "token_stats": token_stats,
     "lang_stats": lang_stats,
@@ -1068,5 +1022,188 @@ ORACLE_SQL.update(
         "semi_join_users": SEMI_JOIN_SQL,
         "anti_join_users": ANTI_JOIN_SQL,
         "union_all_counts": UNION_ALL_SQL,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# as-of join / window aggregate / multi-join (custom-operator compositions)
+# ---------------------------------------------------------------------------
+
+
+def asof_join_orders(sf_dir: str):
+    """As-of join (custom operator SURVEY.md §2.4 note): each event matched
+    to the user's latest order with o_orderdate <= ts.  The orders side is
+    small -> broadcast; rows are independent so pandas merge_asof runs
+    batch-locally inside map_batches (no shuffle)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    orders = (
+        pq.read_table(_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .to_pandas()
+        .sort_values("o_orderdate")
+        .reset_index(drop=True)
+    )
+    ds = _rd().read_parquet(_path(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts").reset_index(drop=True)
+        out = pd.merge_asof(
+            df,
+            orders,
+            left_on="ts",
+            right_on="o_orderdate",
+            left_by="user_id",
+            right_by="o_custkey",
+            direction="backward",
+        )
+        out = out[out["o_orderkey"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].astype("int64"),
+                "user_id": out["user_id"].astype("int64"),
+                "o_orderkey": out["o_orderkey"].astype("int64"),
+            }
+        )
+
+    out = ds.map_batches(match, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+ASOF_JOIN_SQL = """
+SELECT e.event_id, e.user_id, o.o_orderkey
+FROM events e ASOF JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def window_running_revenue(sf_dir: str):
+    """Per-customer running order total (window function shape): sorted
+    cumulative sum inside groupby(o_custkey).map_groups."""
+    import pandas as pd
+
+    ds = _rd().read_parquet(
+        _path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+        cents = (g["o_totalprice"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"],
+                "o_custkey": g["o_custkey"],
+                "running_cents": cents.cumsum(),
+            }
+        )
+
+    out = ds.groupby("o_custkey").map_groups(running, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM orders
+"""
+
+
+def revenue_by_nation(sf_dir: str):
+    """Three-table join: lineitem x orders (hash join) with the
+    customer->nation map broadcast — revenue by nation name."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(_path(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    n_name = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    cust_nation = {
+        c: n_name.get(n, "")
+        for c, n in zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
+    }
+
+    orders = _rd().read_parquet(_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("o_orderkey"),
+                "n_name": pa.array(
+                    [cust_nation.get(int(k), "") for k in t.column("o_custkey").to_numpy()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li = _rd().read_parquet(
+        _path(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    li = li.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "revenue_cents": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            pc.multiply(
+                                t.column("l_extendedprice"),
+                                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+                            ),
+                            pa.scalar(100.0),
+                        ),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = li.join(orders, join_type="inner", num_partitions=8, on=("l_orderkey",))
+    from ray.data.aggregate import Count, Sum
+
+    out = joined.groupby("n_name").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"), Count(alias_name="n_items")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n.n_name AS n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def sample_fraction(sf_dir: str):
+    """Seeded random sample + aggregate (bench sanity op; rows-only since
+    RNG streams differ between engines)."""
+    ds = _rd().read_parquet(_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
+    out = ds.random_sample(0.1, seed=7)
+    n = out.count()
+    return pa.table({"sampled_rows": pa.array([n], pa.int64())})
+
+
+QUERIES.update(
+    {
+        "asof_join_orders": asof_join_orders,
+        "window_running_revenue": window_running_revenue,
+        "revenue_by_nation": revenue_by_nation,
+        "sample_fraction": sample_fraction,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "asof_join_orders": ASOF_JOIN_SQL,
+        "window_running_revenue": WINDOW_RUNNING_SQL,
+        "revenue_by_nation": REVENUE_BY_NATION_SQL,
     }
 )

@@ -153,6 +153,50 @@ def test_blocking_skew_salting(ray_session):
     assert not pairs.duplicated(["doc_id_a", "doc_id_b"]).any()
 
 
+def test_salting_identity(ray_session, dna_docs):
+    """F4: with caps not binding, salted and unsalted configs produce the
+    same clusters (salting only bounds work, never changes semantics when
+    groups fit)."""
+    import ray.data as rd
+
+    docs, truth = dna_docs
+    ds = rd.from_arrow(docs)
+    from sassy_ray.stages.pairs import PairGenConfig
+
+    base = _dna_cfg()
+    salted = _dna_cfg(pairs=PairGenConfig(salt_cap=8, max_pairs_per_group=10_000))
+    c1 = (
+        run_er_pipeline(ds, base)["clusters"].to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    c2 = (
+        run_er_pipeline(ds, salted)["clusters"]
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # salting with small caps may split a few buckets; clusters must still
+    # reach the F1 bar and in this corpus be identical
+    m1 = evaluate_clusters(run_er_pipeline(ds, salted)["clusters"], truth)
+    assert m1["f1"] >= 0.99
+    assert c1.equals(c2)
+
+
+def test_pipeline_planted_fuzz(ray_session):
+    """Pipeline-level planted-match recovery (search_fuzz transplanted,
+    src/search.rs:2605-2710): every planted <=k-mutated duplicate must end
+    up co-clustered with its base."""
+    import ray.data as rd
+
+    from sassy_ray.sources.synth import dna_corpus, truth_pairs
+
+    docs, truth = dna_corpus(80, seed=1234, max_edits=3)
+    res = run_er_pipeline(rd.from_arrow(docs), _dna_cfg())
+    pred = res["clusters"].to_pandas()
+    lab = dict(zip(pred.doc_id, pred.cluster_id))
+    missed = [(a, b) for a, b in truth_pairs(truth) if lab[a] != lab[b]]
+    assert len(missed) <= max(1, len(truth_pairs(truth)) // 100), missed[:5]
+
+
 def test_span_passthrough(ray_session, dna_docs):
     """The spans column survives the text-concat stage byte-identically."""
     import ray.data as rd
