@@ -77,7 +77,7 @@ def run_bench() -> dict:
 
     sc = max(2, NUM_CPUS - 2)
     cfg = ERConfig(
-        blocking=BlockingConfig(q=12),
+        blocking=BlockingConfig(q=12, bands=8, num_perm=16),
         score=ScoreConfig(profile="ascii_ci", k_min=3, rel_k=0.03, lowercase=True),
         score_concurrency=sc,
         score_batch_size=2048,
@@ -127,7 +127,7 @@ def run_scaling() -> None:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        env.setdefault("GRAFT_BENCH_REPLICAS", "4")
+        env.setdefault("GRAFT_BENCH_REPLICAS", "6")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -278,11 +278,94 @@ def batch_best_costs(
     if not patterns:
         return np.zeros(0, dtype=np.int32)
     if alpha is None:
-        best = _batch_min_costs(patterns, texts, profile)
+        if max(len(p) for p in patterns) > 64:
+            best = _batch_min_costs_skewed(patterns, texts, profile)
+        else:
+            best = _batch_min_costs(patterns, texts, profile)
     else:
         costs, _n, max_pos = batch_end_costs(patterns, texts, profile, k, alpha, max_overhang)
         best = costs.min(axis=1)
     return np.minimum(best, k + 1).astype(np.int32)
+
+
+def _batch_min_costs_skewed(patterns: list[bytes], texts: list[bytes], profile: Profile) -> np.ndarray:
+    """Wavefront-skewed multi-limb variant of ``_batch_min_costs``.
+
+    The intra-step limb carry chain (hout of limb l feeds hin of limb l+1)
+    is strictly sequential *within* a text position — but limb l can process
+    position ``t`` while limb l+1 still processes ``t-1``.  Skewing time by
+    the limb index turns the per-limb Python loop into one vectorized op
+    over all active limbs per step: limb l at skewed step ``s`` handles text
+    position ``s - l``, taking its horizontal input from limb l-1's output
+    of step ``s-1`` (same text position).  ~L times fewer NumPy calls for
+    L-limb patterns.
+    """
+    B = len(patterns)
+    txt, n_arr = _pad_texts(texts)
+    present = np.zeros(256, dtype=bool)
+    present[txt.reshape(-1)] = True
+    alphabet = _ALL_BYTES[present]
+    lut = np.zeros(256, dtype=np.intp)
+    lut[alphabet] = np.arange(len(alphabet))
+    txt = lut[txt]
+    peq, m_arr, L = build_peq(patterns, profile, alphabet)
+    steps = int(n_arr.max()) if B else 0
+    if steps == 0:
+        return m_arr.astype(np.int64).copy()
+
+    pv0 = _pack_bits_u64(np.ones(L * 64, dtype=bool)[None, :])[0]
+    Pv = np.broadcast_to(pv0, (B, L)).copy()
+    Mv = np.zeros((B, L), dtype=np.uint64)
+    score = m_arr.astype(np.int64).copy()
+    best = score.copy()
+
+    last_limb = (np.maximum(m_arr - 1, 0) // 64).astype(np.int64)
+    score_shift = ((m_arr - 1) % 64).astype(np.uint64)
+    bidx = np.arange(B)
+    hin_pos = np.zeros((B, L), dtype=np.uint64)
+    hin_neg = np.zeros((B, L), dtype=np.uint64)
+    limb_ids = np.arange(L)
+
+    for s in range(steps + L - 1):
+        lo = max(0, s - steps + 1)
+        hi = min(L - 1, s)
+        sl = slice(lo, hi + 1)
+        lids = limb_ids[sl]
+        t_of_l = s - lids  # (w,) text position per active limb
+        codes = txt[:, t_of_l]  # (B, w)
+        Eq = peq[bidx[:, None], codes, lids[None, :]]
+        Pvl = Pv[:, sl]
+        Mvl = Mv[:, sl]
+        hn = hin_neg[:, sl]
+        hp = hin_pos[:, sl]
+        Xv = Eq | Mvl
+        Eqh = Eq | hn
+        Xh = (((Eqh & Pvl) + Pvl) ^ Pvl) | Eqh
+        Ph = Mvl | ~(Xh | Pvl)
+        Mh = Pvl & Xh
+        # score update: pair b advances when its LAST limb processes a
+        # valid position t = s - last_limb[b] in [0, n_b)
+        col = last_limb - lo
+        in_win = (last_limb >= lo) & (last_limb <= hi)
+        t_b = s - last_limb
+        valid = in_win & (t_b >= 0) & (t_b < n_arr)
+        cc = np.clip(col, 0, hi - lo)
+        ph_bit = ((Ph[bidx, cc] >> score_shift) & _ONE).view(np.int64)
+        mh_bit = ((Mh[bidx, cc] >> score_shift) & _ONE).view(np.int64)
+        score += np.where(valid, ph_bit - mh_bit, 0)
+        np.minimum(best, np.where(valid, score, best), out=best)
+        hout_pos = Ph >> _SIX3
+        hout_neg = Mh >> _SIX3
+        Ph = (Ph << _ONE) | hp
+        Mh = (Mh << _ONE) | hn
+        Pv[:, sl] = Mh | ~(Xv | Ph)
+        Mv[:, sl] = Ph & Xv
+        # propagate carries to the next limb for the next skewed step
+        nhi = min(hi + 1, L - 1)
+        if nhi >= lo + 1:
+            hin_pos[:, lo + 1 : nhi + 1] = hout_pos[:, : nhi - lo]
+            hin_neg[:, lo + 1 : nhi + 1] = hout_neg[:, : nhi - lo]
+    return best
 
 
 def _batch_min_costs(patterns: list[bytes], texts: list[bytes], profile: Profile) -> np.ndarray:

@@ -129,22 +129,22 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
     # --- scoring ----------------------------------------------------------
     scorer_kwargs: dict = {"cfg": cfg.score}
     if cfg.text_mode == "broadcast":
-        # broadcast as an Arrow table: zero-copy plasma reads; workers build
-        # their dict once (scoring._resolve_docs cache).  Normalization
-        # (lowercase) happens once here, not per scored pair.
-        tbl = pa.concat_tables(
-            texts_ds.select_columns(["doc_id", "text"]).iter_batches(
-                batch_size=65536, batch_format="pyarrow"
-            )
-        )
+        # broadcast the id->text side as the already-materialized Arrow block
+        # refs — no driver-side copy; workers concat zero-copy from plasma
+        # and build their dict once (scoring._resolve_docs cache).
+        # Normalization (lowercase) happens in parallel, not per scored pair.
+        proj = texts_ds.select_columns(["doc_id", "text"])
         if cfg.score.lowercase:
             import pyarrow.compute as pc
 
-            tbl = tbl.set_column(
-                tbl.column_names.index("text"), "text", pc.utf8_lower(tbl.column("text"))
+            proj = proj.map_batches(
+                lambda b: pa.table(
+                    {"doc_id": b.column("doc_id"), "text": pc.utf8_lower(b.column("text"))}
+                ),
+                batch_format="pyarrow",
             )
             scorer_kwargs["pre_lowercased"] = True
-        scorer_kwargs["docs_ref"] = ray.put(tbl)
+        scorer_kwargs["docs_ref"] = proj.materialize().to_arrow_refs()
         join_input = pairs_ds
     elif cfg.text_mode == "join":
         txt = texts_ds.select_columns(["doc_id", "text"])

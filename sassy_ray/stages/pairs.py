@@ -43,7 +43,7 @@ class PairGenConfig:
         return f"pairs(cap={self.salt_cap},maxp={self.max_pairs_per_group})"
 
 
-def _emit_group_pairs(ids: list[str], cfg: PairGenConfig, a_out: list[str], b_out: list[str]) -> None:
+def _emit_group_pairs(ids: list[str], cfg: PairGenConfig, a_out: list, b_out: list) -> None:
     n = len(ids)
     if n < 2:
         return
@@ -53,18 +53,21 @@ def _emit_group_pairs(ids: list[str], cfg: PairGenConfig, a_out: list[str], b_ou
         for d in ids:
             buckets[zlib.crc32(d.encode()) % n_buckets].append(d)
     else:
-        buckets = [sorted(ids)]
+        buckets = [ids]
     budget = cfg.max_pairs_per_group
     for bucket in buckets:
-        bucket.sort()
+        if budget <= 0:
+            return
+        bucket = np.sort(np.asarray(bucket, dtype=object))
         m = len(bucket)
-        for i in range(m):
-            for j in range(i + 1, m):
-                if budget <= 0:
-                    return
-                a_out.append(bucket[i])
-                b_out.append(bucket[j])
-                budget -= 1
+        if m < 2:
+            continue
+        iu, ju = np.triu_indices(m, 1)
+        if len(iu) > budget:
+            iu, ju = iu[:budget], ju[:budget]
+        a_out.append(bucket[iu])
+        b_out.append(bucket[ju])
+        budget -= len(iu)
 
 
 def make_pairs_dataset(block_rows_ds, cfg: PairGenConfig):
@@ -80,15 +83,18 @@ def make_pairs_dataset(block_rows_ds, cfg: PairGenConfig):
     grouped = block_rows_ds.groupby("block_key").aggregate(Unique("doc_id"))
 
     def emit(batch: pd.DataFrame) -> pd.DataFrame:
-        a_out: list[str] = []
-        b_out: list[str] = []
+        a_out: list = []
+        b_out: list = []
         for ids in batch["unique(doc_id)"]:
-            ids = list(ids)
-            _emit_group_pairs(ids, cfg, a_out, b_out)
+            _emit_group_pairs(list(ids), cfg, a_out, b_out)
+        if not a_out:
+            return pd.DataFrame(
+                {"doc_id_a": pd.Series(dtype=str), "doc_id_b": pd.Series(dtype=str)}
+            )
         return pd.DataFrame(
             {
-                "doc_id_a": pd.Series(a_out, dtype=str),
-                "doc_id_b": pd.Series(b_out, dtype=str),
+                "doc_id_a": np.concatenate(a_out),
+                "doc_id_b": np.concatenate(b_out),
             }
         )
 

@@ -55,24 +55,36 @@ class ScoreConfig:
 _BCAST_CACHE: dict[str, dict] = {}
 
 
+def _tbl_to_dict(obj: pa.Table) -> dict[str, bytes]:
+    return dict(
+        zip(
+            obj.column("doc_id").to_pylist(),
+            (t.encode() for t in obj.column("text").to_pylist()),
+        )
+    )
+
+
 def _resolve_docs(docs_ref) -> dict[str, bytes]:
     if isinstance(docs_ref, dict):
         return docs_ref
-    key = docs_ref.hex() if hasattr(docs_ref, "hex") else str(id(docs_ref))
+    if isinstance(docs_ref, list):  # list of block ObjectRefs (to_arrow_refs)
+        key = "|".join(r.hex() for r in docs_ref[:4]) + f":{len(docs_ref)}"
+    else:
+        key = docs_ref.hex() if hasattr(docs_ref, "hex") else str(id(docs_ref))
     hit = _BCAST_CACHE.get(key)
     if hit is None:
         import ray
 
-        obj = ray.get(docs_ref)
-        if isinstance(obj, pa.Table):
-            obj = dict(
-                zip(
-                    obj.column("doc_id").to_pylist(),
-                    (t.encode() for t in obj.column("text").to_pylist()),
-                )
-            )
+        if isinstance(docs_ref, list):
+            blocks = ray.get(docs_ref)
+            hit = {}
+            for b in blocks:
+                hit.update(_tbl_to_dict(b))
+        else:
+            obj = ray.get(docs_ref)
+            hit = _tbl_to_dict(obj) if isinstance(obj, pa.Table) else obj
         _BCAST_CACHE.clear()
-        _BCAST_CACHE[key] = hit = obj
+        _BCAST_CACHE[key] = hit
     return hit
 
 
