@@ -238,6 +238,17 @@ def batch_find_minima(
     into a regular increase transition.
     """
     B, W = costs.shape
+    # sparse fast path: rows with no position <= k can't emit anything —
+    # in search workloads that's most rows; restrict the dense walk to the
+    # candidate rows only
+    ok_any = (costs <= k).any(axis=1)
+    if not ok_any.all():
+        rows = np.nonzero(ok_any)[0]
+        if len(rows) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, np.zeros(0, dtype=np.int32)
+        pi, pp, pc_ = batch_find_minima(costs[rows], max_pos[rows], k, all_minima)
+        return rows[pi], pp, pc_
     valid = np.arange(W)[None, :] <= max_pos[:, None]
     ok = costs <= k
     if all_minima:

@@ -250,3 +250,104 @@ class CachedRev:
         if self._rev is None:
             self._rev = self.text[::-1]
         return self._rev
+
+
+# ---------------------------------------------------------------------------
+# chunked long-text search (the reference's text-tiling, SURVEY §2.9.1 + D1)
+# ---------------------------------------------------------------------------
+
+# texts longer than this are split into overlapping chunks scored as batch
+# rows — the batch axis replaces sassy v1's SIMD lanes; overlap = m+k so
+# every owned end position has full alignment context, dedup = disjoint
+# ownership of end positions (src/search.rs:1016-1049,1201-1240 semantics)
+CHUNK_LEN = 2048
+
+
+def _chunk_strand(searcher, pattern: bytes, texts: list[bytes], k: int, strand: str, chunk_len: int):
+    """One-strand chunked scan; returns per-text matches in strand-local
+    coords.  Chunk c owns end positions (overlap, chunk_len] (first chunk
+    owns from 0) — ranges are disjoint, so no dedup pass is needed."""
+    m = len(pattern)
+    overlap = m + k
+    chunks: list[bytes] = []
+    owner: list[tuple[int, int, bool]] = []  # (text_idx, chunk_start, is_first)
+    for ti, t in enumerate(texts):
+        if len(t) <= chunk_len:
+            chunks.append(t)
+            owner.append((ti, 0, True))
+            continue
+        start = 0
+        while True:
+            end = min(len(t), start + chunk_len)
+            chunks.append(t[start:end])
+            owner.append((ti, start, start == 0))
+            if end == len(t):
+                break
+            start = end - overlap
+    res = searcher._strand_matches([pattern] * len(chunks), chunks, k, False, strand)
+    out: list[list[Match]] = [[] for _ in texts]
+    for (ti, cstart, is_first), ms in zip(owner, res):
+        for mm in ms:
+            if not is_first and (mm.text_end if mm.text_end != UNSET else 0) <= overlap:
+                continue
+            if mm.text_start != UNSET:
+                mm.text_start += cstart
+            if mm.text_end != UNSET:
+                mm.text_end += cstart
+            out[ti].append(mm)
+    return out
+
+
+def chunked_search(
+    searcher: Searcher, pattern: bytes, texts: list[bytes], k: int, chunk_len: int = CHUNK_LEN
+) -> list[list[Match]]:
+    """Per text, local-minima matches of ``pattern``; long texts are scored
+    as many overlapping chunk rows in ONE kernel batch (10-20x faster than
+    a single long row, which the batch kernel cannot parallelize over).
+
+    Equals the unchunked search except the reference's own lane-boundary
+    artifact: a cost plateau longer than ``m+k`` can shift one local
+    minimum at a chunk seam (sassy's lanes restart their walk state the
+    same way).  ``filter_fn`` is not supported here (it would see chunk
+    prefixes, not text prefixes).
+    """
+    pattern = _b(pattern)
+    texts = [_b(t) for t in texts]
+    m = len(pattern)
+    if chunk_len <= 2 * (m + k):
+        chunk_len = 2 * (m + k) + 64
+
+    out = _chunk_strand(searcher, pattern, texts, k, FWD, chunk_len)
+    if searcher.rc:
+        comp = searcher.profile.complement(pattern)
+        rev = [t[::-1] for t in texts]
+        rc = _chunk_strand(searcher, comp, rev, k, RC, chunk_len)
+        for ti, ms in enumerate(rc):
+            n = len(texts[ti])
+            for mm in ms:
+                sgn, e = mm.text_start, mm.text_end
+                mm.text_start = n - e if e != UNSET else UNSET
+                if searcher.without_trace:
+                    mm.text_end = UNSET
+                else:
+                    mm.text_end = n - sgn
+            out[ti] = out[ti] + ms
+    if searcher.only_best:
+        for ti in range(len(out)):
+            if out[ti]:
+                n = len(texts[ti])
+
+                # per strand: min cost, rightmost STRAND-LOCAL end
+                # (search.rs:1392-1455; for RC the local end is n - text_start)
+                def local_end(mm: Match) -> int:
+                    if mm.strand == FWD:
+                        return mm.text_end if mm.text_end != UNSET else 0
+                    return n - mm.text_start if mm.text_start != UNSET else 0
+
+                best: dict[str, Match] = {}
+                for mm in out[ti]:
+                    cur = best.get(mm.strand)
+                    if cur is None or (mm.cost, -local_end(mm)) < (cur.cost, -local_end(cur)):
+                        best[mm.strand] = mm
+                out[ti] = [best[s2] for s2 in sorted(best)]
+    return out

@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from sassy_ray.functions.matches import matches_to_table
-from sassy_ray.kernel.search import Searcher
+from sassy_ray.kernel.search import CHUNK_LEN, Searcher, chunked_search
 
 __all__ = ["GrepConfig", "run_grep", "grep_matches_batch"]
 
@@ -75,7 +75,17 @@ def grep_matches_batch(
     ids = [str(x) for x in batch.column(id_col).to_pylist()]
     seqs = [(t or "").encode() for t in batch.column(text_col).to_pylist()]
     pat_seqs = [s for _, s in cfg.patterns]
-    if cfg.all_minima:
+    long_texts = max((len(t) for t in seqs), default=0) > 2 * CHUNK_LEN
+    if long_texts and not cfg.all_minima:
+        # genome-scale texts: overlapping-chunk scan (kernel/search.py
+        # chunked_search) — one batched kernel call per pattern
+        rows = []
+        for pi, pseq in enumerate(pat_seqs):
+            per_text = chunked_search(searcher, pseq, seqs, cfg.k)
+            for ti, ms in enumerate(per_text):
+                for m in ms:
+                    rows.append((cfg.patterns[pi][0], ids[ti], seqs[ti], m))
+    elif cfg.all_minima:
         rows = []
         for ti, seq in enumerate(seqs):
             for pi, pseq in enumerate(pat_seqs):

@@ -131,3 +131,29 @@ def test_aa_no_leading_trailing_deletions(rc):
             assert not m.cigar.endswith("D"), m.cigar
             # leading deletion would be '1D...' at cigar start
             assert not (m.cigar[0] == "1" and m.cigar[1] == "D"), m.cigar
+
+
+def test_chunked_search_matches_unchunked():
+    """Long-text chunked scan (sassy v1 text-tiling) == plain search."""
+    import random
+
+    from sassy_ray.kernel.search import chunked_search
+
+    rng = random.Random(31)
+    for trial in range(8):
+        rc = trial % 2 == 0
+        s = Searcher("dna", rc=rc)
+        m = rng.randrange(10, 40)
+        pat = "".join(rng.choice("ACGT") for _ in range(m)).encode()
+        n = rng.randrange(3000, 12000)
+        t = list("".join(rng.choice("ACGT") for _ in range(n)))
+        for _ in range(3):  # plant mutated copies
+            p2 = list(pat.decode())
+            p2[rng.randrange(len(p2))] = rng.choice("ACGT")
+            pos = rng.randrange(0, n - m)
+            t[pos : pos + m] = p2
+        text = "".join(t).encode()
+        k = rng.randrange(1, 4)
+        want = sorted(x.key() for x in s.search(pat, text, k))
+        got = sorted(x.key() for x in chunked_search(s, pat, [text], k, chunk_len=701)[0])
+        assert got == want, f"trial {trial}"
