@@ -1042,6 +1042,10 @@ def asof_join_orders(sf_dir: str):
     orders = (
         pq.read_table(_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
         .to_pandas()
+        # ties on (custkey, orderdate) make the as-of ambiguous; keep the
+        # max orderkey per date (mirrored in the SQL oracle)
+        .groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"]
+        .max()
         .sort_values("o_orderdate")
         .reset_index(drop=True)
     )
@@ -1072,8 +1076,12 @@ def asof_join_orders(sf_dir: str):
 
 
 ASOF_JOIN_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
 SELECT e.event_id, e.user_id, o.o_orderkey
-FROM events e ASOF JOIN orders o
+FROM events e ASOF JOIN o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """
 
