@@ -208,7 +208,33 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
     if resumed:
         stats["resumed_stages"].append("clusters")
 
-    return {"clusters": clusters, "scored": scored, "pairs": pairs_ds, "stats": stats}
+    def labeled_docs():
+        """Docs with cluster_id attached and the spans column passed through
+        BYTE-IDENTICALLY (the per-row invariant: kind, text, media_ref,
+        order preserved — BASELINE.json input_hint).  Broadcast the small
+        label map; no shuffle touches the wide rows."""
+        lab_tbl = pa.concat_tables(
+            clusters.iter_batches(batch_size=65536, batch_format="pyarrow")
+        )
+        lab_ref = ray.put(lab_tbl)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            lt = ray.get(lab_ref)
+            lut = dict(zip(lt.column("doc_id").to_pylist(), lt.column("cluster_id").to_pylist()))
+            ids = batch.column("doc_id").to_pylist()
+            return batch.append_column(
+                "cluster_id", pa.array([lut.get(d, d) for d in ids], pa.string())
+            )
+
+        return docs_ds.map_batches(attach, batch_format="pyarrow")
+
+    return {
+        "clusters": clusters,
+        "scored": scored,
+        "pairs": pairs_ds,
+        "stats": stats,
+        "labeled_docs": labeled_docs,
+    }
 
 
 class DSU:

@@ -197,6 +197,23 @@ def test_pipeline_planted_fuzz(ray_session):
     assert len(missed) <= max(1, len(truth_pairs(truth)) // 100), missed[:5]
 
 
+def test_labeled_docs_span_invariant(ray_session, dna_docs):
+    """The flagship output with spans attached preserves the exact span
+    sequence (kind, text, media_ref, offset, order) per row."""
+    import numpy as np
+    import ray.data as rd
+
+    docs, _ = dna_docs
+    res = run_er_pipeline(rd.from_arrow(docs), _dna_cfg())
+    out = res["labeled_docs"]()
+    batches = list(out.iter_batches(batch_size=100_000, batch_format="pyarrow"))
+    got = pa.concat_tables(batches).sort_by("doc_id")
+    assert "cluster_id" in got.column_names
+    want_fp = spans_fingerprint(docs.sort_by("doc_id"))
+    got_fp = spans_fingerprint(got)
+    np.testing.assert_array_equal(want_fp, got_fp)
+
+
 def test_span_passthrough(ray_session, dna_docs):
     """The spans column survives the text-concat stage byte-identically."""
     import ray.data as rd
