@@ -76,18 +76,16 @@ def dp_matrix(
     if n == 0 or m == 0:
         return D
     match_row = profile.match_matrix[p[:, None], t[None, :]]  # (m, n)
+    idx = np.arange(n + 1, dtype=np.int32)
     for j in range(1, m + 1):
         sub = D[j - 1, :-1] + np.where(match_row[j - 1], 0, 1)
-        # row-wise sequential min with the horizontal dependency
         row = np.minimum(sub, D[j - 1, 1:] + 1)
-        prev = D[j, 0]
-        out = D[j]
-        for i in range(1, n + 1):
-            v = row[i - 1]
-            if prev + 1 < v:
-                v = prev + 1
-            out[i] = v
-            prev = v
+        # the horizontal dependency D[j][i] = min(row[i-1], D[j][i-1]+1)
+        # unrolls to D[j][i] = i + min_{h<=i}(w[h] - h)  (prefix-min)
+        w = np.empty(n + 1, dtype=np.int32)
+        w[0] = D[j, 0]
+        w[1:] = row
+        D[j] = idx + np.minimum.accumulate(w - idx)
     return D
 
 

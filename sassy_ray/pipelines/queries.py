@@ -645,6 +645,31 @@ def er_match_edges(sf_dir: str):
     return res["scored"].sort(["doc_id_a", "doc_id_b"])
 
 
+def er_match_alignments(sf_dir: str):
+    """ER scored edges WITH full match coordinates (text_start/end, strand,
+    cigar) — sassy Match parity for the matched pairs (rows-only)."""
+    import pyarrow.parquet as pq
+
+    from sassy_ray.pipelines.er import ERConfig, run_er_pipeline
+    from sassy_ray.sources.synth import interleave_flat_documents
+    from sassy_ray.stages.blocking import BlockingConfig
+    from sassy_ray.stages.scoring import ScoreConfig
+
+    flat = pq.read_table(_path(sf_dir, "documents"))
+    docs, _truth = interleave_flat_documents(flat, seed=7)
+    cfg = ERConfig(
+        blocking=BlockingConfig(q=12),
+        score=ScoreConfig(
+            profile="ascii_ci", k_min=3, rel_k=0.03, lowercase=True, emit_matches=True
+        ),
+    )
+    res = run_er_pipeline(_rd().from_arrow(docs), cfg)
+    matched = res["scored"].map_batches(
+        lambda b: b.filter(b.column("is_match")), batch_format="pyarrow"
+    )
+    return matched.sort(["doc_id_a", "doc_id_b"])
+
+
 def er_clusters_dna(sf_dir: str):
     """ER pipeline over the DNA corpus (RC + overhang duplicate cases);
     corpus size scales with the sf documents table."""
@@ -695,6 +720,7 @@ QUERIES = {
     "er_clusters": er_clusters,
     "er_match_edges": er_match_edges,
     "er_clusters_dna": er_clusters_dna,
+    "er_match_alignments": er_match_alignments,
 }
 
 ORACLE_SQL = {

@@ -38,15 +38,20 @@ class ScoreConfig:
         rel_k: float = 0.12,
         rc: bool = False,
         lowercase: bool = False,
+        emit_matches: bool = False,
     ) -> None:
         self.profile = profile
         self.k_min = k_min
         self.rel_k = rel_k
         self.rc = rc
         self.lowercase = lowercase
+        # emit_matches: also trace the best match (coords + cigar) for
+        # matched pairs — opt-in, traceback costs ~ms per matched pair
+        self.emit_matches = emit_matches
 
     def fingerprint(self) -> str:
-        return f"score({self.profile},k_min={self.k_min},rel_k={self.rel_k},rc={self.rc})"
+        return (f"score({self.profile},k_min={self.k_min},rel_k={self.rel_k},"
+                f"rc={self.rc},em={self.emit_matches})")
 
 
 # per-worker cache of the deserialized broadcast lookup: plasma zero-copies
@@ -167,12 +172,39 @@ class PairScorer:
             cost[idx] = c
             i = j
         is_match = cost <= k_pair
-        return pa.table(
-            {
-                "doc_id_a": batch.column("doc_id_a"),
-                "doc_id_b": batch.column("doc_id_b"),
-                "cost": pa.array(cost, pa.int32()),
-                "k": pa.array(k_pair, pa.int32()),
-                "is_match": pa.array(is_match),
-            }
-        )
+        out = {
+            "doc_id_a": batch.column("doc_id_a"),
+            "doc_id_b": batch.column("doc_id_b"),
+            "cost": pa.array(cost, pa.int32()),
+            "k": pa.array(k_pair, pa.int32()),
+            "is_match": pa.array(is_match),
+        }
+        if cfg.emit_matches:
+            # full Match coordinates for the matched pairs (sassy parity:
+            # best match of the shorter doc inside the longer, traced)
+            from sassy_ray.kernel.search import Searcher
+
+            searcher = Searcher(
+                cfg.profile, rc=cfg.rc, only_best_match=True, case_sensitive=False
+            )
+            starts = np.full(n, -1, dtype=np.int64)
+            ends = np.full(n, -1, dtype=np.int64)
+            strands = [""] * n
+            cigars = [""] * n
+            hit = np.nonzero(is_match)[0]
+            if len(hit):
+                res = searcher.search_pairs(
+                    [pats[i] for i in hit], [txts[i] for i in hit], k_max
+                )
+                for hi_, ms in zip(hit.tolist(), res):
+                    best = min(ms, key=lambda m: (m.cost, -m.text_end), default=None)
+                    if best is not None:
+                        starts[hi_] = best.text_start
+                        ends[hi_] = best.text_end
+                        strands[hi_] = best.strand
+                        cigars[hi_] = best.cigar
+            out["text_start"] = pa.array(starts)
+            out["text_end"] = pa.array(ends)
+            out["strand"] = pa.array(strands)
+            out["cigar"] = pa.array(cigars)
+        return pa.table(out)
