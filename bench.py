@@ -127,7 +127,7 @@ def run_scaling() -> None:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        env.setdefault("GRAFT_BENCH_REPLICAS", "6")
+        env.setdefault("GRAFT_BENCH_REPLICAS", "8")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
