@@ -1044,6 +1044,7 @@ QUERIES.update(
 
 ORACLE_SQL.update(
     {
+        "token_counts": TOKEN_COUNTS_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "semi_join_users": SEMI_JOIN_SQL,
         "anti_join_users": ANTI_JOIN_SQL,

@@ -146,3 +146,31 @@ def test_batch_mixed_lengths():
         want = oracle.end_costs(pats[i], txts[i], prof, k)
         np.testing.assert_array_equal(costs[i, : len(want)], want, err_msg=f"pair {i}")
         assert (costs[i, len(want) :] >= 2**29).all()
+
+
+# --- hypothesis property tests (shrinking finds minimal counterexamples) ---
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _dna_text = st.text(alphabet="ACGT", min_size=0, max_size=120)
+    _dna_pat = st.text(alphabet="ACGT", min_size=1, max_size=40)
+
+    @given(pat=_dna_pat, txt=_dna_text, k=st.integers(0, 4))
+    @settings(max_examples=60, deadline=None)
+    def test_property_kernel_equals_oracle(pat, txt, k):
+        check_case(pat.encode(), txt.encode(), "dna", k)
+
+    @given(
+        pat=st.text(alphabet="ACGTN", min_size=2, max_size=25),
+        txt=st.text(alphabet="ACGTNX", min_size=0, max_size=80),
+        k=st.integers(0, 3),
+        alpha=st.sampled_from([0.25, 0.5, 1.0]),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_property_overhang(pat, txt, k, alpha):
+        check_case(pat.encode(), txt.encode(), "iupac", k, alpha, None)
+
+except ImportError:  # pragma: no cover
+    pass
