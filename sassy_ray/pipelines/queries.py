@@ -1242,3 +1242,97 @@ ORACLE_SQL.update(
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
     }
 )
+
+
+def json_props_stats(sf_dir: str):
+    """JSON scalar extraction (training-data op): parse events.props and
+    aggregate the extracted field per event_type."""
+    import json
+
+    ds = _rd().read_parquet(_path(sf_dir, "events"), columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = [json.loads(p).get("k") if p else None for p in t.column("props").to_pylist()]
+        return pa.table(
+            {"event_type": t.column("event_type"), "k": pa.array(ks, pa.int64())}
+        )
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+            Count(alias_name="n"),
+        )
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    import pyarrow.compute as _pc
+
+    return t.set_column(
+        t.column_names.index("sum_k"), "sum_k", _pc.cast(t.column("sum_k"), pa.int64())
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def value_quantiles(sf_dir: str):
+    """Quantiles of event value (exact, integer-cents domain)."""
+    ds = _rd().read_parquet(_path(sf_dir, "events"), columns=["value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(t.column("value"), pa.scalar(100.0)), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table({"cents": c})
+
+    vals = np.sort(
+        pa.concat_tables(
+            ds.map_batches(cents, batch_format="pyarrow").iter_batches(
+                batch_size=1_000_000, batch_format="pyarrow"
+            )
+        )
+        .column("cents")
+        .to_numpy()
+    )
+
+    def q(p):
+        # nearest-rank (type-1) quantile: deterministic on integers
+        import math
+
+        idx = max(0, math.ceil(p * len(vals)) - 1)
+        return int(vals[idx])
+
+    return pa.table(
+        {
+            "q25": pa.array([q(0.25)], pa.int64()),
+            "q50": pa.array([q(0.50)], pa.int64()),
+            "q75": pa.array([q(0.75)], pa.int64()),
+            "q99": pa.array([q(0.99)], pa.int64()),
+        }
+    )
+
+
+VALUE_QUANTILES_SQL = """
+WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+SELECT CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q25,
+       CAST(quantile_disc(cents, 0.50) AS BIGINT) AS q50,
+       CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q75,
+       CAST(quantile_disc(cents, 0.99) AS BIGINT) AS q99
+FROM c
+"""
+
+QUERIES.update({"json_props_stats": json_props_stats, "value_quantiles": value_quantiles})
+ORACLE_SQL.update({"json_props_stats": JSON_PROPS_SQL, "value_quantiles": VALUE_QUANTILES_SQL})
