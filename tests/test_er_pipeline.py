@@ -227,3 +227,28 @@ def test_span_passthrough(ray_session, dna_docs):
     want_fp = spans_fingerprint(docs.sort_by("doc_id"))
     got_fp = spans_fingerprint(got_tbl)
     np.testing.assert_array_equal(want_fp, got_fp)
+
+
+def test_er_empty_and_single_doc(ray_session):
+    """Degenerate inputs: empty corpus and a single document."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sassy_ray.sources.synth import DOCS_SCHEMA
+
+    empty = pa.Table.from_pylist([], schema=DOCS_SCHEMA)
+    res = run_er_pipeline(rd.from_arrow(empty), ERConfig())
+    assert res["clusters"].count() == 0
+
+    one = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "d1",
+                "spans": [{"kind": "text", "text": "hello world", "media_ref": "", "offset": 0}],
+            }
+        ],
+        schema=DOCS_SCHEMA,
+    )
+    res = run_er_pipeline(rd.from_arrow(one), ERConfig())
+    out = res["clusters"].to_pandas()
+    assert list(out.doc_id) == ["d1"] and list(out.cluster_id) == ["d1"]
