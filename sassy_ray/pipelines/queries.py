@@ -1336,3 +1336,125 @@ FROM c
 
 QUERIES.update({"json_props_stats": json_props_stats, "value_quantiles": value_quantiles})
 ORACLE_SQL.update({"json_props_stats": JSON_PROPS_SQL, "value_quantiles": VALUE_QUANTILES_SQL})
+
+
+def region_nations(sf_dir: str):
+    """Dim-dim broadcast join: nations per region (covers region+nation)."""
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(_path(sf_dir, "region"))
+    rname = dict(
+        zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist())
+    )
+    ds = _rd().read_parquet(_path(sf_dir, "nation"), columns=["n_name", "n_regionkey"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        rn = [rname.get(k, "") for k in t.column("n_regionkey").to_pylist()]
+        return pa.table({"r_name": pa.array(rn), "n_name": t.column("n_name")})
+
+    from ray.data.aggregate import Count
+
+    out = ds.map_batches(attach, batch_format="pyarrow").groupby("r_name").aggregate(
+        Count(alias_name="n_nations")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+REGION_NATIONS_SQL = """
+SELECT r.r_name AS r_name, count(*) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def supplier_balances(sf_dir: str):
+    """Supplier account balances by nation (covers supplier)."""
+    ds = _rd().read_parquet(_path(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(t.column("s_acctbal"), pa.scalar(100.0)), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table({"s_nationkey": t.column("s_nationkey"), "bal_cents": c})
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby("s_nationkey")
+        .aggregate(Sum("bal_cents", alias_name="total_bal_cents"), Count(alias_name="n_suppliers"))
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.set_column(
+        t.column_names.index("total_bal_cents"),
+        "total_bal_cents",
+        pc.cast(t.column("total_bal_cents"), pa.int64()),
+    )
+
+
+SUPPLIER_BALANCES_SQL = """
+SELECT s_nationkey,
+       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_cents,
+       count(*) AS n_suppliers
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+def parts_by_brand(sf_dir: str):
+    """Part stats by brand (covers part): count, avg size, max retail cents."""
+    ds = _rd().read_parquet(
+        _path(sf_dir, "part"), columns=["p_brand", "p_size", "p_retailprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(t.column("p_retailprice"), pa.scalar(100.0)), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "p_size": pc.cast(t.column("p_size"), pa.int64()),
+                "price_cents": c,
+            }
+        )
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Sum("p_size", alias_name="total_size"),
+            Max("price_cents", alias_name="max_price_cents"),
+        )
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.set_column(
+        t.column_names.index("total_size"), "total_size", pc.cast(t.column("total_size"), pa.int64())
+    )
+
+
+PARTS_BY_BRAND_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       CAST(sum(p_size) AS BIGINT) AS total_size,
+       max(CAST(round(p_retailprice * 100) AS BIGINT)) AS max_price_cents
+FROM part GROUP BY p_brand
+"""
+
+QUERIES.update(
+    {
+        "region_nations": region_nations,
+        "supplier_balances": supplier_balances,
+        "parts_by_brand": parts_by_brand,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "region_nations": REGION_NATIONS_SQL,
+        "supplier_balances": SUPPLIER_BALANCES_SQL,
+        "parts_by_brand": PARTS_BY_BRAND_SQL,
+    }
+)
