@@ -180,7 +180,10 @@ def hash_join(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    joined = li.join(orders, join_type="inner", num_partitions=16, on=("l_orderkey",))
+    import ray
+
+    nparts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
+    joined = li.join(orders, join_type="inner", num_partitions=nparts, on=("l_orderkey",))
     from ray.data.aggregate import Count, Sum
 
     out = joined.groupby("o_orderpriority").aggregate(
@@ -1197,7 +1200,10 @@ def revenue_by_nation(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    joined = li.join(orders, join_type="inner", num_partitions=8, on=("l_orderkey",))
+    import ray
+
+    nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    joined = li.join(orders, join_type="inner", num_partitions=nparts, on=("l_orderkey",))
     from ray.data.aggregate import Count, Sum
 
     out = joined.groupby("n_name").aggregate(
