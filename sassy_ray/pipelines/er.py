@@ -215,16 +215,20 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
         label map; no shuffle touches the wide rows."""
         lab_tbl = pa.concat_tables(
             clusters.iter_batches(batch_size=65536, batch_format="pyarrow")
-        )
+        ).combine_chunks()
         lab_ref = ray.put(lab_tbl)
 
         def attach(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             lt = ray.get(lab_ref)
-            lut = dict(zip(lt.column("doc_id").to_pylist(), lt.column("cluster_id").to_pylist()))
-            ids = batch.column("doc_id").to_pylist()
-            return batch.append_column(
-                "cluster_id", pa.array([lut.get(d, d) for d in ids], pa.string())
+            taken = pc.take(
+                lt.column("cluster_id").combine_chunks(),
+                pc.index_in(batch.column("doc_id"), value_set=lt.column("doc_id").combine_chunks()),
             )
+            # unlabeled docs are their own cluster (lut.get(d, d) semantics)
+            label = pc.coalesce(taken, pc.cast(batch.column("doc_id"), pa.string()))
+            return batch.append_column("cluster_id", label)
 
         return docs_ds.map_batches(attach, batch_format="pyarrow")
 

@@ -129,19 +129,23 @@ def run_grep(
         .reset_index(drop=True)
     )
 
-    # semi/anti join of documents against matched ids (J3, S6)
+    # semi/anti join of documents against matched ids (J3, S6): broadcast the
+    # distinct matched-id Arrow array, vectorized is_in per batch
     import ray
 
-    matched = set()
-    for b in matches.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        matched.update(b.column("text_id").to_pylist())
-    matched_ref = ray.put(matched)
+    matched_keys = pc.unique(
+        pa.concat_tables(
+            matches.select_columns(["text_id"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+        ).column("text_id")
+    )
+    matched_ref = ray.put(matched_keys)
 
     def flt(b: pa.Table) -> pa.Table:
-        got = ray.get(matched_ref)
-        keys = [str(x) in got for x in b.column(id_col).to_pylist()]
-        mask = pa.array([(not k) if cfg.invert else k for k in keys])
-        return b.filter(mask)
+        keys = ray.get(matched_ref)
+        mask = pc.is_in(pc.cast(b.column(id_col), pa.string()), value_set=keys)
+        return b.filter(pc.invert(mask) if cfg.invert else mask)
 
     filtered = texts_ds.map_batches(flt, batch_format="pyarrow")
     return {"matches": matches, "histogram": hist, "filtered": filtered}

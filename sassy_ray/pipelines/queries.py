@@ -36,6 +36,15 @@ def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
     return t.set_column(i, col, pc.round(t.column(col), ndigits=nd))
 
 
+def _dim_lookup(values, keys: pa.Array, outs: pa.Array, default=None) -> pa.Array:
+    """Vectorized broadcast-dim lookup: ``pc.index_in`` against the dim key
+    array + ``take`` of the dim value array (no per-row Python)."""
+    taken = pc.take(outs, pc.index_in(values, value_set=keys))
+    if default is not None:
+        taken = pc.fill_null(taken, default)
+    return taken
+
+
 # ---------------------------------------------------------------------------
 # relational core (SURVEY.md §2.2, §2.4-2.6 -> Ray Data primitives)
 # ---------------------------------------------------------------------------
@@ -124,16 +133,22 @@ def broadcast_join(sf_dir: str):
     inside map_batches (the reference's pattern-broadcast J1 shape,
     search.rs:1520-1550)."""
     import pyarrow.parquet as pq
+    import ray
 
-    cust = pq.read_table(_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
-    seg_of = dict(
-        zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())
-    )
+    cust = pq.read_table(
+        _path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).combine_chunks()
+    dim_ref = ray.put(cust)  # broadcast once; workers read zero-copy from plasma
     orders = _rd().read_parquet(_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
 
     def add_seg(t: pa.Table) -> pa.Table:
-        keys = t.column("o_custkey").to_numpy()
-        segs = pa.array(np.array([seg_of.get(int(k), "") for k in keys], dtype=object))
+        dim = ray.get(dim_ref)
+        segs = _dim_lookup(
+            t.column("o_custkey"),
+            dim.column("c_custkey").combine_chunks(),
+            dim.column("c_mktsegment").combine_chunks(),
+            default="",
+        )
         cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), pa.scalar(100.0)), round_mode="half_towards_infinity"), pa.int64())
         return pa.table({"c_mktsegment": segs, "price_cents": cents})
 
@@ -355,13 +370,17 @@ def search_approx(sf_dir: str):
     """Approximate search (M1): local-minima matches of 'spark' at k=1 over
     all documents, via an actor-pool map_batches (no SQL equivalent —
     rows-only check)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(
         _SearchActor,
         fn_constructor_kwargs={"patterns": [SEARCH_PATTERN.encode()], "k": 1},
         batch_format="pyarrow",
-        batch_size=256,
-        concurrency=2,
+        batch_size=128,
+        # autoscaling actor pool sized by the cluster, not a fixed 2
+        concurrency=(1, max(2, cpus)),
     )
     return out.sort(["doc_id", "text_start", "cost"])
 
@@ -412,13 +431,27 @@ def match_cost_histogram(sf_dir: str):
 
 
 def dedup_exact(sf_dir: str):
-    """Exact dedup: hash-partition on content, keep min doc_id per distinct
-    text.  Input is documents unioned with itself so the dedup is exercised."""
+    """Exact dedup: hash-partition on a 128-bit CONTENT HASH (two independent
+    vectorized 64-bit siphashes), keep min doc_id per distinct content — the
+    raw text column is never used as a shuffle key.  Input is documents
+    unioned with itself so the dedup is exercised."""
+    import pandas as pd
+
     ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
     doubled = ds.union(_rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"]))
     from ray.data.aggregate import Min
 
-    out = doubled.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+    def content_key(df: pd.DataFrame) -> pd.DataFrame:
+        h1 = pd.util.hash_pandas_object(df["text"], index=False, hash_key="0123456789123456")
+        h2 = pd.util.hash_pandas_object(df["text"], index=False, hash_key="fedcba9876543210")
+        key = h1.astype(str) + "_" + h2.astype(str)
+        return pd.DataFrame({"content_key": key, "doc_id": df["doc_id"]})
+
+    out = (
+        doubled.map_batches(content_key, batch_format="pandas")
+        .groupby("content_key")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.select(["doc_id"])
 
@@ -953,17 +986,41 @@ FROM s GROUP BY user_id, session_id
 """
 
 
-def semi_join_users(sf_dir: str):
-    """Semi join: customers that have at least one order (broadcast key set
-    + vectorized isin filter — S6/J3 family)."""
-    import pyarrow.parquet as pq
-
-    ot = pq.read_table(_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
-    okeys = set(
-        ot.filter(pc.greater(ot.column("o_totalprice"), 400000.0)).column("o_custkey").to_pylist()
+def _highvalue_custkeys(sf_dir: str) -> pa.Array:
+    """DISTRIBUTED distinct of the orders fact side: per-batch filter +
+    unique (combiner) -> groupby-distinct shuffle of keys only.  The driver
+    sees just the distinct key set (small), never the fact table."""
+    ds = _rd().read_parquet(_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    dist = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": pc.unique(
+                        t.filter(
+                            pc.greater(t.column("o_totalprice"), pa.scalar(400000.0))
+                        ).column("o_custkey")
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .count()
     )
+    keys = pa.concat_tables(
+        dist.select_columns(["o_custkey"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        )
+    )
+    return keys.column("o_custkey").combine_chunks()
+
+
+def semi_join_users(sf_dir: str):
+    """Semi join: customers that have at least one high-value order —
+    distributed distinct on the fact side, then broadcast key set +
+    vectorized isin filter (S6/J3 family)."""
+    keys = _highvalue_custkeys(sf_dir)
     ds = _rd().read_parquet(_path(sf_dir, "customer"), columns=["c_custkey", "c_name"])
-    keys = pa.array(sorted(okeys), pa.int64())
     return ds.map_batches(
         lambda t: t.filter(pc.is_in(t.column("c_custkey"), value_set=keys)),
         batch_format="pyarrow",
@@ -977,15 +1034,10 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
 
 
 def anti_join_users(sf_dir: str):
-    """Anti join: customers with no orders."""
-    import pyarrow.parquet as pq
-
-    ot = pq.read_table(_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
-    okeys = set(
-        ot.filter(pc.greater(ot.column("o_totalprice"), 400000.0)).column("o_custkey").to_pylist()
-    )
+    """Anti join: customers with no high-value orders (same distributed
+    distinct + broadcast key set, inverted filter)."""
+    keys = _highvalue_custkeys(sf_dir)
     ds = _rd().read_parquet(_path(sf_dir, "customer"), columns=["c_custkey", "c_name"])
-    keys = pa.array(sorted(okeys), pa.int64())
     return ds.map_batches(
         lambda t: t.filter(pc.invert(pc.is_in(t.column("c_custkey"), value_set=keys))),
         batch_format="pyarrow",
@@ -1067,25 +1119,53 @@ def asof_join_orders(sf_dir: str):
     small -> broadcast; rows are independent so pandas merge_asof runs
     batch-locally inside map_batches (no shuffle)."""
     import pandas as pd
-    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Max
 
+    # DISTRIBUTED pre-dedup of the orders side: ties on (custkey, orderdate)
+    # make the as-of ambiguous; keep the max orderkey per (custkey, date)
+    # (mirrored in the SQL oracle).  The two-column key is fused into ONE
+    # int64 (custkey << 22 | epoch_days) — Ray's multi-column groupby sort is
+    # ~20x slower than a single key column.  Only the deduped (custkey, date,
+    # orderkey) side reaches the driver, as the broadcast table.
+    def fuse(t: pa.Table) -> pa.Table:
+        days = pc.cast(pc.cast(t.column("o_orderdate"), pa.date32()), pa.int32())
+        key = pc.add(
+            pc.multiply(pc.cast(t.column("o_custkey"), pa.int64()), pa.scalar(1 << 22, pa.int64())),
+            pc.cast(days, pa.int64()),
+        )
+        return pa.table({"ckey_day": key, "o_orderkey": t.column("o_orderkey")})
+
+    dedup = (
+        _rd()
+        .read_parquet(_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(fuse, batch_format="pyarrow")
+        .groupby("ckey_day")
+        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+    )
+    small = pa.concat_tables(dedup.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    fused = small.column("ckey_day").to_numpy()
     orders = (
-        pq.read_table(_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
-        .to_pandas()
-        # ties on (custkey, orderdate) make the as-of ambiguous; keep the
-        # max orderkey per date (mirrored in the SQL oracle)
-        .groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"]
-        .max()
+        pd.DataFrame(
+            {
+                "o_custkey": (fused >> 22).astype("int64"),
+                "o_orderdate": pd.to_datetime(fused & ((1 << 22) - 1), unit="D"),
+                "o_orderkey": small.column("o_orderkey").to_numpy().astype("int64"),
+            }
+        )
         .sort_values("o_orderdate")
         .reset_index(drop=True)
     )
+    orders_ref = ray.put(orders)
     ds = _rd().read_parquet(_path(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
 
     def match(df: pd.DataFrame) -> pd.DataFrame:
+        odf = ray.get(orders_ref)
+        odf = odf.assign(o_orderdate=odf["o_orderdate"].astype(df["ts"].dtype))
         df = df.sort_values("ts").reset_index(drop=True)
         out = pd.merge_asof(
             df,
-            orders,
+            odf,
             left_on="ts",
             right_on="o_orderdate",
             left_by="user_id",
@@ -1153,29 +1233,40 @@ def revenue_by_nation(sf_dir: str):
     """Three-table join: lineitem x orders (hash join) with the
     customer->nation map broadcast — revenue by nation name."""
     import pyarrow.parquet as pq
+    import ray
 
     cust = pq.read_table(_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(_path(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
-    n_name = dict(
-        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
-    )
-    cust_nation = {
-        c: n_name.get(n, "")
-        for c, n in zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
-    }
+    # pre-join the two dims on the driver (vectorized), broadcast the result
+    cust_nation = pa.table(
+        {
+            "c_custkey": cust.column("c_custkey"),
+            "n_name": _dim_lookup(
+                cust.column("c_nationkey"),
+                nation.column("n_nationkey").combine_chunks(),
+                nation.column("n_name").combine_chunks(),
+                default="",
+            ),
+        }
+    ).combine_chunks()
+    dim_ref = ray.put(cust_nation)
 
-    orders = _rd().read_parquet(_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
-    orders = orders.map_batches(
-        lambda t: pa.table(
+    def attach_nation(t: pa.Table) -> pa.Table:
+        dim = ray.get(dim_ref)
+        return pa.table(
             {
                 "l_orderkey": t.column("o_orderkey"),
-                "n_name": pa.array(
-                    [cust_nation.get(int(k), "") for k in t.column("o_custkey").to_numpy()]
+                "n_name": _dim_lookup(
+                    t.column("o_custkey"),
+                    dim.column("c_custkey").combine_chunks(),
+                    dim.column("n_name").combine_chunks(),
+                    default="",
                 ),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    orders = _rd().read_parquet(_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(attach_nation, batch_format="pyarrow")
     li = _rd().read_parquet(
         _path(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
@@ -1294,32 +1385,44 @@ FROM events GROUP BY event_type
 
 
 def value_quantiles(sf_dir: str):
-    """Quantiles of event value (exact, integer-cents domain)."""
+    """Exact quantiles of event value via a DISTRIBUTED value-count
+    histogram: per-batch ``pc.value_counts`` (combiner) -> groupby(cents)
+    sum -> only the (distinct value, count) histogram reaches the driver.
+    The integer-cents domain is bounded, so the histogram stays small at any
+    row count; quantiles are nearest-rank over the cumulative counts."""
+    from ray.data.aggregate import Sum
+
     ds = _rd().read_parquet(_path(sf_dir, "events"), columns=["value"])
 
-    def cents(t: pa.Table) -> pa.Table:
+    def cents_counts(t: pa.Table) -> pa.Table:
         c = pc.cast(
             pc.round(pc.multiply(t.column("value"), pa.scalar(100.0)), round_mode="half_towards_infinity"),
             pa.int64(),
         )
-        return pa.table({"cents": c})
-
-    vals = np.sort(
-        pa.concat_tables(
-            ds.map_batches(cents, batch_format="pyarrow").iter_batches(
-                batch_size=1_000_000, batch_format="pyarrow"
-            )
+        vc = pc.value_counts(c)
+        return pa.table(
+            {"cents": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
         )
-        .column("cents")
-        .to_numpy()
+
+    hist = (
+        ds.map_batches(cents_counts, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("n", alias_name="n"))
     )
+    ht = pa.concat_tables(hist.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    vals = ht.column("cents").to_numpy()
+    counts = ht.column("n").to_numpy()
+    order = np.argsort(vals)
+    vals, counts = vals[order], counts[order]
+    cum = np.cumsum(counts)
+    total = int(cum[-1]) if len(cum) else 0
 
     def q(p):
         # nearest-rank (type-1) quantile: deterministic on integers
         import math
 
-        idx = max(0, math.ceil(p * len(vals)) - 1)
-        return int(vals[idx])
+        rank = max(1, math.ceil(p * total))
+        return int(vals[np.searchsorted(cum, rank)])
 
     return pa.table(
         {
@@ -1348,15 +1451,14 @@ def region_nations(sf_dir: str):
     """Dim-dim broadcast join: nations per region (covers region+nation)."""
     import pyarrow.parquet as pq
 
-    region = pq.read_table(_path(sf_dir, "region"))
-    rname = dict(
-        zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist())
-    )
+    region = pq.read_table(_path(sf_dir, "region")).combine_chunks()
+    rkeys = region.column("r_regionkey").combine_chunks()
+    rnames = region.column("r_name").combine_chunks()
     ds = _rd().read_parquet(_path(sf_dir, "nation"), columns=["n_name", "n_regionkey"])
 
     def attach(t: pa.Table) -> pa.Table:
-        rn = [rname.get(k, "") for k in t.column("n_regionkey").to_pylist()]
-        return pa.table({"r_name": pa.array(rn), "n_name": t.column("n_name")})
+        rn = _dim_lookup(t.column("n_regionkey"), rkeys, rnames, default="")
+        return pa.table({"r_name": rn, "n_name": t.column("n_name")})
 
     from ray.data.aggregate import Count
 
