@@ -5,69 +5,132 @@ verify -> connected components); only the signature and the verify predicate
 differ:
 
 - MinHash-LSH + exact shingle-Jaccard verify;
-- SimHash (64-bit) + Hamming<=d verify via 16-bit band buckets;
+- SimHash (64-bit, md5 token hashes) + Hamming<=d verify via 16-bit bands;
 - n-gram Jaccard is the verify step of the MinHash path (exposed standalone).
 
-Verification runs inside ``map_batches`` with the doc texts broadcast (same
-pattern as ER pair scoring) — no driver-side loops.
+Verification runs inside ``map_batches`` with the doc texts broadcast as the
+materialized Arrow block refs (``to_arrow_refs`` — blocks stay in plasma, no
+driver-side concat; same pattern as pipelines/er.py scoring).  Per batch,
+each UNIQUE doc is shingled once (hub docs in many pairs are not re-shingled
+per pair) and the Jaccard itself is a C-level sorted-array intersect.
+
+Scores are integers (jac_e6 = inter*1e6 // union) so the DuckDB oracle can
+reproduce them bit-exactly; is_match uses pure integer arithmetic
+(inter * 1e6 >= tau_e6 * union).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-import pyarrow as pa
+import hashlib
 
-from sassy_ray.stages.blocking import BlockingConfig, minhash_block_rows
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sassy_ray.stages.blocking import BlockingConfig, _shingle_hashes, minhash_block_rows
 from sassy_ray.stages.clustering import connected_components
 from sassy_ray.stages.pairs import PairGenConfig, make_pairs_dataset
 
-__all__ = ["minhash_neardup_clusters", "simhash_neardup_clusters", "jaccard_verify_batch"]
+__all__ = [
+    "minhash_neardup",
+    "minhash_neardup_clusters",
+    "simhash_neardup",
+    "simhash_neardup_clusters",
+    "jaccard_verify_batch",
+    "simhash_batch",
+]
 
 
-def _shingles(text: str, q: int) -> set:
+def _shingle_hash_set(text: bytes, q: int) -> np.ndarray:
+    """Sorted unique 64-bit hashes of the q-gram shingle set (one rolling-
+    hash pass; set cardinalities equal the string-shingle sets up to 64-bit
+    collisions, ~2^-44 per doc)."""
     if len(text) < q:
-        return {text}
-    return {text[i : i + q] for i in range(len(text) - q + 1)}
+        text = text.ljust(q, b"\0")
+    return np.unique(_shingle_hashes(np.frombuffer(text, dtype=np.uint8), q))
 
 
 def jaccard_verify_batch(batch: pa.Table, docs_ref, q: int = 12, tau: float = 0.5) -> pa.Table:
-    """(doc_id_a, doc_id_b) pairs -> + jaccard + is_match columns."""
-    import ray
+    """(doc_id_a, doc_id_b) pairs -> + jac_e6 + is_match columns.
 
+    Each unique doc in the batch is shingled ONCE; per-pair work is a single
+    ``np.intersect1d`` over the two sorted hash arrays."""
     from sassy_ray.stages.scoring import _resolve_docs
 
     docs = _resolve_docs(docs_ref)
     a_ids = batch.column("doc_id_a").to_pylist()
     b_ids = batch.column("doc_id_b").to_pylist()
-    jac = np.zeros(len(a_ids))
+    cache: dict[str, np.ndarray] = {}
+
+    def sh(d: str) -> np.ndarray:
+        s = cache.get(d)
+        if s is None:
+            s = _shingle_hash_set(docs.get(d, b""), q)
+            cache[d] = s
+        return s
+
+    n = len(a_ids)
+    inter = np.zeros(n, dtype=np.int64)
+    union = np.ones(n, dtype=np.int64)
     for i, (a, b) in enumerate(zip(a_ids, b_ids)):
-        sa = _shingles(docs.get(a, b"").decode(), q)
-        sb = _shingles(docs.get(b, b"").decode(), q)
-        inter = len(sa & sb)
-        jac[i] = inter / max(1, len(sa) + len(sb) - inter)
+        sa, sb = sh(a), sh(b)
+        it = np.intersect1d(sa, sb, assume_unique=True).size
+        inter[i] = it
+        union[i] = max(1, sa.size + sb.size - it)
+    tau_e6 = int(round(tau * 1e6))
     return pa.table(
         {
             "doc_id_a": batch.column("doc_id_a"),
             "doc_id_b": batch.column("doc_id_b"),
-            "jaccard": pa.array(np.round(jac, 6)),
-            "is_match": pa.array(jac >= tau),
+            "jac_e6": pa.array(inter * 1_000_000 // union, pa.int64()),
+            "is_match": pa.array(inter * 1_000_000 >= tau_e6 * union),
         }
     )
 
 
-def _text_ds_to_broadcast(ds, id_col: str, text_col: str):
-    import ray
+def _normalize_ids(ds, id_col: str, text_col: str):
+    return ds.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column(id_col).cast(pa.string()), "text": b.column(text_col)}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
 
-    tbl = pa.concat_tables(
-        ds.map_batches(
-            lambda b: pa.table(
-                {"doc_id": b.column(id_col).cast(pa.string()), "text": b.column(text_col)}
-            ),
-            batch_format="pyarrow",
-        ).iter_batches(batch_size=65536, batch_format="pyarrow")
+
+def minhash_neardup(
+    ds,
+    q: int = 12,
+    tau: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 16,
+    num_perm: int = 32,
+):
+    """documents Dataset -> dict(pairs=, verified=, clusters_fn=).
+
+    shingle -> minhash -> band groupby -> salted pairs -> exact Jaccard
+    verify (broadcast text block refs) -> connected components.  ``pairs``
+    is exposed so callers (and the DuckDB oracle) can check the verify +
+    clustering stages independently of the probabilistic LSH candidates.
+    """
+    str_ds = _normalize_ids(ds, id_col, text_col)
+    cfg = BlockingConfig(q=q, bands=bands, num_perm=num_perm)
+    block = str_ds.map_batches(lambda b: minhash_block_rows(b, cfg), batch_format="pyarrow")
+    pairs = make_pairs_dataset(block, PairGenConfig()).materialize()
+    docs_ref = str_ds.to_arrow_refs()
+    verified = pairs.map_batches(
+        lambda b: jaccard_verify_batch(b, docs_ref, q, tau),
+        batch_format="pyarrow",
+        batch_size=8192,
     )
-    return ray.put(tbl)
+
+    def clusters():
+        edges = verified.map_batches(
+            lambda b: b.filter(b.column("is_match")), batch_format="pyarrow"
+        ).select_columns(["doc_id_a", "doc_id_b"])
+        return connected_components(edges, str_ds.select_columns(["doc_id"]))
+
+    return {"pairs": pairs, "verified": verified, "clusters_fn": clusters}
 
 
 def minhash_neardup_clusters(
@@ -79,47 +142,49 @@ def minhash_neardup_clusters(
     bands: int = 16,
     num_perm: int = 32,
 ):
-    """documents Dataset -> (doc_id, cluster_id) near-dup clusters.
-
-    shingle -> minhash -> band groupby -> salted pairs -> exact Jaccard
-    verify (broadcast texts) -> connected components.
-    """
-    str_ds = ds.map_batches(
-        lambda b: pa.table(
-            {"doc_id": b.column(id_col).cast(pa.string()), "text": b.column(text_col)}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    cfg = BlockingConfig(q=q, bands=bands, num_perm=num_perm)
-    block = str_ds.map_batches(lambda b: minhash_block_rows(b, cfg), batch_format="pyarrow")
-    pairs = make_pairs_dataset(block, PairGenConfig())
-    docs_ref = _text_ds_to_broadcast(str_ds, "doc_id", "text")
-    verified = pairs.map_batches(
-        lambda b: jaccard_verify_batch(b, docs_ref, q, tau),
-        batch_format="pyarrow",
-        batch_size=8192,
-    )
-    edges = verified.map_batches(
-        lambda b: b.filter(b.column("is_match")), batch_format="pyarrow"
-    ).select_columns(["doc_id_a", "doc_id_b"])
-    nodes = str_ds.select_columns(["doc_id"])
-    return connected_components(edges, nodes)
+    """documents Dataset -> (doc_id, cluster_id) near-dup clusters."""
+    return minhash_neardup(ds, q, tau, id_col, text_col, bands, num_perm)["clusters_fn"]()
 
 
-def simhash_batch(batch: pa.Table, text_col: str = "text", seed: int = 42) -> pa.Table:
-    """64-bit SimHash over word tokens, vectorized per batch."""
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+# per-worker token -> 64-bit hash cache (md5 prefix: reproducible in the
+# DuckDB oracle, unlike siphash)
+_TOK_HASH_CACHE: dict[str, int] = {}
+_TOK_CACHE_CAP = 1 << 20
+
+
+def _token_hash64(tok: str) -> int:
+    h = _TOK_HASH_CACHE.get(tok)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        if len(_TOK_HASH_CACHE) < _TOK_CACHE_CAP:
+            _TOK_HASH_CACHE[tok] = h
+    return h
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit SimHash over whitespace tokens.  Token hash = first 8 bytes of
+    md5(token) big-endian; bit b is set iff strictly more than half the
+    token occurrences have bit b set.  Unique tokens are hashed once per
+    batch; the bit-vote is a vectorized numpy reduction."""
     texts = batch.column(text_col).to_pylist()
+    tok_lists = [(t or "").split() for t in texts]
+    uniq: set[str] = set()
+    for tl in tok_lists:
+        uniq.update(tl)
+    lut = {t: _token_hash64(t) for t in uniq}
     out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = (t or "").split()
-        if not toks:
+    shifts = np.arange(64, dtype=np.uint64)
+    for i, tl in enumerate(tok_lists):
+        if not tl:
             continue
-        hs = pd.util.hash_pandas_object(pd.Series(toks), index=False).to_numpy().astype(np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        acc = np.where(bits.sum(axis=0) * 2 > len(toks), 1, 0).astype(np.uint64)
-        out[i] = np.bitwise_or.reduce(acc << np.arange(64, dtype=np.uint64))
+        hs = np.fromiter((lut[t] for t in tl), dtype=np.uint64, count=len(tl))
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (bits.sum(axis=0) * 2 > len(tl)).astype(np.uint64)
+        out[i] = np.bitwise_or.reduce(acc << shifts)
     return pa.table(
         {
             "doc_id": batch.column("doc_id").cast(pa.string()),
@@ -128,16 +193,31 @@ def simhash_batch(batch: pa.Table, text_col: str = "text", seed: int = 42) -> pa
     )
 
 
-def simhash_neardup_clusters(
+# per-worker cache of broadcast block-ref tables (concat once per process)
+_TBL_CACHE: dict[str, pa.Table] = {}
+
+
+def _resolve_table(refs) -> pa.Table:
+    import ray
+
+    key = "|".join(r.hex() for r in refs[:4]) + f":{len(refs)}"
+    hit = _TBL_CACHE.get(key)
+    if hit is None:
+        hit = pa.concat_tables(ray.get(refs)).combine_chunks()
+        _TBL_CACHE.clear()
+        _TBL_CACHE[key] = hit
+    return hit
+
+
+_POP = np.array([bin(x).count("1") for x in range(65536)], dtype=np.int64)
+
+
+def simhash_neardup(
     ds, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ):
-    """SimHash near-dup via 4x16-bit band buckets + Hamming verify."""
-    str_ds = ds.map_batches(
-        lambda b: pa.table(
-            {"doc_id": b.column(id_col).cast(pa.string()), "text": b.column(text_col)}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    """SimHash near-dup via 4x16-bit band buckets + Hamming verify.
+    Returns dict(pairs=, verified=, clusters_fn=) like ``minhash_neardup``."""
+    str_ds = _normalize_ids(ds, id_col, text_col)
     sh = str_ds.map_batches(lambda b: simhash_batch(b, "text"), batch_format="pyarrow").materialize()
 
     def explode_bands(b: pa.Table) -> pa.Table:
@@ -156,21 +236,16 @@ def simhash_neardup_clusters(
         )
 
     block = sh.map_batches(explode_bands, batch_format="pyarrow")
-    pairs = make_pairs_dataset(block, PairGenConfig())
-
-    import ray
-
-    sh_tbl = pa.concat_tables(sh.iter_batches(batch_size=65536, batch_format="pyarrow"))
-    sh_ref = ray.put(sh_tbl)
-
-    _POP = np.array([bin(x).count("1") for x in range(65536)], dtype=np.int64)
+    pairs = make_pairs_dataset(block, PairGenConfig()).materialize()
+    sh_refs = sh.to_arrow_refs()  # 8 B/doc side, broadcast as plasma blocks
 
     def verify(b: pa.Table) -> pa.Table:
-        tbl = ray.get(sh_ref)
-        lut = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("simhash").to_numpy()))
-        a = np.array([lut[x] for x in b.column("doc_id_a").to_pylist()], dtype=np.uint64)
-        bb = np.array([lut[x] for x in b.column("doc_id_b").to_pylist()], dtype=np.uint64)
-        x = a ^ bb
+        tbl = _resolve_table(sh_refs)
+        ids = tbl.column("doc_id")
+        hcol = tbl.column("simhash")
+        a = pc.take(hcol, pc.index_in(b.column("doc_id_a"), value_set=ids)).to_numpy()
+        bb = pc.take(hcol, pc.index_in(b.column("doc_id_b"), value_set=ids)).to_numpy()
+        x = a.astype(np.uint64) ^ bb.astype(np.uint64)
         ham = (
             _POP[(x & np.uint64(0xFFFF)).astype(np.int64)]
             + _POP[((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)]
@@ -187,7 +262,17 @@ def simhash_neardup_clusters(
         )
 
     verified = pairs.map_batches(verify, batch_format="pyarrow", batch_size=8192)
-    edges = verified.map_batches(
-        lambda b: b.filter(b.column("is_match")), batch_format="pyarrow"
-    ).select_columns(["doc_id_a", "doc_id_b"])
-    return connected_components(edges, str_ds.select_columns(["doc_id"]))
+
+    def clusters():
+        edges = verified.map_batches(
+            lambda b: b.filter(b.column("is_match")), batch_format="pyarrow"
+        ).select_columns(["doc_id_a", "doc_id_b"])
+        return connected_components(edges, str_ds.select_columns(["doc_id"]))
+
+    return {"pairs": pairs, "verified": verified, "clusters_fn": clusters}
+
+
+def simhash_neardup_clusters(
+    ds, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+):
+    return simhash_neardup(ds, max_hamming, id_col, text_col)["clusters_fn"]()

@@ -45,6 +45,34 @@ def _dim_lookup(values, keys: pa.Array, outs: pa.Array, default=None) -> pa.Arra
     return taken
 
 
+# --- oracle artifact exports ------------------------------------------------
+# Some operators (LSH candidate generation, approximate search) are not
+# SQL-expressible end-to-end, but their EXPENSIVE stages are independently
+# checkable: the query exports a small intermediate (candidate pair list /
+# pure-DP oracle matches) as parquet, and the oracle SQL reads it back with
+# read_parquet() and recomputes the downstream logic (Jaccard, Hamming,
+# connected components, aggregation) from the raw tables.  The export is an
+# INPUT to the check, never the checked value itself — the compared numbers
+# are computed twice, by Ray/NumPy here and by DuckDB SQL there.
+
+_ORACLE_EXPORT_DIR = "/tmp/sassy_oracle"
+
+
+def _oracle_export(name: str, tbl: pa.Table) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(_ORACLE_EXPORT_DIR, exist_ok=True)
+    pq.write_table(tbl, os.path.join(_ORACLE_EXPORT_DIR, f"{name}.parquet"))
+
+
+def _collect(ds_or_tbl) -> pa.Table:
+    if isinstance(ds_or_tbl, pa.Table):
+        return ds_or_tbl
+    return pa.concat_tables(
+        ds_or_tbl.iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational core (SURVEY.md §2.2, §2.4-2.6 -> Ray Data primitives)
 # ---------------------------------------------------------------------------
@@ -483,48 +511,148 @@ SELECT doc_id, md5(text) AS fingerprint FROM documents
 
 def dedup_minhash(sf_dir: str):
     """MinHash-LSH near-dup clusters (distributed: shingle -> minhash ->
-    band groupby -> salted pairs -> exact-Jaccard verify -> components)."""
-    from sassy_ray.functions.dedup import minhash_neardup_clusters
+    band groupby -> salted pairs -> exact-Jaccard verify -> components).
+    Candidate pairs are exported so the SQL oracle recomputes the verify +
+    clustering stages (exact q-gram Jaccard + transitive closure) in DuckDB."""
+    from sassy_ray.functions.dedup import minhash_neardup
 
     ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = minhash_neardup_clusters(ds, q=12, tau=0.5)
-    return out.sort("doc_id")
+    res = minhash_neardup(ds, q=12, tau=0.5)
+    _oracle_export("dedup_minhash_pairs", _collect(res["pairs"]))
+    return res["clusters_fn"]().sort("doc_id")
+
+
+# verify + clustering recomputed from scratch in SQL: q-gram shingle sets
+# from the raw documents table, integer-exact Jaccard threshold (tau=0.5 <=>
+# 2*inter >= union), transitive closure by recursive reachability, cluster
+# id = min doc_id in component (matching stages/clustering.py semantics).
+DEDUP_MINHASH_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT CAST(doc_id_a AS VARCHAR) AS a, CAST(doc_id_b AS VARCHAR) AS b
+  FROM read_parquet('{_ORACLE_EXPORT_DIR}/dedup_minhash_pairs.parquet')
+),
+d AS (SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents),
+sh AS (
+  SELECT id, list_distinct(
+    CASE WHEN length(text) < 12 THEN [text]
+         ELSE list_transform(range(length(text) - 11), i -> substr(text, i+1, 12)) END
+  ) AS s FROM d
+),
+j AS (
+  SELECT p.a, p.b,
+         len(list_intersect(sa.s, sb.s)) AS inter,
+         len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS uni
+  FROM pairs p JOIN sh sa ON sa.id = p.a JOIN sh sb ON sb.id = p.b
+),
+edges AS (SELECT a, b FROM j WHERE inter * 1000000 >= 500000 * uni),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM d
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
 
 
 def ngram_jaccard(sf_dir: str):
     """n-gram Jaccard similarity for LSH candidate pairs (verify stage
-    exposed standalone; rows-only)."""
-    import ray
-
-    from sassy_ray.functions.dedup import jaccard_verify_batch
-    from sassy_ray.stages.blocking import BlockingConfig, minhash_block_rows
-    from sassy_ray.stages.pairs import PairGenConfig, make_pairs_dataset
+    exposed standalone).  jac_e6 = inter*1e6 // union is integer-exact, so
+    the SQL twin reproduces it bit-for-bit from the exported pair list."""
+    from sassy_ray.functions.dedup import minhash_neardup
 
     ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
-    str_ds = ds.map_batches(
-        lambda b: pa.table(
-            {"doc_id": pc.cast(b.column("doc_id"), pa.string()), "text": b.column("text")}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    cfg = BlockingConfig(q=12)
-    block = str_ds.map_batches(lambda b: minhash_block_rows(b, cfg), batch_format="pyarrow")
-    pairs = make_pairs_dataset(block, PairGenConfig())
-    tbl = pa.concat_tables(str_ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
-    ref = ray.put(tbl)
-    out = pairs.map_batches(
-        lambda b: jaccard_verify_batch(b, ref, 12, 0.5), batch_format="pyarrow"
-    )
-    return out.sort(["doc_id_a", "doc_id_b"])
+    res = minhash_neardup(ds, q=12, tau=0.5)
+    _oracle_export("ngram_jaccard_pairs", _collect(res["pairs"]))
+    return res["verified"].sort(["doc_id_a", "doc_id_b"])
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH pairs AS (
+  SELECT CAST(doc_id_a AS VARCHAR) AS a, CAST(doc_id_b AS VARCHAR) AS b
+  FROM read_parquet('{_ORACLE_EXPORT_DIR}/ngram_jaccard_pairs.parquet')
+),
+d AS (SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents),
+sh AS (
+  SELECT id, list_distinct(
+    CASE WHEN length(text) < 12 THEN [text]
+         ELSE list_transform(range(length(text) - 11), i -> substr(text, i+1, 12)) END
+  ) AS s FROM d
+),
+j AS (
+  SELECT p.a AS doc_id_a, p.b AS doc_id_b,
+         len(list_intersect(sa.s, sb.s)) AS inter,
+         len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS uni
+  FROM pairs p JOIN sh sa ON sa.id = p.a JOIN sh sb ON sb.id = p.b
+)
+SELECT doc_id_a, doc_id_b,
+       inter * 1000000 // greatest(uni, 1) AS jac_e6,
+       inter * 1000000 >= 500000 * uni AS is_match
+FROM j
+"""
 
 
 def dedup_simhash(sf_dir: str):
     """SimHash near-dup clusters (distributed band buckets + Hamming<=3
-    verify -> components)."""
-    from sassy_ray.functions.dedup import simhash_neardup_clusters
+    verify -> components).  Token hashes are md5 prefixes, so the SQL
+    oracle recomputes the 64-bit simhash, the Hamming distances AND the
+    transitive clusters from the raw text + exported candidate pairs."""
+    from sassy_ray.functions.dedup import simhash_neardup
 
     ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
-    return simhash_neardup_clusters(ds, max_hamming=3).sort("doc_id")
+    res = simhash_neardup(ds, max_hamming=3)
+    _oracle_export("dedup_simhash_pairs", _collect(res["pairs"]))
+    return res["clusters_fn"]().sort("doc_id")
+
+
+# simhash recomputed from scratch: token hash = first 16 md5 hex chars as
+# uint64 (mirrors functions/dedup._token_hash64), bit b of the simhash set
+# iff 2*count(bit set) > n_tokens, Hamming via bit_count(xor), components
+# via recursive closure over the exported candidate pairs.
+_SIMHASH_SQL_CTE = """
+toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+tokh AS (
+  SELECT id, CAST(list_sum(list_transform(range(16), i ->
+      (strpos('0123456789abcdef', substr(md5(tok), i+1, 1)) - 1)::HUGEINT * (1::HUGEINT << ((15-i)*4))
+  )) AS UBIGINT) AS th
+  FROM toks WHERE tok <> ''
+),
+bits AS (
+  SELECT id, b.b, sum(CAST((th >> b.b) & 1 AS BIGINT)) AS ones, count(*) AS ntok
+  FROM tokh, (SELECT range AS b FROM range(64)) b
+  GROUP BY id, b.b
+),
+sh AS (
+  SELECT id, CAST(sum(CASE WHEN ones * 2 > ntok THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS UBIGINT) AS simhash
+  FROM bits GROUP BY id
+)
+"""
+
+DEDUP_SIMHASH_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT CAST(doc_id_a AS VARCHAR) AS a, CAST(doc_id_b AS VARCHAR) AS b
+  FROM read_parquet('{_ORACLE_EXPORT_DIR}/dedup_simhash_pairs.parquet')
+),
+{_SIMHASH_SQL_CTE},
+d AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents),
+ham AS (
+  SELECT p.a, p.b, bit_count(xor(coalesce(ha.simhash, 0), coalesce(hb.simhash, 0))) AS hd
+  FROM pairs p
+  LEFT JOIN sh ha ON ha.id = p.a
+  LEFT JOIN sh hb ON hb.id = p.b
+),
+edges AS (SELECT a, b FROM ham WHERE hd <= 3),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM d
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -773,6 +901,9 @@ ORACLE_SQL = {
     "filter_nonmatching_docs": FILTER_NONMATCHING_DOCS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "dedup_minhash": DEDUP_MINHASH_SQL,
+    "ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "lang_stats": LANG_STATS_SQL,
