@@ -15,7 +15,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["lang_id_batch", "quality_batch", "token_count_batch", "fingerprint_batch"]
+__all__ = [
+    "lang_id_batch",
+    "quality_batch",
+    "token_count_batch",
+    "fingerprint_batch",
+    "md5_fingerprint_batch",
+]
 
 # tiny per-language marker sets (function words / frequent char bigrams);
 # deterministic heuristic, no model files
@@ -34,13 +40,16 @@ _PUNCT = set(".,;:!?()[]{}\"'`")
 
 
 def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Marker-word language ID.  ``score_e6`` is integer-exact
+    (matches * 1e6 // distinct words) so the DuckDB SQL twin reproduces it
+    bit-for-bit — no float rounding-mode hazards."""
     texts = batch.column(text_col).to_pylist()
     langs, scores = [], []
     for t in texts:
         t = t or ""
         if any("一" <= ch <= "鿿" for ch in t[:200]):
             langs.append("zh")
-            scores.append(1.0)
+            scores.append(1_000_000)
             continue
         words = set(w.lower() for w in _WORD_RE.findall(t))
         best, best_n = "und", 0
@@ -49,39 +58,39 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             if n > best_n:
                 best, best_n = lang, n
         langs.append(best)
-        scores.append(best_n / max(1, len(words)))
+        scores.append(best_n * 1_000_000 // max(1, len(words)))
     return batch.append_column("pred_lang", pa.array(langs)).append_column(
-        "lang_score", pa.array(np.round(scores, 4))
+        "score_e6", pa.array(scores, pa.int64())
     )
 
 
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality features with integer-exact e6 ratios (x * 1e6 // denom) —
+    bit-reproducible in the SQL oracle."""
     texts = batch.column(text_col).to_pylist()
     n = len(texts)
     n_chars = np.zeros(n, dtype=np.int64)
     n_tokens = np.zeros(n, dtype=np.int64)
-    punct_ratio = np.zeros(n)
-    stop_ratio = np.zeros(n)
-    mean_word_len = np.zeros(n)
+    punct_e6 = np.zeros(n, dtype=np.int64)
+    stop_e6 = np.zeros(n, dtype=np.int64)
+    wordlen_e6 = np.zeros(n, dtype=np.int64)
     stop = _LANG_MARKERS["en"]
     for i, t in enumerate(texts):
         t = t or ""
         n_chars[i] = len(t)
         toks = t.split()
         n_tokens[i] = len(toks)
-        if t:
-            punct_ratio[i] = sum(c in _PUNCT for c in t) / len(t)
-        if toks:
-            stop_ratio[i] = sum(w.lower() in stop for w in toks) / len(toks)
-            mean_word_len[i] = sum(len(w) for w in toks) / len(toks)
+        punct_e6[i] = sum(c in _PUNCT for c in t) * 1_000_000 // max(1, len(t))
+        stop_e6[i] = sum(w.lower() in stop for w in toks) * 1_000_000 // max(1, len(toks))
+        wordlen_e6[i] = sum(len(w) for w in toks) * 1_000_000 // max(1, len(toks))
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "n_chars": pa.array(n_chars),
             "n_tokens": pa.array(n_tokens),
-            "punct_ratio": pa.array(np.round(punct_ratio, 4)),
-            "stopword_ratio": pa.array(np.round(stop_ratio, 4)),
-            "mean_word_len": pa.array(np.round(mean_word_len, 4)),
+            "punct_e6": pa.array(punct_e6),
+            "stop_e6": pa.array(stop_e6),
+            "wordlen_e6": pa.array(wordlen_e6),
         }
     )
 
@@ -117,6 +126,24 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             continue
         arr = np.frombuffer(t, dtype=np.uint8).astype(np.uint64)
         out[i] = (arr * pows[maxlen - len(arr) :]).sum(dtype=np.uint64)
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "fingerprint64": pa.array(out, pa.uint64())}
+    )
+
+
+def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit content fingerprint: first 8 bytes of md5(utf8 text), big-
+    endian — reproducible as SQL (parse the first 16 md5 hex chars)."""
+    import hashlib
+
+    out = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5((t or "").encode()).digest()[:8], "big")
+            for t in batch.column(text_col).to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(batch),
+    )
     return pa.table(
         {"doc_id": batch.column("doc_id"), "fingerprint64": pa.array(out, pa.uint64())}
     )

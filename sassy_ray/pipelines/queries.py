@@ -410,6 +410,7 @@ def search_approx(sf_dir: str):
         # autoscaling actor pool sized by the cluster, not a fixed 2
         concurrency=(1, max(2, cpus)),
     )
+    _export_search_approx_oracle(sf_dir)
     return out.sort(["doc_id", "text_start", "cost"])
 
 
@@ -444,8 +445,64 @@ SELECT * FROM documents WHERE NOT contains(text, '{SEARCH_PATTERN}')
 """
 
 
+# DP-oracle exports run on the driver at correctness-gate scale only (the
+# documents table at sf0.01 is 500 rows; the synthesized DNA corpus ~600).
+# Bench runs at sf0.1+ skip them so the measured query time stays the
+# pipeline's, not the oracle harness's.
+_ORACLE_EXPORT_MAX_DOCS = 1500
+
+
+def _export_search_approx_oracle(sf_dir: str) -> None:
+    """Pure-DP (OracleSearcher) matches of the search_approx config over the
+    documents table — the independent implementation the kernel pipeline is
+    compared against."""
+    import pyarrow.parquet as pq
+
+    if pq.read_metadata(_path(sf_dir, "documents")).num_rows > _ORACLE_EXPORT_MAX_DOCS:
+        return
+    from sassy_ray.kernel.oracle import OracleSearcher
+
+    tbl = pq.read_table(_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    osr = OracleSearcher("ascii_ci", rc=False)
+    pat = SEARCH_PATTERN.encode()
+    rows: dict[str, list] = {k: [] for k in ("doc_id", "pattern_idx", "text_start", "text_end", "cost", "cigar")}
+    for did, text in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        for m in osr.search(pat, (text or "").encode(), 1):
+            rows["doc_id"].append(did)
+            rows["pattern_idx"].append(0)
+            rows["text_start"].append(m.text_start)
+            rows["text_end"].append(m.text_end)
+            rows["cost"].append(m.cost)
+            rows["cigar"].append(m.cigar)
+    _oracle_export(
+        "search_approx_matches",
+        pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "pattern_idx": pa.array(rows["pattern_idx"], pa.int64()),
+                "text_start": pa.array(rows["text_start"], pa.int64()),
+                "text_end": pa.array(rows["text_end"], pa.int64()),
+                "cost": pa.array(rows["cost"], pa.int32()),
+                "cigar": pa.array(rows["cigar"], pa.string()),
+            }
+        ),
+    )
+
+
+SEARCH_APPROX_SQL = f"""
+SELECT * FROM read_parquet('{_ORACLE_EXPORT_DIR}/search_approx_matches.parquet')
+"""
+
+MATCH_COST_HISTOGRAM_SQL = f"""
+SELECT cost, count(*) AS n
+FROM read_parquet('{_ORACLE_EXPORT_DIR}/search_approx_matches.parquet')
+GROUP BY cost
+"""
+
+
 def match_cost_histogram(sf_dir: str):
-    """A1 cost histogram over approx matches (rows-only)."""
+    """A1 cost histogram over approx matches (kernel side), vs the DP-oracle
+    matches aggregated in SQL."""
     matches = search_approx(sf_dir)
     out = matches.groupby("cost").count()
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).rename_columns(
@@ -915,55 +972,140 @@ ORACLE_SQL = {
 # ---------------------------------------------------------------------------
 
 
-def _dna_texts_ds(sf_dir: str):
-    """Deterministic DNA corpus (with spans concatenated) sized by sf."""
-    import pyarrow.parquet as pq
-
-    from sassy_ray.sources.docs import add_doc_text
+def _dna_docs_table(sf_dir: str) -> pa.Table:
     from sassy_ray.sources.synth import dna_corpus
+    import pyarrow.parquet as pq
 
     n = pq.read_metadata(_path(sf_dir, "documents")).num_rows
     docs, _ = dna_corpus(n_docs=max(50, n // 2), seed=42)
-    return _rd().from_arrow(docs).map_batches(add_doc_text, batch_format="pyarrow")
+    return docs
+
+
+def _dna_texts_ds(sf_dir: str):
+    """Deterministic DNA corpus (with spans concatenated) sized by sf."""
+    from sassy_ray.sources.docs import add_doc_text
+
+    return (
+        _rd()
+        .from_arrow(_dna_docs_table(sf_dir))
+        .map_batches(add_doc_text, batch_format="pyarrow")
+    )
+
+
+def _export_dna_grep_oracle(
+    name: str,
+    sf_dir: str,
+    patterns: list[tuple[str, bytes]],
+    k: int,
+    all_minima: bool = False,
+    rename_pat: str | None = None,
+    export_corpus: str | None = None,
+) -> pa.Table | None:
+    """Pure-DP (OracleSearcher, dna/rc) matches of the given pattern set over
+    the synthesized DNA corpus, exported for the SQL twin.  Returns the
+    corpus table (or None when skipped at bench scales)."""
+    from sassy_ray.functions.matches import matches_to_table
+    from sassy_ray.kernel.oracle import OracleSearcher
+    from sassy_ray.sources.docs import concat_spans
+
+    docs = _dna_docs_table(sf_dir)
+    if docs.num_rows > _ORACLE_EXPORT_MAX_DOCS:
+        return None
+    ids = docs.column("doc_id").to_pylist()
+    texts = [t.encode() for t in concat_spans(docs.column("spans")).to_pylist()]
+    osr = OracleSearcher("dna", rc=True)
+    rows = []
+    for tid, text in zip(ids, texts):
+        for pid, pseq in patterns:
+            ms = osr.search_all(pseq, text, k) if all_minima else osr.search(pseq, text, k)
+            rows.extend((pid, tid, text, m) for m in ms)
+    t = matches_to_table(rows, "iupac")
+    if rename_pat:
+        t = t.rename_columns([rename_pat] + t.column_names[1:])
+    _oracle_export(name, t)
+    if export_corpus:
+        _oracle_export(
+            export_corpus,
+            pa.table({"doc_id": pa.array(ids), "text": pa.array([t.decode() for t in texts])}),
+        )
+    return docs
 
 
 def grep_search(sf_dir: str):
-    """sassy search: pattern set vs DNA corpus -> ordered 8-col matches."""
+    """sassy search: pattern set vs DNA corpus -> ordered 8-col matches.
+    Oracle: the same matches recomputed by the pure-DP OracleSearcher."""
     from sassy_ray.pipelines.grep import GrepConfig, run_grep
 
-    cfg = GrepConfig(
-        patterns=[("p1", b"ACGTACGTACGT"), ("p2", b"TTGACCTTGACC")], k=2, alphabet="dna", rc=True
-    )
+    pats = [("p1", b"ACGTACGTACGT"), ("p2", b"TTGACCTTGACC")]
+    cfg = GrepConfig(patterns=pats, k=2, alphabet="dna", rc=True)
+    _export_dna_grep_oracle("grep_search_matches", sf_dir, pats, k=2)
     return run_grep(_dna_texts_ds(sf_dir), cfg)["matches"]
 
 
+GREP_SEARCH_SQL = f"""
+SELECT * FROM read_parquet('{_ORACLE_EXPORT_DIR}/grep_search_matches.parquet')
+"""
+
+
 def grep_filter(sf_dir: str):
-    """sassy filter: docs with >=1 match (all columns preserved)."""
+    """sassy filter: docs with >=1 match (all columns preserved).  Oracle:
+    semi-join of the exported corpus against the DP-oracle match ids."""
     from sassy_ray.pipelines.grep import GrepConfig, run_grep
 
-    cfg = GrepConfig(patterns=[("p1", b"ACGTACGTACGT")], k=2, alphabet="dna", rc=True)
+    pats = [("p1", b"ACGTACGTACGT")]
+    cfg = GrepConfig(patterns=pats, k=2, alphabet="dna", rc=True)
+    _export_dna_grep_oracle(
+        "grep_filter_matches", sf_dir, pats, k=2, export_corpus="grep_corpus"
+    )
     out = run_grep(_dna_texts_ds(sf_dir), cfg)["filtered"]
     return out.select_columns(["doc_id", "text"]).sort("doc_id")
+
+
+GREP_FILTER_SQL = f"""
+SELECT doc_id, text FROM read_parquet('{_ORACLE_EXPORT_DIR}/grep_corpus.parquet')
+WHERE doc_id IN (
+  SELECT DISTINCT text_id FROM read_parquet('{_ORACLE_EXPORT_DIR}/grep_filter_matches.parquet')
+)
+"""
 
 
 def grep_cost_histogram(sf_dir: str):
     from sassy_ray.pipelines.grep import GrepConfig, run_grep
 
-    cfg = GrepConfig(patterns=[("p1", b"ACGTACGTACGT")], k=3, alphabet="dna", rc=True)
+    pats = [("p1", b"ACGTACGTACGT")]
+    cfg = GrepConfig(patterns=pats, k=3, alphabet="dna", rc=True)
+    _export_dna_grep_oracle("grep_hist_matches", sf_dir, pats, k=3)
     return pa.Table.from_pandas(run_grep(_dna_texts_ds(sf_dir), cfg)["histogram"])
 
 
+GREP_COST_HISTOGRAM_SQL = f"""
+SELECT cost, count(*) AS n
+FROM read_parquet('{_ORACLE_EXPORT_DIR}/grep_hist_matches.parquet')
+GROUP BY cost
+"""
+
+
 def crispr_offtarget(sf_dir: str):
-    """CRISPR off-target search over the DNA corpus."""
-    from sassy_ray.pipelines.crispr import CrisprConfig, CrisprConfig as _C, run_crispr
+    """CRISPR off-target search over the DNA corpus (allow_pam_edits ->
+    all-minima search).  Oracle: pure-DP search_all with the same guide."""
+    from sassy_ray.pipelines.crispr import CrisprConfig, run_crispr
 
     texts = _dna_texts_ds(sf_dir).materialize()
     first = next(iter(texts.iter_batches(batch_size=1, batch_format="pyarrow")))
     seq = first.column("text")[0].as_py()
     guide = (seq[10:25] if len(seq) >= 25 else (seq * 3)[:15]).encode()
+    _export_dna_grep_oracle(
+        "crispr_matches", sf_dir, [(guide.decode(), guide)], k=2, all_minima=True,
+        rename_pat="guide",
+    )
     cfg = CrisprConfig([guide], k=2, pam_length=3, allow_pam_edits=True)
     out, _n = run_crispr(texts, cfg)
     return out.sort(["text_id", "start", "guide"])
+
+
+CRISPR_OFFTARGET_SQL = f"""
+SELECT * FROM read_parquet('{_ORACLE_EXPORT_DIR}/crispr_matches.parquet')
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -972,20 +1114,71 @@ def crispr_offtarget(sf_dir: str):
 
 
 def lang_id(sf_dir: str):
-    """n-gram heuristic language ID (rows-only; driver table has true lang)."""
+    """Marker-word heuristic language ID, fully recomputed by the SQL twin
+    (distinct lowercase words -> per-language marker intersection -> argmax
+    with fixed tie order; integer score_e6)."""
     from sassy_ray.functions.text import lang_id_batch
 
     ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
     return ds.map_batches(lang_id_batch, batch_format="pyarrow").select_columns(
-        ["doc_id", "lang", "pred_lang", "lang_score"]
+        ["doc_id", "lang", "pred_lang", "score_e6"]
     )
 
 
+LANG_ID_SQL = """
+WITH w AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(regexp_extract_all(text, '[a-zA-Z]+'), x -> lower(x))) AS words,
+         regexp_matches(substr(text, 1, 200), '[一-鿿]') AS cjk
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, cjk, len(words) AS nw,
+         len(list_intersect(words, ['the','and','of','to','in','is','it','that'])) AS n_en,
+         len(list_intersect(words, ['der','die','das','und','nicht','ist','ich'])) AS n_de,
+         len(list_intersect(words, ['le','la','les','et','est','une','que'])) AS n_fr,
+         len(list_intersect(words, ['el','los','las','es','una','que','por'])) AS n_es
+  FROM w
+)
+SELECT doc_id, lang,
+  CASE WHEN cjk THEN 'zh'
+       WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'und'
+       WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+       WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+       WHEN n_fr >= n_es THEN 'fr'
+       ELSE 'es' END AS pred_lang,
+  CAST(CASE WHEN cjk THEN 1000000
+       ELSE greatest(n_en, n_de, n_fr, n_es) * 1000000 // greatest(nw, 1) END AS BIGINT) AS score_e6
+FROM s
+"""
+
+
 def quality_scores(sf_dir: str):
+    """Length / punctuation / stopword / word-length features; e6 integer
+    ratios recomputed exactly by the SQL twin."""
     from sassy_ray.functions.text import quality_batch
 
     ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+QUALITY_SCORES_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST((length(text) - length(regexp_replace(text, '[.,;:!?()\\[\\]{}"''`]', '', 'g'))) * 1000000
+       // greatest(length(text), 1) AS BIGINT) AS punct_e6,
+  CAST(len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','in','is','it','that'))) * 1000000
+       // greatest(len(toks), 1) AS BIGINT) AS stop_e6,
+  CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 1000000
+       // greatest(len(toks), 1) AS BIGINT) AS wordlen_e6
+FROM t
+"""
 
 
 def token_counts(sf_dir: str):
@@ -1005,11 +1198,22 @@ FROM documents
 
 
 def doc_fingerprint64(sf_dir: str):
-    """Rolling-hash 64-bit fingerprint per doc (rows-only; deterministic)."""
-    from sassy_ray.functions.text import fingerprint_batch
+    """64-bit md5-prefix content fingerprint per doc, recomputed by the SQL
+    twin (the rolling-hash variant lives in functions/text.fingerprint_batch,
+    pinned by tests; this SQL-checkable one is the queries() entry)."""
+    from sassy_ray.functions.text import md5_fingerprint_batch
 
     ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return ds.map_batches(md5_fingerprint_batch, batch_format="pyarrow")
+
+
+DOC_FINGERPRINT64_SQL = """
+SELECT doc_id,
+  CAST(list_sum(list_transform(range(16), i ->
+      (strpos('0123456789abcdef', substr(md5(text), i+1, 1)) - 1)::HUGEINT * (1::HUGEINT << ((15-i)*4))
+  )) AS UBIGINT) AS fingerprint64
+FROM documents
+"""
 
 
 def media_features(sf_dir: str):
@@ -1230,7 +1434,16 @@ QUERIES.update(
 
 ORACLE_SQL.update(
     {
+        "search_approx": SEARCH_APPROX_SQL,
+        "match_cost_histogram": MATCH_COST_HISTOGRAM_SQL,
+        "grep_search": GREP_SEARCH_SQL,
+        "grep_filter": GREP_FILTER_SQL,
+        "grep_cost_histogram": GREP_COST_HISTOGRAM_SQL,
+        "crispr_offtarget": CRISPR_OFFTARGET_SQL,
         "token_counts": TOKEN_COUNTS_SQL,
+        "lang_id": LANG_ID_SQL,
+        "quality_scores": QUALITY_SCORES_SQL,
+        "doc_fingerprint64": DOC_FINGERPRINT64_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "semi_join_users": SEMI_JOIN_SQL,
         "anti_join_users": ANTI_JOIN_SQL,

@@ -50,7 +50,7 @@ def test_quality():
     out = quality_batch(docs_table())
     assert out.column("n_tokens").to_pylist() == [9, 9, 0]
     assert out.column("n_chars").to_pylist()[0] == 34
-    assert out.column("stopword_ratio").to_pylist()[0] > 0.3
+    assert out.column("stop_e6").to_pylist()[0] > 300_000
 
 
 def test_token_counts():
