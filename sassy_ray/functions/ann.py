@@ -1,21 +1,28 @@
 """Similarity search over embedding columns.
 
 - ``brute_force_topk``: exact cosine top-k — numpy matmul per batch against a
-  broadcast query matrix (the baseline; one pass, no shuffle);
-- ``ivf_topk``: IVF-bucketed approximate top-k — k-means-ish coarse centroids
-  (seeded sample), assign rows to nearest centroid inside map_batches, probe
-  only ``nprobe`` buckets (the scale path: at 10^12 rows the assignment is
-  the only full pass; probes touch a fraction);
+  broadcast query matrix, per-batch partial top-k, k-sized merges on the
+  driver (the baseline; one pass, no shuffle);
+- ``ivf_topk``: IVF-bucketed approximate top-k — coarse centroids (seeded
+  sample + Lloyd iterations), assign rows to nearest centroid inside
+  map_batches, and compute query similarities ONLY for rows in probed
+  buckets (the probe filter runs before the matmul, so IVF actually saves
+  FLOPs); per-batch partial top-k like brute force;
 - ``embedding_neardup_pairs``: cosine>=tau near-duplicate pairs via the same
-  bucketing (candidates within bucket only, exact verify).
+  bucketing — candidate pairs are generated within salted sub-buckets with a
+  per-bucket pair budget (no unsalted O(n^2) hot bucket), exact verify is a
+  bucket-local matmul (no driver concat, no broadcast of the embedding side).
 """
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
-__all__ = ["brute_force_topk", "ivf_topk", "embedding_neardup_pairs"]
+__all__ = ["brute_force_topk", "ivf_topk", "embedding_neardup_pairs", "coarse_centroids"]
 
 
 def _norm_rows(M: np.ndarray) -> np.ndarray:
@@ -33,41 +40,20 @@ def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     return flat.reshape(len(arr), dim)
 
 
-def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id"):
-    """Exact top-k per query row: per-batch partial top-k, merged on driver.
-    Returns (n_queries, k) arrays of ids and sims."""
-    Q = _norm_rows(np.asarray(queries, dtype=np.float64))
-    parts: list[tuple[np.ndarray, np.ndarray]] = []
-
-    def score(batch: pa.Table) -> pa.Table:
-        M = _norm_rows(_emb_matrix(batch))
-        sims = M @ Q.T  # (rows, nq)
-        ids = np.asarray(batch.column(id_col).to_pylist())
-        kk = min(k, len(ids))
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, nq)
-        out_ids = ids[top]
-        out_sims = np.take_along_axis(sims, top, axis=0)
-        return pa.table(
-            {
-                "qi": pa.array(np.arange(out_ids.shape[1]), pa.int64()),
-                "ids": pa.array(out_ids.T.tolist(), pa.list_(pa.int64())),
-                "sims": pa.array(out_sims.T.tolist(), pa.list_(pa.float64())),
-            }
-        )
-
-    merged_ids = [[] for _ in range(len(Q))]
-    merged_sims = [[] for _ in range(len(Q))]
-    for b in ds.map_batches(score, batch_format="pyarrow").iter_batches(
-        batch_size=4096, batch_format="pyarrow"
-    ):
+def _merge_partial_topk(batches, n_queries: int, k: int):
+    """Merge per-batch (qi, ids, sims) partial top-k rows: the driver only
+    ever sees k rows per (query, batch)."""
+    merged_ids: list[list] = [[] for _ in range(n_queries)]
+    merged_sims: list[list] = [[] for _ in range(n_queries)]
+    for b in batches:
         for qi, ids, sims in zip(
             b.column("qi").to_pylist(), b.column("ids").to_pylist(), b.column("sims").to_pylist()
         ):
             merged_ids[qi].extend(ids)
             merged_sims[qi].extend(sims)
-    out_ids = np.zeros((len(Q), k), dtype=np.int64)
-    out_sims = np.zeros((len(Q), k))
-    for qi in range(len(Q)):
+    out_ids = np.zeros((n_queries, k), dtype=np.int64)
+    out_sims = np.zeros((n_queries, k))
+    for qi in range(n_queries):
         s = np.asarray(merged_sims[qi])
         i = np.asarray(merged_ids[qi])
         order = np.lexsort((i, -s))[:k]
@@ -76,13 +62,55 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id
     return out_ids, out_sims
 
 
-def _coarse_centroids(ds, n_centroids: int, seed: int, id_col: str) -> np.ndarray:
+def _partial_topk_table(ids: np.ndarray, sims: np.ndarray, k: int) -> pa.Table:
+    """(rows,) ids + (rows, nq) sims -> per-query top-k rows."""
+    nq = sims.shape[1]
+    out_ids, out_sims, out_q = [], [], []
+    for qi in range(nq):
+        s = sims[:, qi]
+        kk = min(k, len(s))
+        if kk == 0:
+            out_ids.append([])
+            out_sims.append([])
+        else:
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_ids.append(ids[top].tolist())
+            out_sims.append(s[top].tolist())
+        out_q.append(qi)
+    return pa.table(
+        {
+            "qi": pa.array(out_q, pa.int64()),
+            "ids": pa.array(out_ids, pa.list_(pa.int64())),
+            "sims": pa.array(out_sims, pa.list_(pa.float64())),
+        }
+    )
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id"):
+    """Exact top-k per query row: per-batch partial top-k, merged on driver.
+    Returns (n_queries, k) arrays of ids and sims."""
+    Q = _norm_rows(np.asarray(queries, dtype=np.float64))
+
+    def score(batch: pa.Table) -> pa.Table:
+        M = _norm_rows(_emb_matrix(batch))
+        sims = M @ Q.T  # (rows, nq)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        return _partial_topk_table(ids, sims, k)
+
+    batches = ds.map_batches(score, batch_format="pyarrow").iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    )
+    return _merge_partial_topk(batches, len(Q), k)
+
+
+def coarse_centroids(ds, n_centroids: int, seed: int = 42, id_col: str = "vec_id") -> np.ndarray:
+    """Seeded-sample k-means-ish coarse quantizer (a few Lloyd iterations on
+    the sample; the only full passes over the data are the assignments)."""
     sample = ds.random_sample(min(1.0, max(0.05, n_centroids * 20 / max(1, ds.count()))), seed=seed)
     M = _norm_rows(_emb_matrix(pa.concat_tables(sample.iter_batches(batch_size=65536, batch_format="pyarrow"))))
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(M), size=min(n_centroids, len(M)), replace=False)
     C = M[idx]
-    # a few Lloyd iterations on the sample
     for _ in range(5):
         assign = np.argmax(M @ C.T, axis=1)
         for c in range(len(C)):
@@ -93,87 +121,149 @@ def _coarse_centroids(ds, n_centroids: int, seed: int, id_col: str) -> np.ndarra
     return C
 
 
-def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16, nprobe: int = 4, seed: int = 42, id_col: str = "vec_id"):
-    """IVF approximate top-k: assign rows to coarse buckets, probe the
-    ``nprobe`` nearest buckets per query."""
-    C = _coarse_centroids(ds, n_centroids, seed, id_col)
+# backwards-compat private alias (round-1 name)
+_coarse_centroids = lambda ds, n_centroids, seed, id_col: coarse_centroids(ds, n_centroids, seed, id_col)  # noqa: E731
+
+
+def assign_buckets_batch(batch: pa.Table, C: np.ndarray, id_col: str = "vec_id") -> pa.Table:
+    """(vec_id, bucket) assignment rows — the cheap full pass of IVF."""
+    M = _norm_rows(_emb_matrix(batch))
+    a = np.argmax(M @ C.T, axis=1)
+    return pa.table(
+        {id_col: batch.column(id_col), "bucket": pa.array(a.astype(np.int64))}
+    )
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+):
+    """IVF approximate top-k: assign rows to coarse buckets, score ONLY rows
+    falling in the ``nprobe`` nearest buckets of some query (probe filter
+    before the query matmul), per-batch partial top-k merged on the driver."""
+    C = centroids if centroids is not None else coarse_centroids(ds, n_centroids, seed, id_col)
     Q = _norm_rows(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    probe_sets = [set(p.tolist()) for p in probe]
+    probe_union = np.unique(probe)
+    probe_masks = [np.isin(probe_union, p) for p in probe]  # per query, over kept buckets
 
     def score(batch: pa.Table) -> pa.Table:
         M = _norm_rows(_emb_matrix(batch))
         assign = np.argmax(M @ C.T, axis=1)
-        ids = np.asarray(batch.column(id_col).to_pylist())
-        sims = M @ Q.T
-        rows_ids, rows_sims, rows_q = [], [], []
-        for qi, pset in enumerate(probe_sets):
-            mask = np.isin(assign, list(pset))
-            rows_ids.append(ids[mask])
-            rows_sims.append(sims[mask, qi])
-            rows_q.append(np.full(mask.sum(), qi))
-        return pa.table(
-            {
-                "qi": pa.array(np.concatenate(rows_q).astype(np.int64)),
-                "vec_id": pa.array(np.concatenate(rows_ids).astype(np.int64)),
-                "sim": pa.array(np.concatenate(rows_sims)),
-            }
-        )
+        keep = np.isin(assign, probe_union)
+        ids = np.asarray(batch.column(id_col).to_pylist())[keep]
+        if not keep.any():
+            return _partial_topk_table(ids, np.zeros((0, len(Q))), k)
+        Mf, af = M[keep], assign[keep]
+        sims = Mf @ Q.T  # FLOPs only for probed rows
+        # mask out rows whose bucket this query does not probe
+        bucket_pos = np.searchsorted(probe_union, af)
+        for qi, pm in enumerate(probe_masks):
+            sims[~pm[bucket_pos], qi] = -np.inf
+        return _partial_topk_table(ids, sims, k)
 
-    cand = pa.concat_tables(
-        ds.map_batches(score, batch_format="pyarrow").iter_batches(
-            batch_size=65536, batch_format="pyarrow"
-        )
+    batches = ds.map_batches(score, batch_format="pyarrow").iter_batches(
+        batch_size=4096, batch_format="pyarrow"
     )
-    out_ids = np.zeros((len(Q), k), dtype=np.int64)
-    out_sims = np.zeros((len(Q), k))
-    qi_arr = cand.column("qi").to_numpy()
-    id_arr = cand.column("vec_id").to_numpy()
-    s_arr = cand.column("sim").to_numpy()
-    for qi in range(len(Q)):
-        m = qi_arr == qi
-        s, i = s_arr[m], id_arr[m]
-        order = np.lexsort((i, -s))[:k]
-        out_ids[qi, : len(order)] = i[order]
-        out_sims[qi, : len(order)] = s[order]
+    out_ids, out_sims = _merge_partial_topk(batches, len(Q), k)
+    out_sims[out_sims == -np.inf] = 0.0
     return out_ids, out_sims
 
 
-def embedding_neardup_pairs(ds, tau: float = 0.95, n_centroids: int = 16, seed: int = 42, id_col: str = "vec_id") -> pa.Table:
-    """cosine >= tau pairs via coarse bucketing + exact within-bucket verify."""
-    C = _coarse_centroids(ds, n_centroids, seed, id_col)
+def embedding_neardup_pairs(
+    ds,
+    tau: float = 0.95,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    salt_cap: int = 256,
+    max_pairs_per_bucket: int = 65536,
+    centroids: np.ndarray | None = None,
+):
+    """cosine >= tau pairs via coarse bucketing + bucket-local exact verify.
+
+    Hot buckets are SALTED: groups above ``salt_cap`` split into deterministic
+    crc32 sub-buckets, pairs generated within sub-buckets only, with a
+    per-bucket pair budget — bounded work per group, documented recall
+    tradeoff (mirrors stages/pairs.py).  Returns dict(candidates=Dataset of
+    (vec_id_a, vec_id_b, sim), pairs_fn=() -> matched pairs Table)."""
+    C = centroids if centroids is not None else coarse_centroids(ds, n_centroids, seed, id_col)
 
     def assign(batch: pa.Table) -> pa.Table:
-        M = _norm_rows(_emb_matrix(batch))
-        a = np.argmax(M @ C.T, axis=1)
-        return batch.append_column("bucket", pa.array(a.astype(np.int64)))
-
-    import pandas as pd
+        return batch.append_column(
+            "bucket", assign_buckets_batch(batch, C, id_col).column("bucket")
+        )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        M = _norm_rows(np.stack(g["embedding"].to_numpy()))
         ids = g[id_col].to_numpy()
-        S = M @ M.T
-        iu = np.triu_indices(len(ids), 1)
-        mask = S[iu] >= tau
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = _norm_rows(np.stack(g["embedding"].to_numpy()))[order]
+        if len(ids) > salt_cap:
+            nb = -(-len(ids) // salt_cap)
+            salt = np.array([zlib.crc32(str(d).encode()) % nb for d in ids])
+            groups = [np.nonzero(salt == s)[0] for s in range(nb)]
+        else:
+            groups = [np.arange(len(ids))]
+        budget = max_pairs_per_bucket
+        a_out, b_out, s_out = [], [], []
+        for gi in groups:
+            if budget <= 0 or len(gi) < 2:
+                continue
+            sub_ids = ids[gi]
+            S = M[gi] @ M[gi].T
+            iu = np.triu_indices(len(gi), 1)
+            take = min(budget, len(iu[0]))
+            a_out.append(sub_ids[iu[0][:take]])
+            b_out.append(sub_ids[iu[1][:take]])
+            s_out.append(S[iu][:take])  # raw float64: thresholding must not
+            # see pre-rounded values (the SQL oracle compares unrounded)
+            budget -= take
+        if not a_out:
+            return pd.DataFrame(
+                {
+                    "vec_id_a": pd.Series(dtype="int64"),
+                    "vec_id_b": pd.Series(dtype="int64"),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
         return pd.DataFrame(
             {
-                "vec_id_a": ids[iu[0][mask]].astype(np.int64),
-                "vec_id_b": ids[iu[1][mask]].astype(np.int64),
-                "sim": np.round(S[iu][mask], 6),
+                "vec_id_a": np.concatenate(a_out).astype(np.int64),
+                "vec_id_b": np.concatenate(b_out).astype(np.int64),
+                "sim": np.concatenate(s_out),
             }
         )
 
-    out = (
+    candidates = (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
+        .materialize()
     )
-    df = out.to_pandas()
-    if df.empty:
-        import pandas as pd
 
-        df = pd.DataFrame(
-            {"vec_id_a": pd.Series(dtype="int64"), "vec_id_b": pd.Series(dtype="int64"), "sim": pd.Series(dtype="float64")}
+    def pairs_fn() -> pa.Table:
+        import pyarrow.compute as pc
+
+        matched = candidates.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("sim"), pa.scalar(tau))),
+            batch_format="pyarrow",
         )
-    return pa.Table.from_pandas(df, preserve_index=False)
+        parts = list(matched.iter_batches(batch_size=65536, batch_format="pyarrow"))
+        if not parts:
+            return pa.table(
+                {
+                    "vec_id_a": pa.array([], pa.int64()),
+                    "vec_id_b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    return {"candidates": candidates, "pairs_fn": pairs_fn}

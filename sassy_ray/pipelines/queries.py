@@ -721,14 +721,7 @@ def ann_topk(sf_dir: str):
     """Brute-force cosine top-10 neighbors of vec_id=0: numpy matmul per
     batch against the broadcast query vector (the scale path buckets by
     coarse quantizer; this is the exact baseline)."""
-    import pyarrow.parquet as pq
-
-    q = None
-    tbl = pq.read_table(_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    for vid, emb in zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()):
-        if vid == 0:
-            q = np.asarray(emb, dtype=np.float64)
-            break
+    q = _query_vec(sf_dir, 0)
     qn = q / np.linalg.norm(q)
     ds = _rd().read_parquet(_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
@@ -1247,20 +1240,37 @@ def media_features(sf_dir: str):
     return out.sort("media_ref")
 
 
+def _query_vec(sf_dir: str, vid: int = 0) -> np.ndarray:
+    import duckdb
+
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT embedding FROM '{_path(sf_dir, 'embeddings')}' WHERE vec_id = {vid}"
+    ).fetchone()[0]
+    con.close()
+    return np.asarray(emb, dtype=np.float64)
+
+
 def ann_ivf_topk(sf_dir: str):
-    """IVF-bucketed approximate top-k (scale path next to brute force)."""
-    import pyarrow.parquet as pq
+    """IVF-bucketed approximate top-k (scale path next to brute force).
+    The bucket ASSIGNMENTS and probed-bucket set are exported, so the SQL
+    twin recomputes the exact top-k by cosine over the probed subset —
+    checking the scoring path independently of the quantizer."""
+    from sassy_ray.functions.ann import assign_buckets_batch, coarse_centroids, ivf_topk
 
-    from sassy_ray.functions.ann import ivf_topk
-
-    tbl = pq.read_table(_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    q = None
-    for vid, emb in zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()):
-        if vid == 0:
-            q = np.asarray(emb)
-            break
     ds = _rd().read_parquet(_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    ids, sims = ivf_topk(ds, q[None, :], k=10)
+    q = _query_vec(sf_dir, 0)
+    C = coarse_centroids(ds, 16, seed=42)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(qn @ C.T))[:4]
+    assigns = _collect(
+        ds.map_batches(
+            lambda b: assign_buckets_batch(b, C), batch_format="pyarrow"
+        )
+    )
+    _oracle_export("ann_ivf_assign", assigns)
+    _oracle_export("ann_ivf_probed", pa.table({"bucket": pa.array(probe.astype(np.int64))}))
+    ids, sims = ivf_topk(ds, q[None, :], k=10, centroids=C, nprobe=4)
     return pa.table(
         {
             "vec_id": pa.array(ids[0], pa.int64()),
@@ -1269,16 +1279,45 @@ def ann_ivf_topk(sf_dir: str):
     )
 
 
+ANN_IVF_TOPK_SQL = f"""
+WITH a AS (SELECT * FROM read_parquet('{_ORACLE_EXPORT_DIR}/ann_ivf_assign.parquet')),
+p AS (SELECT * FROM read_parquet('{_ORACLE_EXPORT_DIR}/ann_ivf_probed.parquet'))
+SELECT e.vec_id,
+       CAST(round(list_cosine_similarity(e.embedding,
+            (SELECT embedding FROM embeddings WHERE vec_id = 0)) * 1000000) AS BIGINT) AS sim_e6
+FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+WHERE a.bucket IN (SELECT bucket FROM p)
+ORDER BY sim_e6 DESC, e.vec_id LIMIT 10
+"""
+
+
 def embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (bucketed + exact verify)."""
+    """Embedding-cosine near-duplicate pairs (salted bucket candidates +
+    bucket-local exact verify).  Candidates are exported; the SQL twin
+    recomputes the cosine threshold over them from the raw embeddings."""
     from sassy_ray.functions.ann import embedding_neardup_pairs
 
     ds = _rd().read_parquet(_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    t = embedding_neardup_pairs(ds, tau=0.35)
+    res = embedding_neardup_pairs(ds, tau=0.35)
+    _oracle_export(
+        "embedding_neardup_cands",
+        _collect(res["candidates"]).select(["vec_id_a", "vec_id_b"]),
+    )
+    t = res["pairs_fn"]()
     import pandas as pd
 
     df = t.to_pandas().sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(df[["vec_id_a", "vec_id_b"]], preserve_index=False)
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH c AS (SELECT * FROM read_parquet('{_ORACLE_EXPORT_DIR}/embedding_neardup_cands.parquet'))
+SELECT c.vec_id_a, c.vec_id_b
+FROM c
+JOIN embeddings ea ON ea.vec_id = c.vec_id_a
+JOIN embeddings eb ON eb.vec_id = c.vec_id_b
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.35
+"""
 
 
 def events_sessionize(sf_dir: str):
@@ -1681,6 +1720,8 @@ ORACLE_SQL.update(
         "asof_join_orders": ASOF_JOIN_SQL,
         "window_running_revenue": WINDOW_RUNNING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
+        "ann_ivf_topk": ANN_IVF_TOPK_SQL,
+        "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     }
 )
 
