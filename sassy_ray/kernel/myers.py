@@ -147,8 +147,10 @@ def batch_end_costs(
         jm = np.minimum(m_arr, mo)
         score = np.floor(jm * alpha).astype(np.int64) + np.maximum(m_arr - mo, 0)
 
-    costs = np.full((B, W), _BIG, dtype=np.int32)
-    costs[:, 0] = score
+    # (W, B) layout: the per-step score write is contiguous (the (B, W)
+    # column write strides W*4 bytes and thrashes cache at scan sizes)
+    costsT = np.full((W, B), _BIG, dtype=np.int32)
+    costsT[0] = score
 
     last_limb = np.maximum(m_arr - 1, 0) // 64  # (B,)
     score_shift = ((m_arr - 1) % 64).astype(np.uint64)
@@ -162,25 +164,24 @@ def batch_end_costs(
     zero64 = np.int64(0)
     n_uniform = bool((n_arr == n_arr[0]).all()) if B else True
 
+    if L == 1:
+        _scan_l1(
+            txt, n_arr, peq, score, score_shift, Pv, Mv, steps,
+            costsT=costsT, alpha=alpha, all_ones=all_ones,
+        )
+        costs = np.ascontiguousarray(costsT.T)
+        col = np.arange(W, dtype=np.int64)[None, :]
+        if alpha is not None:
+            o = col - n_arr[:, None]
+            in_ext = o > 0
+            over = np.floor(np.maximum(o, 0) * alpha).astype(np.int32)
+            costs = np.where(in_ext, costs + over, costs)
+        np.putmask(costs, col > max_pos[:, None], _BIG)
+        return costs, n_arr, max_pos
+
     for t in range(steps):
         cbytes = txt[:, t] if t < txt.shape[1] else np.zeros(B, dtype=np.intp)
-        if L == 1:
-            Eq = peq[bidx, cbytes, 0]
-            if alpha is not None and not (n_uniform and t < n_arr[0]):
-                Eq = np.where(t < n_arr, Eq, all_ones)
-            Pvl = Pv[:, 0]
-            Mvl = Mv[:, 0]
-            Xv = Eq | Mvl
-            Xh = (((Eq & Pvl) + Pvl) ^ Pvl) | Eq
-            Ph = Mvl | ~(Xh | Pvl)
-            Mh = Pvl & Xh
-            score += ((Ph >> score_shift) & _ONE).view(np.int64)
-            score -= ((Mh >> score_shift) & _ONE).view(np.int64)
-            Ph <<= _ONE
-            Mh <<= _ONE
-            Pv[:, 0] = Mh | ~(Xv | Ph)
-            Mv[:, 0] = Ph & Xv
-        else:
+        if True:
             hin_pos.fill(0)
             hin_neg.fill(0)
             in_text = t < n_arr
@@ -213,8 +214,9 @@ def batch_end_costs(
                 Mv[:, l] = Ph & Xv
                 hin_pos = hout_pos
                 hin_neg = hout_neg
-        costs[:, t + 1] = score  # unsafe downcast int64->int32 is fine (<2^30)
+        costsT[t + 1] = score  # unsafe downcast int64->int32 is fine (<2^30)
 
+    costs = np.ascontiguousarray(costsT.T)
     col = np.arange(W, dtype=np.int64)[None, :]
     if alpha is not None:
         # add floor(alpha*o) overshoot for extension positions
@@ -225,6 +227,246 @@ def batch_end_costs(
     # positions past each pair's max_pos are invalid
     np.putmask(costs, col > max_pos[:, None], _BIG)
     return costs, n_arr, max_pos
+
+
+def _scan_l1(
+    txt: np.ndarray,
+    n_arr: np.ndarray,
+    peq: np.ndarray,
+    score: np.ndarray,
+    score_shift: np.ndarray,
+    Pv: np.ndarray,
+    Mv: np.ndarray,
+    steps: int,
+    *,
+    costsT: np.ndarray | None = None,
+    best: np.ndarray | None = None,
+    alpha: float | None = None,
+    all_ones: np.uint64 = np.uint64(0xFFFFFFFFFFFFFFFF),
+) -> None:
+    """Single-limb hot loop, allocation-free: every step op writes into a
+    preallocated buffer (``out=``), the PEQ gather is a flat ``take`` (no 3-D
+    fancy index), and the text is read from a transposed contiguous layout.
+    ~3x the throughput of the naive expression-per-line loop — this is the
+    engine's stand-in for the reference's SIMD inner loop
+    (/root/reference/src/bitpacking.rs)."""
+    B = len(n_arr)
+    if B == 0:
+        return
+    A = peq.shape[1]
+    peq_flat = np.ascontiguousarray(peq[:, :, 0]).reshape(-1)
+    base = np.arange(B, dtype=np.intp) * A
+    txtT = np.ascontiguousarray(txt.T)  # (n_max, B): contiguous per-step read
+    n_max = txtT.shape[0]
+    Pv0 = Pv[:, 0].copy()
+    Mv0 = Mv[:, 0].copy()
+    Eq = np.empty(B, np.uint64)
+    Xv = np.empty(B, np.uint64)
+    Xh = np.empty(B, np.uint64)
+    Ph = np.empty(B, np.uint64)
+    Mh = np.empty(B, np.uint64)
+    tA = np.empty(B, np.uint64)
+    tb = np.empty(B, np.uint64)
+    idx = np.empty(B, np.intp)
+    bit = np.empty(B, np.uint64)
+    bit64 = bit.view(np.int64)
+    n_min = int(n_arr.min())
+    for t in range(steps):
+        if t < n_max:
+            np.add(base, txtT[t], out=idx)
+            np.take(peq_flat, idx, out=Eq)
+            if alpha is not None and t >= n_min:
+                # wildcard step past text end: every pattern char matches
+                np.copyto(Eq, all_ones, where=t >= n_arr)
+        else:
+            Eq.fill(all_ones)  # only reachable under overhang extension
+        np.bitwise_or(Eq, Mv0, out=Xv)
+        np.bitwise_and(Eq, Pv0, out=tA)
+        np.add(tA, Pv0, out=tA)
+        np.bitwise_xor(tA, Pv0, out=tA)
+        np.bitwise_or(tA, Eq, out=Xh)
+        np.bitwise_or(Xh, Pv0, out=tb)
+        np.invert(tb, out=tb)
+        np.bitwise_or(Mv0, tb, out=Ph)
+        np.bitwise_and(Pv0, Xh, out=Mh)
+        np.right_shift(Ph, score_shift, out=bit)
+        np.bitwise_and(bit, _ONE, out=bit)
+        score += bit64
+        np.right_shift(Mh, score_shift, out=bit)
+        np.bitwise_and(bit, _ONE, out=bit)
+        score -= bit64
+        np.left_shift(Ph, _ONE, out=Ph)
+        np.left_shift(Mh, _ONE, out=Mh)
+        np.bitwise_or(Xv, Ph, out=tb)
+        np.invert(tb, out=tb)
+        np.bitwise_or(Mh, tb, out=Pv0)
+        np.bitwise_and(Ph, Xv, out=Mv0)
+        if costsT is not None:
+            costsT[t + 1] = score
+        elif best is not None:
+            if t >= n_min:
+                np.minimum(best, np.where(t < n_arr, score, best), out=best)
+            else:
+                np.minimum(best, score, out=best)
+    Pv[:, 0] = Pv0
+    Mv[:, 0] = Mv0
+
+
+def batch_scan_minima(
+    patterns: list[bytes],
+    texts: list[bytes],
+    profile: Profile,
+    k: int,
+    all_minima: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fused scan + minima walk for single-limb patterns, no overhang: the
+    reference walk (search.rs:1284-1369) runs INSIDE the scan loop on (B,)
+    state vectors, so the dense (B, W) end-cost matrix is never materialized
+    (that matrix write + transpose + post-walk dominates the plain path at
+    scan sizes).  Equivalent to batch_end_costs + batch_find_minima —
+    pinned by the kernel fuzz suite.  Returns (pair_idx, end_pos, cost)."""
+    B = len(patterns)
+    if B == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.int32)
+    assert max(len(p) for p in patterns) <= 64, "batch_scan_minima is L==1 only"
+    raw, n_arr = _pad_texts(texts)
+    present = np.zeros(256, dtype=bool)
+    present[raw.reshape(-1)] = True
+    alphabet = _ALL_BYTES[present]
+    lut = np.zeros(256, dtype=np.uint8)
+    lut[alphabet] = np.arange(len(alphabet))
+    A = len(alphabet)
+    # text codes stay uint8 and transposed (contiguous per-step reads; the
+    # intp layout would be 8x the memory traffic at scan sizes)
+    txtT = lut[np.ascontiguousarray(raw.T)]
+
+    # PEQ per UNIQUE pattern (a chunked scan has thousands of rows sharing
+    # 1-2 patterns); rows gather via a per-row base offset
+    uniq: dict[bytes, int] = {}
+    pat_row = np.empty(B, dtype=np.intp)
+    for i, p in enumerate(patterns):
+        pat_row[i] = uniq.setdefault(p, len(uniq))
+    upats = list(uniq)
+    peq, um_arr, _L = build_peq(upats, profile, alphabet)
+    m_arr = um_arr[pat_row]
+    steps = int(n_arr.max())
+    if len(upats) == 1:
+        peq_flat = np.ascontiguousarray(peq[0, :, 0])
+        base = None
+    else:
+        peq_flat = np.ascontiguousarray(peq[:, :, 0]).reshape(-1)
+        base = pat_row * A
+
+    Pv0 = np.full(B, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    Mv0 = np.zeros(B, dtype=np.uint64)
+    score = m_arr.astype(np.int64).copy()
+    score_shift = ((m_arr - 1) % 64).astype(np.uint64)
+
+    # walk state
+    prev = score.copy()
+    dec = np.ones(B, dtype=bool)
+    out_rows: list[np.ndarray] = []
+    out_pos: list[np.ndarray] = []
+    out_cost: list[np.ndarray] = []
+    if all_minima:
+        r0 = np.nonzero(prev <= k)[0]
+        if len(r0):
+            out_rows.append(r0)
+            out_pos.append(np.zeros(len(r0), dtype=np.int64))
+            out_cost.append(prev[r0].astype(np.int32))
+
+    Eq = np.empty(B, np.uint64)
+    Xv = np.empty(B, np.uint64)
+    Xh = np.empty(B, np.uint64)
+    Ph = np.empty(B, np.uint64)
+    Mh = np.empty(B, np.uint64)
+    tA = np.empty(B, np.uint64)
+    tb = np.empty(B, np.uint64)
+    idx = np.empty(B, np.intp)
+    bit = np.empty(B, np.uint64)
+    bit64 = bit.view(np.int64)
+    emit = np.empty(B, dtype=bool)
+    m1 = np.empty(B, dtype=bool)
+    ceff = np.empty(B, dtype=np.int64)
+    n_min = int(n_arr.min())
+    BIG64 = np.int64(_BIG)
+
+    for t in range(steps):
+        if base is None:
+            np.take(peq_flat, txtT[t], out=Eq)
+        else:
+            np.add(base, txtT[t], out=idx)
+            np.take(peq_flat, idx, out=Eq)
+        np.bitwise_or(Eq, Mv0, out=Xv)
+        np.bitwise_and(Eq, Pv0, out=tA)
+        np.add(tA, Pv0, out=tA)
+        np.bitwise_xor(tA, Pv0, out=tA)
+        np.bitwise_or(tA, Eq, out=Xh)
+        np.bitwise_or(Xh, Pv0, out=tb)
+        np.invert(tb, out=tb)
+        np.bitwise_or(Mv0, tb, out=Ph)
+        np.bitwise_and(Pv0, Xh, out=Mh)
+        np.right_shift(Ph, score_shift, out=bit)
+        np.bitwise_and(bit, _ONE, out=bit)
+        score += bit64
+        np.right_shift(Mh, score_shift, out=bit)
+        np.bitwise_and(bit, _ONE, out=bit)
+        score -= bit64
+        np.left_shift(Ph, _ONE, out=Ph)
+        np.left_shift(Mh, _ONE, out=Mh)
+        np.bitwise_or(Xv, Ph, out=tb)
+        np.invert(tb, out=tb)
+        np.bitwise_or(Mh, tb, out=Pv0)
+        np.bitwise_and(Ph, Xv, out=Mv0)
+        # ---- fused reference walk at position p = t+1 ----
+        if t < n_min:
+            c = score
+        else:
+            np.copyto(ceff, score)
+            np.copyto(ceff, BIG64, where=n_arr <= t)  # p > n_b: rising wall
+            c = ceff
+        if all_minima:
+            np.less_equal(c, k, out=emit)
+            rows = np.nonzero(emit)[0]
+            if len(rows):
+                out_rows.append(rows)
+                out_pos.append(np.full(len(rows), t + 1, dtype=np.int64))
+                out_cost.append(c[rows].astype(np.int32))
+        else:
+            np.greater(c, prev, out=m1)          # rising into p
+            np.logical_and(m1, dec, out=emit)
+            np.logical_and(emit, prev <= k, out=emit)
+            if emit.any():
+                rows = np.nonzero(emit)[0]
+                out_rows.append(rows)
+                out_pos.append(np.full(len(rows), t, dtype=np.int64))
+                out_cost.append(prev[rows].astype(np.int32))
+            # decreasing' = c < prev or (decreasing and c == prev)
+            np.equal(c, prev, out=m1)
+            np.logical_and(dec, m1, out=dec)
+            np.less(c, prev, out=m1)
+            np.logical_or(dec, m1, out=dec)
+        np.copyto(prev, c)
+
+    if not all_minima:
+        # final-position rule for rows whose text ends at the global last step
+        np.logical_and(dec, prev <= k, out=emit)
+        np.logical_and(emit, n_arr == steps, out=emit)
+        rows = np.nonzero(emit)[0]
+        if len(rows):
+            out_rows.append(rows)
+            out_pos.append(np.full(len(rows), steps, dtype=np.int64))
+            out_cost.append(prev[rows].astype(np.int32))
+
+    if not out_rows:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.int32)
+    return (
+        np.concatenate(out_rows),
+        np.concatenate(out_pos),
+        np.concatenate(out_cost),
+    )
 
 
 def batch_find_minima(
@@ -408,23 +650,13 @@ def _batch_min_costs(patterns: list[bytes], texts: list[bytes], profile: Profile
     hin_neg = np.zeros(B, dtype=np.uint64)
     in_range = None
 
+    if L == 1:
+        _scan_l1(txt, n_arr, peq, score, score_shift, Pv, Mv, steps, best=best)
+        return best
+
     for t in range(steps):
         cbytes = txt[:, t]
-        if L == 1:
-            Eq = peq[bidx, cbytes, 0]
-            Pvl = Pv[:, 0]
-            Mvl = Mv[:, 0]
-            Xv = Eq | Mvl
-            Xh = (((Eq & Pvl) + Pvl) ^ Pvl) | Eq
-            Ph = Mvl | ~(Xh | Pvl)
-            Mh = Pvl & Xh
-            score += ((Ph >> score_shift) & _ONE).view(np.int64)
-            score -= ((Mh >> score_shift) & _ONE).view(np.int64)
-            Ph <<= _ONE
-            Mh <<= _ONE
-            Pv[:, 0] = Mh | ~(Xv | Ph)
-            Mv[:, 0] = Ph & Xv
-        else:
+        if True:
             hin_pos.fill(0)
             hin_neg.fill(0)
             for l in range(L):

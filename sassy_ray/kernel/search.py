@@ -69,19 +69,28 @@ class Searcher:
         texts: list[bytes],
         k: int,
         all_minima: bool,
-        strand: str,
+        strand: str | list[str],
         filter_fn=None,
     ) -> list[list[Match]]:
         """Per input pair, the strand-local matches (coords in the given
-        pattern/text orientation; caller flips RC coords)."""
+        pattern/text orientation; caller flips RC coords).  ``strand`` may be
+        per-row (a list), letting callers fuse fwd+rc rows into ONE kernel
+        batch (half the dispatch count of two passes)."""
         B = len(patterns)
         out: list[list[Match]] = [[] for _ in range(B)]
         if B == 0:
             return out
-        costs, n_arr, max_pos = batch_end_costs(
-            patterns, texts, self.profile, k, self.alpha, self.max_overhang
-        )
-        pi, pp, pc = batch_find_minima(costs, max_pos, k, all_minima)
+        if self.alpha is None and max(len(p) for p in patterns) <= 64:
+            # fused scan+walk: no (B, W) cost matrix (the hot path for
+            # grep/crispr-style scans of <=64-char patterns)
+            from sassy_ray.kernel.myers import batch_scan_minima
+
+            pi, pp, pc = batch_scan_minima(patterns, texts, self.profile, k, all_minima)
+        else:
+            costs, n_arr, max_pos = batch_end_costs(
+                patterns, texts, self.profile, k, self.alpha, self.max_overhang
+            )
+            pi, pp, pc = batch_find_minima(costs, max_pos, k, all_minima)
 
         # group candidates per pair
         cands: dict[int, list[tuple[int, int]]] = {}
@@ -90,9 +99,10 @@ class Searcher:
 
         for i, ec in cands.items():
             pattern, text = patterns[i], texts[i]
+            row_strand = strand[i] if isinstance(strand, list) else strand
             m, n = len(pattern), len(text)
             if filter_fn is not None:
-                ec = [(e, c) for (e, c) in ec if filter_fn(pattern, text[: min(e, n)], strand)]
+                ec = [(e, c) for (e, c) in ec if filter_fn(pattern, text[: min(e, n)], row_strand)]
             if self.max_n_frac is not None:
                 ec = [
                     (e, c)
@@ -111,14 +121,14 @@ class Searcher:
                             pattern_start=UNSET,
                             pattern_end=m - max(0, end_pos - n),
                             cost=cost,
-                            strand=strand,
+                            strand=row_strand,
                         )
                     )
                 else:
                     mt = oracle.traceback(
                         pattern, text, end_pos, self.profile, k, self.alpha, self.max_overhang
                     )
-                    mt.strand = strand
+                    mt.strand = row_strand
                     res.append(mt)
             if self.max_n_frac is not None and not self.without_trace:
                 res = [
@@ -170,6 +180,73 @@ class Searcher:
     ) -> list[Match]:
         return self._pair_matches([_b(pattern)], [_b(text)], k, all_minima, filter_fn)[0]
 
+    def _cartesian_strand(
+        self,
+        patterns: list[bytes],
+        texts: list[bytes],
+        k: int,
+        all_minima: bool,
+        strand: str,
+        filter_fn=None,
+        chunk_pairs: int = DEFAULT_CHUNK_PAIRS,
+    ) -> dict[tuple[int, int], list[Match]]:
+        """One strand of the P x T cartesian search, suffix-prefiltered:
+        the packed 4-lane suffix scan (kernel/prefilter.py) flags which
+        (pattern, text) rows can possibly match; only those pay the full
+        kernel.  Exact — the suffix cost lower-bounds the full cost."""
+        P, T = len(patterns), len(texts)
+        out: dict[tuple[int, int], list[Match]] = {}
+        if P == 0 or T == 0:
+            return out
+        if self.alpha is None and P >= 2:
+            from sassy_ray.kernel.prefilter import PackedSuffixes, prefilter_hits
+
+            packed = PackedSuffixes(patterns, self.profile, k)
+            pairs = [(int(pi), int(ti)) for pi, ti in np.argwhere(prefilter_hits(packed, texts))]
+        else:
+            pairs = [(pi, ti) for pi in range(P) for ti in range(T)]
+        for s in range(0, len(pairs), chunk_pairs):
+            chunk = pairs[s : s + chunk_pairs]
+            res = self._strand_matches(
+                [patterns[pi] for pi, _ in chunk],
+                [texts[ti] for _, ti in chunk],
+                k,
+                all_minima,
+                strand,
+                filter_fn,
+            )
+            for (pi, ti), ms in zip(chunk, res):
+                if ms:
+                    out.setdefault((pi, ti), []).extend(ms)
+        return out
+
+    def _search_cartesian(
+        self,
+        patterns: list[bytes],
+        texts: list[bytes],
+        k: int,
+        all_minima: bool = False,
+        filter_fn=None,
+    ) -> dict[tuple[int, int], list[Match]]:
+        """Fwd + (optional) RC cartesian matches keyed by (pattern_idx,
+        text_idx), RC coords flipped to fwd space."""
+        res = self._cartesian_strand(patterns, texts, k, all_minima, FWD, filter_fn)
+        if self.rc:
+            comp = [self.profile.complement(p) for p in patterns]
+            rev = [t[::-1] for t in texts]
+            rc = self._cartesian_strand(comp, rev, k, all_minima, RC, filter_fn)
+            for (pi, ti), ms in rc.items():
+                n = len(texts[ti])
+                for mm in ms:
+                    s_, e = mm.text_start, mm.text_end
+                    mm.text_start = n - e if e != UNSET else UNSET
+                    if self.without_trace:
+                        mm.text_end = UNSET
+                    else:
+                        mm.text_end = n - s_
+                res.setdefault((pi, ti), []).extend(ms)
+        return res
+
     def search_many(
         self,
         patterns: list[bytes],
@@ -179,27 +256,23 @@ class Searcher:
         chunk_pairs: int = DEFAULT_CHUNK_PAIRS,
     ) -> list[Match]:
         """All patterns x all texts (the reference's cartesian search_many,
-        search.rs:527-603).  ``mode`` selects nothing semantically here —
-        batching is automatic — it is accepted for surface parity
-        ('single' | 'batch_patterns' | 'batch_texts' | 'auto')."""
+        search.rs:527-603), suffix-prefiltered when P >= 2.  ``mode`` selects
+        nothing semantically here — batching is automatic — it is accepted
+        for surface parity ('single' | 'batch_patterns' | 'batch_texts' |
+        'auto')."""
         if mode not in ("single", "batch_patterns", "batch_texts", "auto"):
             raise ValueError(
                 "Unsupported search mode. Must be one of 'single', 'batch_patterns', or 'batch_texts'"
             )
         patterns = [_b(p) for p in patterns]
         texts = [_b(t) for t in texts]
-        pairs = [(ip, it) for ip in range(len(patterns)) for it in range(len(texts))]
+        res = self._search_cartesian(patterns, texts, k, False)
         out: list[Match] = []
-        for s in range(0, len(pairs), chunk_pairs):
-            chunk = pairs[s : s + chunk_pairs]
-            ps = [patterns[ip] for ip, _ in chunk]
-            ts = [texts[it] for _, it in chunk]
-            res = self._pair_matches(ps, ts, k, False)
-            for (ip, it), ms in zip(chunk, res):
-                for mm in ms:
-                    mm.pattern_idx = ip
-                    mm.text_idx = it
-                out.extend(ms)
+        for (ip, it) in sorted(res):
+            for mm in res[(ip, it)]:
+                mm.pattern_idx = ip
+                mm.text_idx = it
+                out.append(mm)
         return out
 
     def search_pairs(
@@ -263,12 +336,10 @@ class CachedRev:
 CHUNK_LEN = 2048
 
 
-def _chunk_strand(searcher, pattern: bytes, texts: list[bytes], k: int, strand: str, chunk_len: int):
-    """One-strand chunked scan; returns per-text matches in strand-local
-    coords.  Chunk c owns end positions (overlap, chunk_len] (first chunk
-    owns from 0) — ranges are disjoint, so no dedup pass is needed."""
-    m = len(pattern)
-    overlap = m + k
+def _build_chunk_rows(texts: list[bytes], overlap: int, chunk_len: int):
+    """Split texts into overlapping chunk rows.  Chunk c owns end positions
+    (overlap, chunk_len] (first chunk owns from 0) — ranges are disjoint, so
+    no dedup pass is needed."""
     chunks: list[bytes] = []
     owner: list[tuple[int, int, bool]] = []  # (text_idx, chunk_start, is_first)
     for ti, t in enumerate(texts):
@@ -284,8 +355,11 @@ def _chunk_strand(searcher, pattern: bytes, texts: list[bytes], k: int, strand: 
             if end == len(t):
                 break
             start = end - overlap
-    res = searcher._strand_matches([pattern] * len(chunks), chunks, k, False, strand)
-    out: list[list[Match]] = [[] for _ in texts]
+    return chunks, owner
+
+
+def _collect_chunk_matches(n_texts: int, owner, res, overlap: int):
+    out: list[list[Match]] = [[] for _ in range(n_texts)]
     for (ti, cstart, is_first), ms in zip(owner, res):
         for mm in ms:
             if not is_first and (mm.text_end if mm.text_end != UNSET else 0) <= overlap:
@@ -296,6 +370,93 @@ def _chunk_strand(searcher, pattern: bytes, texts: list[bytes], k: int, strand: 
                 mm.text_end += cstart
             out[ti].append(mm)
     return out
+
+
+def _chunk_strand(searcher, pattern: bytes, texts: list[bytes], k: int, strand: str, chunk_len: int):
+    """One-strand chunked scan; returns per-text matches in strand-local
+    coords (caller flips RC coords)."""
+    overlap = len(pattern) + k
+    chunks, owner = _build_chunk_rows(texts, overlap, chunk_len)
+    res = searcher._strand_matches([pattern] * len(chunks), chunks, k, False, strand)
+    return _collect_chunk_matches(len(texts), owner, res, overlap)
+
+
+def chunked_search_multi(
+    searcher: Searcher,
+    patterns: list[bytes],
+    texts: list[bytes],
+    k: int,
+    chunk_len: int = CHUNK_LEN,
+) -> list[list[list[Match]]]:
+    """Multi-pattern chunked scan: ONE set of chunk rows per strand, the
+    packed suffix prefilter flags (pattern, chunk) rows, and only survivors
+    pay the full kernel.  Returns out[pattern_idx][text_idx] -> matches.
+
+    Chunk ownership uses the max pattern length (overlap >= m+k holds for
+    every pattern, so end-position ownership stays disjoint and exact)."""
+    patterns = [_b(p) for p in patterns]
+    texts = [_b(t) for t in texts]
+    m_max = max((len(p) for p in patterns), default=0)
+    if chunk_len <= 2 * (m_max + k):
+        chunk_len = 2 * (m_max + k) + 64
+    overlap = m_max + k
+    P, T = len(patterns), len(texts)
+
+    def strand_pass(pats: list[bytes], txts: list[bytes], strand: str):
+        chunks, owner = _build_chunk_rows(txts, overlap, chunk_len)
+        got = searcher._cartesian_strand(pats, chunks, k, False, strand)
+        out: list[list[list[Match]]] = [[[] for _ in range(T)] for _ in range(P)]
+        for (pi, ci), ms in got.items():
+            ti, cstart, is_first = owner[ci]
+            for mm in ms:
+                if not is_first and (mm.text_end if mm.text_end != UNSET else 0) <= overlap:
+                    continue
+                if mm.text_start != UNSET:
+                    mm.text_start += cstart
+                if mm.text_end != UNSET:
+                    mm.text_end += cstart
+                out[pi][ti].append(mm)
+        return out
+
+    out = strand_pass(patterns, texts, FWD)
+    if searcher.rc:
+        comp = [searcher.profile.complement(p) for p in patterns]
+        rev = [t[::-1] for t in texts]
+        rc = strand_pass(comp, rev, RC)
+        for pi in range(P):
+            for ti in range(T):
+                n = len(texts[ti])
+                for mm in rc[pi][ti]:
+                    s_, e = mm.text_start, mm.text_end
+                    mm.text_start = n - e if e != UNSET else UNSET
+                    if searcher.without_trace:
+                        mm.text_end = UNSET
+                    else:
+                        mm.text_end = n - s_
+                out[pi][ti].extend(rc[pi][ti])
+    if searcher.only_best:
+        for pi in range(P):
+            for ti in range(T):
+                if out[pi][ti]:
+                    out[pi][ti] = _only_best_per_strand(out[pi][ti], len(texts[ti]))
+    return out
+
+
+def _only_best_per_strand(ms: list[Match], n: int) -> list[Match]:
+    """Per strand: min cost, rightmost STRAND-LOCAL end
+    (search.rs:1392-1455; for RC the local end is n - text_start)."""
+
+    def local_end(mm: Match) -> int:
+        if mm.strand == FWD:
+            return mm.text_end if mm.text_end != UNSET else 0
+        return n - mm.text_start if mm.text_start != UNSET else 0
+
+    best: dict[str, Match] = {}
+    for mm in ms:
+        cur = best.get(mm.strand)
+        if cur is None or (mm.cost, -local_end(mm)) < (cur.cost, -local_end(cur)):
+            best[mm.strand] = mm
+    return [best[s2] for s2 in sorted(best)]
 
 
 def chunked_search(
@@ -317,11 +478,26 @@ def chunked_search(
     if chunk_len <= 2 * (m + k):
         chunk_len = 2 * (m + k) + 64
 
-    out = _chunk_strand(searcher, pattern, texts, k, FWD, chunk_len)
-    if searcher.rc:
+    overlap = m + k
+    if not searcher.rc:
+        out = _chunk_strand(searcher, pattern, texts, k, FWD, chunk_len)
+    else:
+        # fuse fwd + rc rows into ONE kernel batch: double the batch axis,
+        # half the per-step dispatch count of two separate passes
         comp = searcher.profile.complement(pattern)
         rev = [t[::-1] for t in texts]
-        rc = _chunk_strand(searcher, comp, rev, k, RC, chunk_len)
+        f_chunks, f_owner = _build_chunk_rows(texts, overlap, chunk_len)
+        r_chunks, r_owner = _build_chunk_rows(rev, overlap, chunk_len)
+        nf = len(f_chunks)
+        res = searcher._strand_matches(
+            [pattern] * nf + [comp] * len(r_chunks),
+            f_chunks + r_chunks,
+            k,
+            False,
+            [FWD] * nf + [RC] * len(r_chunks),
+        )
+        out = _collect_chunk_matches(len(texts), f_owner, res[:nf], overlap)
+        rc = _collect_chunk_matches(len(texts), r_owner, res[nf:], overlap)
         for ti, ms in enumerate(rc):
             n = len(texts[ti])
             for mm in ms:
@@ -335,19 +511,5 @@ def chunked_search(
     if searcher.only_best:
         for ti in range(len(out)):
             if out[ti]:
-                n = len(texts[ti])
-
-                # per strand: min cost, rightmost STRAND-LOCAL end
-                # (search.rs:1392-1455; for RC the local end is n - text_start)
-                def local_end(mm: Match) -> int:
-                    if mm.strand == FWD:
-                        return mm.text_end if mm.text_end != UNSET else 0
-                    return n - mm.text_start if mm.text_start != UNSET else 0
-
-                best: dict[str, Match] = {}
-                for mm in out[ti]:
-                    cur = best.get(mm.strand)
-                    if cur is None or (mm.cost, -local_end(mm)) < (cur.cost, -local_end(cur)):
-                        best[mm.strand] = mm
-                out[ti] = [best[s2] for s2 in sorted(best)]
+                out[ti] = _only_best_per_strand(out[ti], len(texts[ti]))
     return out

@@ -80,17 +80,19 @@ def _pam_filter(cfg: CrisprConfig):
 
 
 def crispr_matches(texts: list[tuple[str, bytes]], cfg: CrisprConfig) -> pa.Table:
-    """(text_id, seq) list -> 8-col match table (guide as pat_id)."""
+    """(text_id, seq) list -> 8-col match table (guide as pat_id).
+
+    One suffix-prefiltered cartesian kernel batch for the whole guide set
+    (Searcher._search_cartesian) instead of a Python loop of single-pair
+    searches — the guides x texts product is the hot axis here."""
     searcher = _searcher(cfg)
     flt = None if cfg.allow_pam_edits else _pam_filter(cfg)
+    seqs = [seq for _, seq in texts]
+    res = searcher._search_cartesian(cfg.guides, seqs, cfg.k, all_minima=True, filter_fn=flt)
     rows = []
-    for text_id, seq in texts:
+    for ti, (text_id, seq) in enumerate(texts):
         for gi, guide in enumerate(cfg.guides):
-            if cfg.allow_pam_edits:
-                ms = searcher.search_all(guide, seq, cfg.k)
-            else:
-                ms = searcher.search_with_fn(guide, seq, cfg.k, True, flt)
-            for m in ms:
+            for m in res.get((gi, ti), ()):
                 rows.append((guide.decode(), text_id, seq, m))
     t = matches_to_table(rows, "iupac")
     return t.rename_columns(["guide"] + t.column_names[1:])

@@ -77,13 +77,15 @@ def grep_matches_batch(
     pat_seqs = [s for _, s in cfg.patterns]
     long_texts = max((len(t) for t in seqs), default=0) > 2 * CHUNK_LEN
     if long_texts and not cfg.all_minima:
-        # genome-scale texts: overlapping-chunk scan (kernel/search.py
-        # chunked_search) — one batched kernel call per pattern
+        # genome-scale texts: ONE overlapping-chunk scan for the whole
+        # pattern set, suffix-prefiltered (kernel/search.chunked_search_multi)
+        from sassy_ray.kernel.search import chunked_search_multi
+
+        per = chunked_search_multi(searcher, pat_seqs, seqs, cfg.k)
         rows = []
-        for pi, pseq in enumerate(pat_seqs):
-            per_text = chunked_search(searcher, pseq, seqs, cfg.k)
-            for ti, ms in enumerate(per_text):
-                for m in ms:
+        for pi in range(len(pat_seqs)):
+            for ti in range(len(seqs)):
+                for m in per[pi][ti]:
                     rows.append((cfg.patterns[pi][0], ids[ti], seqs[ti], m))
     elif cfg.all_minima:
         rows = []
