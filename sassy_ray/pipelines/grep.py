@@ -40,6 +40,7 @@ class GrepConfig:
         sam: bool = False,
         invert: bool = False,
         case_sensitive: bool = True,
+        preserve_order: bool = False,
     ) -> None:
         self.patterns = [(pid, s if isinstance(s, bytes) else s.encode()) for pid, s in patterns]
         self.k = k
@@ -54,6 +55,10 @@ class GrepConfig:
         self.sam = sam
         self.invert = invert
         self.case_sensitive = case_sensitive
+        # streaming-ordered output without a global sort (the reference's
+        # reorder buffer, bin/grep.rs:544-572): Ray Data preserves row order
+        # inside blocks; preserve_order pins the BLOCK order to input order
+        self.preserve_order = preserve_order
 
     def make_searcher(self) -> Searcher:
         return Searcher(
@@ -112,16 +117,23 @@ def run_grep(
     text_col: str = "text",
     batch_size: int = 256,
 ):
-    """Returns dict(matches=Dataset ordered, histogram=Table, filtered=Dataset)."""
-    matches = (
-        texts_ds.map_batches(
-            lambda b: grep_matches_batch(b, cfg, id_col, text_col),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-        )
-        .materialize()
-        .sort(["text_id", "start", "pat_id"])
-    )
+    """Returns dict(matches=Dataset ordered, histogram=Table, filtered=Dataset).
+
+    Ordering: default = deterministic global post-sort; with
+    ``cfg.preserve_order`` the matches stream out in INPUT order instead
+    (no sort, no all-to-all) — the reference's ``preserve_order`` path.
+    """
+    if cfg.preserve_order:
+        import ray
+
+        ray.data.DataContext.get_current().execution_options.preserve_order = True
+    matches = texts_ds.map_batches(
+        lambda b: grep_matches_batch(b, cfg, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    ).materialize()
+    if not cfg.preserve_order:
+        matches = matches.sort(["text_id", "start", "pat_id"])
     hist = (
         matches.groupby("cost")
         .count()

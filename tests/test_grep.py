@@ -60,6 +60,29 @@ def test_grep_pipeline(ray_session):
     assert set(inv["doc_id"]) == {"t3"}
 
 
+def test_grep_preserve_order(ray_session):
+    """preserve_order: matches stream in INPUT doc order, no global sort."""
+    import ray
+    import ray.data as rd
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:03d}" for i in range(40)]),
+            "text": pa.array(["CCCATCACCC"] * 40),
+        }
+    )
+    ds = rd.from_arrow(docs).repartition(8)
+    cfg = GrepConfig(
+        patterns=[("atcg", b"ATCG")], k=1, alphabet="dna", rc=False, preserve_order=True
+    )
+    try:
+        m = run_grep(ds, cfg)["matches"].to_pandas()
+    finally:
+        ray.data.DataContext.get_current().execution_options.preserve_order = False
+    ids = list(m["text_id"])
+    assert ids == sorted(ids)  # input order == doc order here
+
+
 def test_grep_only_best_and_all():
     cfg_best = GrepConfig(
         patterns=[("p", b"ATG")], k=1, alphabet="dna", rc=False, only_best_match=True
