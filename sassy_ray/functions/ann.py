@@ -121,10 +121,6 @@ def coarse_centroids(ds, n_centroids: int, seed: int = 42, id_col: str = "vec_id
     return C
 
 
-# backwards-compat private alias (round-1 name)
-_coarse_centroids = lambda ds, n_centroids, seed, id_col: coarse_centroids(ds, n_centroids, seed, id_col)  # noqa: E731
-
-
 def assign_buckets_batch(batch: pa.Table, C: np.ndarray, id_col: str = "vec_id") -> pa.Table:
     """(vec_id, bucket) assignment rows — the cheap full pass of IVF."""
     M = _norm_rows(_emb_matrix(batch))

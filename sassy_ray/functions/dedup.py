@@ -60,12 +60,15 @@ def jaccard_verify_batch(batch: pa.Table, docs_ref, q: int = 12, tau: float = 0.
     docs = _resolve_docs(docs_ref)
     a_ids = batch.column("doc_id_a").to_pylist()
     b_ids = batch.column("doc_id_b").to_pylist()
+    uniq_ids = list(dict.fromkeys(a_ids + b_ids))
+    uniq_texts = docs.get_many(uniq_ids)
     cache: dict[str, np.ndarray] = {}
+    text_of = dict(zip(uniq_ids, uniq_texts))
 
     def sh(d: str) -> np.ndarray:
         s = cache.get(d)
         if s is None:
-            s = _shingle_hash_set(docs.get(d, b""), q)
+            s = _shingle_hash_set(text_of.get(d, b""), q)
             cache[d] = s
         return s
 

@@ -97,12 +97,15 @@ class Searcher:
         for i, p, c in zip(pi.tolist(), pp.tolist(), pc.tolist()):
             cands.setdefault(i, []).append((p, c))
 
+        def row_strand(i: int) -> str:
+            return strand[i] if isinstance(strand, list) else strand
+
+        filtered: dict[int, list[tuple[int, int]]] = {}
         for i, ec in cands.items():
             pattern, text = patterns[i], texts[i]
-            row_strand = strand[i] if isinstance(strand, list) else strand
             m, n = len(pattern), len(text)
             if filter_fn is not None:
-                ec = [(e, c) for (e, c) in ec if filter_fn(pattern, text[: min(e, n)], row_strand)]
+                ec = [(e, c) for (e, c) in ec if filter_fn(pattern, text[: min(e, n)], row_strand(i))]
             if self.max_n_frac is not None:
                 ec = [
                     (e, c)
@@ -111,30 +114,55 @@ class Searcher:
                 ]
             if self.only_best and ec:
                 ec = [min(ec, key=lambda x: (x[1], -x[0]))]
-            res: list[Match] = []
-            for end_pos, cost in ec:
-                if self.without_trace:
-                    res.append(
-                        Match(
-                            text_start=UNSET,
-                            text_end=min(end_pos, n),
-                            pattern_start=UNSET,
-                            pattern_end=m - max(0, end_pos - n),
-                            cost=cost,
-                            strand=row_strand,
-                        )
+            if ec:
+                filtered[i] = ec
+
+        if self.without_trace:
+            for i, ec in filtered.items():
+                m, n = len(patterns[i]), len(texts[i])
+                out[i] = [
+                    Match(
+                        text_start=UNSET,
+                        text_end=min(end_pos, n),
+                        pattern_start=UNSET,
+                        pattern_end=m - max(0, end_pos - n),
+                        cost=cost,
+                        strand=row_strand(i),
                     )
-                else:
-                    mt = oracle.traceback(
-                        pattern, text, end_pos, self.profile, k, self.alpha, self.max_overhang
-                    )
-                    mt.strand = row_strand
-                    res.append(mt)
-            if self.max_n_frac is not None and not self.without_trace:
-                res = [
-                    mm for mm in res if oracle.traced_n_ok(self.profile, mm, text, self.max_n_frac)
+                    for end_pos, cost in ec
                 ]
-            out[i] = res
+            return out
+
+        jobs = [(i, e, c) for i, ec in filtered.items() for (e, c) in ec]
+        if self.alpha is None:
+            # one vectorized DP fill for every trace window in the batch
+            # (the reference's 4-wide MatchBatch, search.rs:1552-1689)
+            from sassy_ray.kernel.trace import batch_traceback
+
+            traced = batch_traceback(
+                [patterns[i] for i, _, _ in jobs],
+                [texts[i] for i, _, _ in jobs],
+                [e for _, e, _ in jobs],
+                self.profile,
+                k,
+            )
+        else:
+            traced = [
+                oracle.traceback(
+                    patterns[i], texts[i], e, self.profile, k, self.alpha, self.max_overhang
+                )
+                for i, e, _ in jobs
+            ]
+        for (i, _e, _c), mt in zip(jobs, traced):
+            mt.strand = row_strand(i)
+            out[i].append(mt)
+        if self.max_n_frac is not None:
+            for i in filtered:
+                out[i] = [
+                    mm
+                    for mm in out[i]
+                    if oracle.traced_n_ok(self.profile, mm, texts[i], self.max_n_frac)
+                ]
         return out
 
     def _pair_matches(

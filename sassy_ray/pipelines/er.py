@@ -101,9 +101,16 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
     stats: dict = {"resumed_stages": []}
 
     # spread the input across blocks so every stage parallelizes (from_arrow
-    # yields ONE block otherwise; at real scale read_parquet handles this)
+    # on one table yields ONE block; at real scale read_parquet handles
+    # this).  Skip the repartition when the caller already supplies enough
+    # blocks — splitting a single 100s-of-MB block is a serial cost.
     if cfg.input_blocks:
-        docs_ds = docs_ds.repartition(cfg.input_blocks)
+        try:
+            nb = docs_ds.num_blocks()
+        except Exception:
+            nb = 1
+        if nb is None or nb < max(2, cfg.input_blocks // 2):
+            docs_ds = docs_ds.repartition(cfg.input_blocks)
     # consumed by both the blocking stage and the broadcast text lookup
     texts_ds = docs_ds.map_batches(add_doc_text, batch_format="pyarrow").materialize()
 

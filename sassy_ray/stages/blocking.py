@@ -3,9 +3,10 @@
 A stateless vectorized ``map_batches`` transform: per document, hash all
 character q-gram shingles of the concatenated span text (one rolling-hash
 pass over the whole batch, no per-row Python), take ``num_perm`` minhashes
-via ``np.minimum.reduceat`` over row segments, fold them into ``bands``
-band keys, and explode to one row per (band, doc).  Documents sharing any
-band key become co-blocked.
+by ONE-PERMUTATION HASHING (bucket by hash low bits, scatter-min per
+(row, bucket), rotation densification), fold them into ``bands`` band keys,
+and explode to one row per (band, doc).  Documents sharing any band key
+become co-blocked.
 
 Scale notes (10^12 docs): the output is ``bands`` rows per doc with a single
 uint64 key — the only state is the per-call permutation constants (seeded).
@@ -50,6 +51,7 @@ class BlockingConfig:
         rc_canonical: bool = False,
     ) -> None:
         assert num_perm % bands == 0, "num_perm must be divisible by bands"
+        assert num_perm & (num_perm - 1) == 0, "num_perm must be a power of 2 (OPH bucketing)"
         self.q = q
         self.num_perm = num_perm
         self.bands = bands
@@ -68,7 +70,7 @@ class BlockingConfig:
 
     def fingerprint(self) -> str:
         return (
-            f"minhash(q={self.q},perm={self.num_perm},bands={self.bands},"
+            f"minhash-oph(q={self.q},perm={self.num_perm},bands={self.bands},"
             f"seed={self.seed},lower={self.lowercase},rc={self.rc_canonical})"
         )
 
@@ -97,34 +99,48 @@ def _shingle_hashes(buf: np.ndarray, q: int, rc_canonical: bool = False) -> np.n
 
 
 def minhash_signatures(texts: list[bytes], cfg: BlockingConfig) -> np.ndarray:
-    """(n_docs, num_perm) uint64 minhash signatures, fully vectorized."""
+    """(n_docs, num_perm) uint64 signatures via ONE-PERMUTATION HASHING:
+    shingle hashes are bucketed by their low bits and the min is kept per
+    (row, bucket), with rotation densification for empty buckets (Li/Owen/
+    Zhang's OPH — a published minhash variant).  One pass over the hash
+    array instead of ``num_perm`` permutation passes: the k-perm scheme's
+    ~60 full-array passes made the blocking stage DRAM-bandwidth-bound at
+    high process counts (measured 4.5x core-time inflation at 16 procs)."""
     n_docs = len(texts)
-    sig = np.full((n_docs, cfg.num_perm), _MASK, dtype=np.uint64)
+    P = cfg.num_perm
+    sig = np.full((n_docs, P), _MASK, dtype=np.uint64)
     if n_docs == 0:
         return sig
     lens = np.array([len(t) for t in texts], dtype=np.int64)
     buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
     starts = np.concatenate([[0], np.cumsum(lens)])
     h = _shingle_hashes(buf, cfg.q, cfg.rc_canonical)
-    # valid windows per row: [starts[i], starts[i+1] - q]; windows crossing a
-    # row boundary must not contribute to either row
-    seg_start = np.minimum(starts[:-1], max(0, len(h) - 1))
-    seg_stop = np.maximum(starts[1:] - cfg.q + 1, starts[:-1])
-    has = seg_stop > starts[:-1]
     if len(h):
         idx = np.arange(len(h))
         row_of = np.searchsorted(starts[1:], idx, side="right")
+        # windows crossing a row boundary must not contribute to either row
+        seg_stop = np.maximum(starts[1:] - cfg.q + 1, starts[:-1])
         valid = idx < seg_stop[np.minimum(row_of, n_docs - 1)]
+        hv = h[valid]
+        rv = row_of[valid]
+        bucket = (hv & np.uint64(P - 1)).astype(np.int64)
+        np.minimum.at(sig.reshape(-1), rv * P + bucket, hv)
+    has = sig != _MASK  # (n_docs, P)
+    # densification: empty buckets borrow the next non-empty bucket's value
+    # (rotate right), re-mixed with the bucket index so borrowed values
+    # differ across buckets; fully-empty rows (len < q) fall through below
+    need = ~has & has.any(axis=1)[:, None]
+    if need.any():
+        filled = sig.copy()
+        for _ in range(P):
+            take = filled == _MASK
+            if not take.any():
+                break
+            filled = np.where(take, np.roll(filled, 1, axis=1), filled)
+        borrow = _splitmix64(filled ^ (np.arange(P, dtype=np.uint64) * _MIX2)[None, :])
+        sig = np.where(need, borrow, sig)
     # short rows (< q chars): single shingle = hash of the whole row text
-    short = ~has & (lens > 0)
-    for p in range(cfg.num_perm):
-        if not len(h):
-            break
-        v = (h * cfg.mult[p] + cfg.add[p]) & _MASK
-        v = np.where(valid, v, _MASK)
-        mins = np.minimum.reduceat(v, seg_start)
-        # reduceat over an empty segment returns v[start]; mask those out
-        sig[has, p] = mins[has]
+    short = ~has.any(axis=1) & (lens > 0)
     if short.any():
         for i in np.nonzero(short)[0]:
             hh = _shingle_hashes(
@@ -160,9 +176,12 @@ def minhash_block_rows(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
     n = len(texts)
     doc_ids = batch.column(cfg.id_col)
     rep = np.repeat(np.arange(n), cfg.bands)
+    # int64 VIEW of the uint64 keys: values above 2^63 as uint64 overflow
+    # Arrow's int64 conversion in Ray's aggregate machinery and silently
+    # demote the whole shuffle to pickled python objects
     return pa.table(
         {
-            "block_key": pa.array(keys.reshape(-1), type=pa.uint64()),
+            "block_key": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
             cfg.id_col: doc_ids.take(pa.array(rep)),
         }
     )

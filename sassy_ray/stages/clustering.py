@@ -35,38 +35,65 @@ def _precombine(df: pd.DataFrame) -> pd.DataFrame:
     return df.groupby("node", as_index=False)["label"].min()
 
 
+def _numpy_components(ea: np.ndarray, eb: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized connected components over integer edge arrays: per round,
+    push the min endpoint label across every edge (ufunc.at scatter-min),
+    then pointer-jump labels to full compression; converges in
+    O(log diameter) rounds — all C-speed, no per-edge Python."""
+    label = np.arange(n, dtype=np.int64)
+    while True:
+        before = label.copy()
+        m = np.minimum(label[ea], label[eb])
+        np.minimum.at(label, ea, m)
+        np.minimum.at(label, eb, m)
+        while True:
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(label, before):
+            return label
+
+
 def _driver_union_find(edges_ds, nodes_ds):
-    """Small-edge-set fast path: DSU over the edge list on the driver, then a
-    single broadcast labeling pass over the nodes."""
+    """Small-edge-set fast path: vectorized components over the edge list on
+    the driver, then a broadcast Arrow label table + index_in attach (no
+    per-row Python anywhere)."""
+    import pandas as pd
+    import pyarrow.compute as pc
     import ray
 
-    from sassy_ray.pipelines.er import DSU
+    parts = list(edges_ds.iter_batches(batch_size=262144, batch_format="pyarrow"))
+    if parts:
+        et = pa.concat_tables(parts)
+        both = pa.concat_arrays(
+            [et.column("doc_id_a").combine_chunks(), et.column("doc_id_b").combine_chunks()]
+        )
+        codes, uniq = pd.factorize(both.to_pandas(), sort=True)
+        E = len(et)
+        label = _numpy_components(codes[:E], codes[E:], len(uniq))
+        uniq_arr = pa.array(uniq, pa.string())
+        comp_tbl = pa.table(
+            {"doc_id": uniq_arr, "cluster_id": uniq_arr.take(pa.array(label))}
+        )
+    else:
+        comp_tbl = pa.table(
+            {"doc_id": pa.array([], pa.string()), "cluster_id": pa.array([], pa.string())}
+        )
+    comp_ref = ray.put(comp_tbl)
 
-    seen: set[str] = set()
-    pairs: list[tuple[str, str]] = []
-    for b in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        aa = b.column("doc_id_a").to_pylist()
-        bb = b.column("doc_id_b").to_pylist()
-        pairs.extend(zip(aa, bb))
-        seen.update(aa)
-        seen.update(bb)
-    dsu = DSU(seen)
-    for a, b in pairs:
-        dsu.union(a, b)
-    comp = {d: dsu.find(d) for d in seen}
-    comp_ref = ray.put(comp)
-
-    def label(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(comp_ref)
-        ids = batch.column("doc_id").to_pylist()
+    def label_batch(batch: pa.Table) -> pa.Table:
+        lt = ray.get(comp_ref)
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        taken = pc.take(
+            lt.column("cluster_id").combine_chunks(),
+            pc.index_in(ids, value_set=lt.column("doc_id").combine_chunks()),
+        )
         return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "cluster_id": pa.array([lookup.get(d, d) for d in ids], pa.string()),
-            }
+            {"doc_id": batch.column("doc_id"), "cluster_id": pc.coalesce(taken, ids)}
         )
 
-    return nodes_ds.map_batches(label, batch_format="pyarrow")
+    return nodes_ds.map_batches(label_batch, batch_format="pyarrow")
 
 
 def connected_components(

@@ -33,11 +33,22 @@ class PairGenConfig:
         self,
         salt_cap: int = 64,
         max_pairs_per_group: int = 2048,
-        single_task_dedup_limit: int = 5_000_000,
+        # below this PRE-dedup pair count, exact dedup runs as ONE pandas
+        # hash-dedup task (~2 s at 20M rows) instead of a sort-based
+        # groupby shuffle (~100k rows/s here — 10x slower at these sizes);
+        # the partitioned path remains the 10^12-doc route
+        single_task_dedup_limit: int = 20_000_000,
+        # below this BLOCK-ROW count the whole group->emit->dedup chain runs
+        # as one vectorized task (factorize + lexsort + size-class triu +
+        # integer-key unique, ~1-2 s at millions of rows) — Ray's sort-based
+        # groupby costs ~100k rows/s here, so the shuffle only pays off far
+        # beyond single-node sizes; the groupby path remains for 10^12 docs
+        single_task_rows_limit: int = 12_000_000,
     ) -> None:
         self.salt_cap = salt_cap
         self.max_pairs_per_group = max_pairs_per_group
         self.single_task_dedup_limit = single_task_dedup_limit
+        self.single_task_rows_limit = single_task_rows_limit
 
     def fingerprint(self) -> str:
         return f"pairs(cap={self.salt_cap},maxp={self.max_pairs_per_group})"
@@ -70,22 +81,126 @@ def _emit_group_pairs(ids: list[str], cfg: PairGenConfig, a_out: list, b_out: li
         budget -= len(iu)
 
 
+def _pairs_single_task(df: pd.DataFrame, cfg: PairGenConfig) -> pd.DataFrame:
+    """group -> emit -> exact dedup, fully vectorized in one task:
+    factorize doc ids (sorted => code order == lexicographic order), lexsort
+    (block_key, code), slice group boundaries, emit each size class with one
+    triu gather, dedup on integer pair keys with np.unique."""
+    if df.empty:
+        return pd.DataFrame({"doc_id_a": pd.Series(dtype=str), "doc_id_b": pd.Series(dtype=str)})
+    bk = df["block_key"].to_numpy()
+    codes, uniq = pd.factorize(df["doc_id"], sort=True)
+    codes = codes.astype(np.int64)
+    uniq_np = np.asarray(uniq, dtype=object)
+    order = np.lexsort((codes, bk))
+    bk_s, cd_s = bk[order], codes[order]
+    keep = np.empty(len(bk_s), dtype=bool)
+    keep[0] = True
+    keep[1:] = (bk_s[1:] != bk_s[:-1]) | (cd_s[1:] != cd_s[:-1])
+    bk_s, cd_s = bk_s[keep], cd_s[keep]
+    gb = np.empty(len(bk_s), dtype=bool)
+    gb[0] = True
+    gb[1:] = bk_s[1:] != bk_s[:-1]
+    starts = np.nonzero(gb)[0]
+    lens = np.diff(np.append(starts, len(bk_s)))
+
+    U = len(uniq_np)
+    key_parts: list[np.ndarray] = []
+    max_s = int(lens.max()) if len(lens) else 0
+    for s in range(2, min(cfg.salt_cap, max_s) + 1):
+        sel = starts[lens == s]
+        if not len(sel):
+            continue
+        M = cd_s[sel[:, None] + np.arange(s)[None, :]]  # (g, s), codes ascending
+        iu, ju = np.triu_indices(s, 1)
+        key_parts.append(M[:, iu].ravel() * U + M[:, ju].ravel())
+    # oversized groups: the salted + budgeted python path (rare by design)
+    big_idx = np.nonzero(lens > cfg.salt_cap)[0]
+    if len(big_idx):
+        big_a: list = []
+        big_b: list = []
+        for gi in big_idx:
+            ids = uniq_np[cd_s[starts[gi] : starts[gi] + lens[gi]]]
+            _emit_group_pairs(list(ids), cfg, big_a, big_b)
+        if big_a:
+            lut = pd.Index(uniq_np)
+            a_codes = lut.get_indexer(np.concatenate(big_a)).astype(np.int64)
+            b_codes = lut.get_indexer(np.concatenate(big_b)).astype(np.int64)
+            key_parts.append(a_codes * U + b_codes)
+    if not key_parts:
+        return pd.DataFrame({"doc_id_a": pd.Series(dtype=str), "doc_id_b": pd.Series(dtype=str)})
+    keys = np.unique(np.concatenate(key_parts))
+    return pd.DataFrame(
+        {"doc_id_a": uniq_np[keys // U], "doc_id_b": uniq_np[keys % U]}
+    )
+
+
 def make_pairs_dataset(block_rows_ds, cfg: PairGenConfig):
     """block rows Dataset (block_key, doc_id) -> deduped pairs Dataset
     (doc_id_a, doc_id_b).
 
-    Shuffle plan: ONE groupby(block_key) collect-set aggregate (vectorized
-    accumulation, one output row per key), then a plain map_batches emitting
-    pairs — singleton keys (the vast majority) cost nothing.  A second
-    small groupby on the pair key dedups exactly."""
+    Shuffle plan: below ``single_task_rows_limit`` block rows, the whole
+    group->emit->dedup chain is ONE vectorized task (Ray's sort-based
+    groupby costs ~100k rows/s here; the task does millions/s).  Above it:
+    ONE groupby(block_key) collect-set aggregate, then a plain map_batches
+    emitting pairs — singleton keys (the vast majority) cost nothing — and
+    a second groupby on the pair key for exact dedup."""
+    import ray
+
+    cpus_now = int(ray.cluster_resources().get("CPU", 8))
+    block_rows_ds = block_rows_ds.materialize()
+    if block_rows_ds.count() <= cfg.single_task_rows_limit:
+        return (
+            block_rows_ds.repartition(1)
+            .map_batches(
+                lambda df: _pairs_single_task(df, cfg),
+                batch_format="pandas",
+                batch_size=None,
+            )
+            .repartition(max(2, cpus_now))
+        )
+
     from ray.data.aggregate import Unique
 
     grouped = block_rows_ds.groupby("block_key").aggregate(Unique("doc_id"))
 
     def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized pair emission: groups are bucketed BY SIZE and each
+        size class emits all its pairs with one triu gather over a (groups,
+        size) code matrix — no per-group Python in the common path (a batch
+        carries ~100k groups; the per-group loop was the pairs-stage
+        bottleneck).  ``factorize(sort=True)`` makes code order equal
+        lexicographic order, so canonical a<b orientation matches across
+        tasks.  Groups above salt_cap take the salted per-group path."""
         a_out: list = []
         b_out: list = []
+        by_size: dict[int, list] = {}
+        big: list = []
         for ids in batch["unique(doc_id)"]:
+            s = len(ids)
+            if s < 2:
+                continue
+            if s > cfg.salt_cap:
+                big.append(ids)
+            else:
+                by_size.setdefault(s, []).append(ids)
+        if by_size:
+            flat = np.concatenate(
+                [np.asarray(g, dtype=object) for gs in by_size.values() for g in gs]
+            )
+            codes, uniq = pd.factorize(pd.Series(flat), sort=True)
+            uniq_np = np.asarray(uniq, dtype=object)
+            pos = 0
+            for s, gs in by_size.items():
+                cnt = len(gs) * s
+                M = np.sort(codes[pos : pos + cnt].reshape(len(gs), s), axis=1)
+                pos += cnt
+                # within salt_cap, s(s-1)/2 <= max_pairs_per_group by
+                # construction (64*63/2 = 2016 < 2048): no budget check
+                iu, ju = np.triu_indices(s, 1)
+                a_out.append(uniq_np[M[:, iu].ravel()])
+                b_out.append(uniq_np[M[:, ju].ravel()])
+        for ids in big:
             _emit_group_pairs(list(ids), cfg, a_out, b_out)
         if not a_out:
             return pd.DataFrame(

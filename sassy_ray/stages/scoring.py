@@ -54,24 +54,53 @@ class ScoreConfig:
                 f"rc={self.rc},em={self.emit_matches})")
 
 
-# per-worker cache of the deserialized broadcast lookup: plasma zero-copies
-# the Arrow payload, but the python dict must be built once per process —
-# never once per task/batch
-_BCAST_CACHE: dict[str, dict] = {}
+class _DocLookup:
+    """Broadcast id->text lookup that does NOT copy the text payload into
+    the worker heap: ids live in a hash ``pd.Index`` (C-speed get_indexer),
+    texts stay in the (plasma-backed, chunked) Arrow column and only the
+    batch's rows are gathered per call.  A per-worker python dict of the
+    whole corpus cost ~1 GB heap + a GC-heavy build per worker at 600k
+    docs — this holds ~10% of that."""
+
+    def __init__(self, index, texts):
+        self.index = index  # pd.Index of doc_id
+        self.texts = texts  # pa.ChunkedArray/Array of str, or list[bytes]
+
+    @classmethod
+    def from_table(cls, tbl: pa.Table) -> "_DocLookup":
+        import pandas as pd
+
+        return cls(pd.Index(tbl.column("doc_id").to_pandas()), tbl.column("text"))
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "_DocLookup":
+        import pandas as pd
+
+        vals = [v if isinstance(v, bytes) else str(v).encode() for v in d.values()]
+        return cls(pd.Index(list(d.keys())), vals)
+
+    def get_many(self, ids: list) -> list[bytes]:
+        idx = self.index.get_indexer(ids)
+        if isinstance(self.texts, list):
+            return [self.texts[i] if i >= 0 else b"" for i in idx]
+        safe = np.maximum(idx, 0)
+        got = self.texts.take(pa.array(safe, pa.int64())).to_pylist()
+        return [
+            g.encode() if (i >= 0 and g is not None) else b""
+            for g, i in zip(got, idx)
+        ]
 
 
-def _tbl_to_dict(obj: pa.Table) -> dict[str, bytes]:
-    return dict(
-        zip(
-            obj.column("doc_id").to_pylist(),
-            (t.encode() for t in obj.column("text").to_pylist()),
-        )
-    )
+# per-worker cache of the broadcast lookup: built once per process, never
+# once per task/batch
+_BCAST_CACHE: dict[str, _DocLookup] = {}
 
 
-def _resolve_docs(docs_ref) -> dict[str, bytes]:
-    if isinstance(docs_ref, dict):
+def _resolve_docs(docs_ref) -> _DocLookup:
+    if isinstance(docs_ref, _DocLookup):
         return docs_ref
+    if isinstance(docs_ref, dict):
+        return _DocLookup.from_dict(docs_ref)
     if isinstance(docs_ref, list):  # list of block ObjectRefs (to_arrow_refs)
         key = "|".join(r.hex() for r in docs_ref[:4]) + f":{len(docs_ref)}"
     else:
@@ -81,13 +110,16 @@ def _resolve_docs(docs_ref) -> dict[str, bytes]:
         import ray
 
         if isinstance(docs_ref, list):
-            blocks = ray.get(docs_ref)
-            hit = {}
-            for b in blocks:
-                hit.update(_tbl_to_dict(b))
+            tbl = pa.concat_tables(ray.get(docs_ref))  # zero-copy chunk concat
         else:
             obj = ray.get(docs_ref)
-            hit = _tbl_to_dict(obj) if isinstance(obj, pa.Table) else obj
+            if isinstance(obj, dict):
+                hit = _DocLookup.from_dict(obj)
+                _BCAST_CACHE.clear()
+                _BCAST_CACHE[key] = hit
+                return hit
+            tbl = obj
+        hit = _DocLookup.from_table(tbl)
         _BCAST_CACHE.clear()
         _BCAST_CACHE[key] = hit
     return hit
@@ -118,8 +150,7 @@ class PairScorer:
             vals = batch.column(col).to_pylist()
             return [(v or "").encode() for v in vals]
         assert self.docs is not None, f"no {col} column and no docs_ref broadcast"
-        ids = batch.column(id_col).to_pylist()
-        return [self.docs.get(d, b"") for d in ids]
+        return self.docs.get_many(batch.column(id_col).to_pylist())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -152,15 +183,44 @@ class PairScorer:
             min_len[i] = len(pats[-1])
         k_pair = np.maximum(cfg.k_min, (cfg.rel_k * min_len).astype(np.int64)).astype(np.int32)
         k_max = int(k_pair.max())
-        # bucket by limb count: a batch's kernel cost is B x max(L); mixing a
-        # 64-char pattern with a 560-char one makes everyone pay 9 limbs
-        order = sorted(range(n), key=lambda i: len(pats[i]))
-        cost = np.empty(n, dtype=np.int32)
+
+        # --- stage 1: 15-char suffix screen (single-limb kernel) ----------
+        # The suffix's best end-cost lower-bounds the full pattern's (the
+        # restriction of any full alignment to the last SUF pattern chars
+        # ends at the same position and cannot cost more), so pairs whose
+        # suffix minimum exceeds k_pair are exact non-matches — only
+        # survivors pay the multi-limb full kernel (~8x heavier for
+        # paragraph-length patterns).  Reported cost is clamped to
+        # k_pair + 1 ("no match at this k"), sassy's without_trace
+        # convention (search.rs:447-451).
+        SUF = 63  # max single-limb suffix: stays on the L=1 fast path while
+        # leaving headroom over k (rel_k * paragraph lengths reaches ~20)
+        use_screen = k_max < SUF - 8 and int(min_len.max()) > 2 * SUF
+        if use_screen:
+            suf = [p[-SUF:] if len(p) > SUF else p for p in pats]
+            smin = batch_best_costs(suf, txts, self.prof, k_max)
+            if cfg.rc and self.prof.supports_rc:
+                # rc suffix = rc of the FIRST 15 pattern chars
+                suf_rc = [
+                    self.prof.reverse_complement(p[:SUF] if len(p) > SUF else p)
+                    for p in pats
+                ]
+                smin = np.minimum(smin, batch_best_costs(suf_rc, txts, self.prof, k_max))
+            todo = np.nonzero(smin <= k_pair)[0]
+        else:
+            todo = np.arange(n)
+
+        # --- stage 2: full kernel on survivors, bucketed by limb count ----
+        # (a batch's kernel cost is B x max(L); mixing a 64-char pattern
+        # with a 560-char one makes everyone pay 9 limbs)
+        cost = np.full(n, np.int32(np.iinfo(np.int32).max // 2), dtype=np.int32)
+        order = sorted(todo.tolist(), key=lambda i: len(pats[i]))
+        nt = len(order)
         i = 0
-        while i < n:
+        while i < nt:
             L0 = (len(pats[order[i]]) + 63) // 64
             j = i
-            while j < n and (len(pats[order[j]]) + 63) // 64 == L0:
+            while j < nt and (len(pats[order[j]]) + 63) // 64 == L0:
                 j += 1
             idx = order[i:j]
             sub_p = [pats[x] for x in idx]
@@ -171,6 +231,7 @@ class PairScorer:
                 c = np.minimum(c, batch_best_costs(rc_p, sub_t, self.prof, k_max))
             cost[idx] = c
             i = j
+        cost = np.minimum(cost, k_pair + 1)
         is_match = cost <= k_pair
         out = {
             "doc_id_a": batch.column("doc_id_a"),
