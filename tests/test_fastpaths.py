@@ -1,0 +1,117 @@
+"""Equivalence tests for the round-2 fast paths: the vectorized single-task
+pair generation vs the shuffle path, the scorer's suffix screen vs the
+unscreened kernel, and OPH minhash signature properties."""
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _block_rows(rng, n_keys=200, max_group=10):
+    keys, ids = [], []
+    for k in range(n_keys):
+        size = rng.choice([1, 1, 1, 2, 2, 3, rng.randint(1, max_group)])
+        members = rng.sample(range(1000), size)
+        for m in members:
+            keys.append(k * 7919 + 13)
+            ids.append(f"doc-{m:05d}")
+    # duplicated (key, id) rows must not duplicate pairs
+    keys += keys[:20]
+    ids += ids[:20]
+    return pa.table({"block_key": pa.array(keys, pa.int64()), "doc_id": pa.array(ids)})
+
+
+def _pair_set(ds):
+    t = pa.concat_tables(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    return set(zip(t.column("doc_id_a").to_pylist(), t.column("doc_id_b").to_pylist()))
+
+
+def test_pairs_single_task_equals_groupby_path(ray_session):
+    import ray.data as rd
+
+    from sassy_ray.stages.pairs import PairGenConfig, make_pairs_dataset
+
+    rng = random.Random(11)
+    rows = _block_rows(rng)
+    ds = rd.from_arrow(rows).repartition(4)
+    single = make_pairs_dataset(ds, PairGenConfig())  # row count < limit
+    forced = PairGenConfig(single_task_rows_limit=0, single_task_dedup_limit=0)
+    shuffled = make_pairs_dataset(rd.from_arrow(rows).repartition(4), forced)
+    s1, s2 = _pair_set(single), _pair_set(shuffled)
+    assert s1 == s2 and len(s1) > 50
+    for a, b in s1:
+        assert a < b  # canonical orientation
+
+
+def test_scorer_suffix_screen_is_exact():
+    """is_match with the 63-char suffix screen == unscreened kernel."""
+    from sassy_ray.kernel.myers import batch_best_costs
+    from sassy_ray.kernel.profiles import get_profile
+    from sassy_ray.stages.scoring import PairScorer, ScoreConfig
+
+    rng = random.Random(12)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    docs = {}
+    for i in range(300):
+        n = rng.randint(150, 500)
+        docs[f"d{i}"] = "".join(rng.choice(alpha) for _ in range(n)).encode()
+    ids = list(docs)
+    a, b = [], []
+    for i in range(600):
+        if i % 4 == 0:  # plant near-dups
+            d = rng.choice(ids)
+            a.append(d)
+            b.append(d)
+        else:
+            a.append(rng.choice(ids))
+            b.append(rng.choice(ids))
+    batch = pa.table({"doc_id_a": a, "doc_id_b": b})
+    cfg = ScoreConfig(profile="ascii_ci", k_min=3, rel_k=0.03)
+    out = PairScorer(cfg, docs_ref=docs)(batch)
+    # reference: unscreened kernel, same clamping convention
+    prof = get_profile("ascii_ci")
+    pats, txts, kp = [], [], []
+    for x, y in zip(a, b):
+        ta, tb = docs[x], docs[y]
+        if len(ta) > len(tb):
+            ta, tb = tb, ta
+        pats.append(ta)
+        txts.append(tb)
+        kp.append(max(cfg.k_min, int(cfg.rel_k * len(ta))))
+    kmax = max(kp)
+    want_cost = np.minimum(
+        batch_best_costs(pats, txts, prof, kmax), np.asarray(kp, dtype=np.int32) + 1
+    )
+    got_cost = out.column("cost").to_numpy()
+    got_match = out.column("is_match").to_numpy(zero_copy_only=False)
+    want_match = want_cost <= np.asarray(kp)
+    assert (got_match == want_match).all()
+    assert (got_cost == want_cost).all()
+    assert got_match.sum() > 100  # planted dups matched
+
+
+def test_oph_minhash_properties():
+    from sassy_ray.stages.blocking import BlockingConfig, band_keys, minhash_signatures
+
+    rng = random.Random(13)
+    cfg = BlockingConfig(q=12, num_perm=16, bands=8)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(400))
+    near = base[:200] + "X" + base[201:]  # 1 edit
+    far = "".join(rng.choice("abcdefgh ") for _ in range(400))
+    sigs = minhash_signatures([base.encode(), base.encode(), near.encode(), far.encode()], cfg)
+    # identical docs -> identical signatures
+    assert (sigs[0] == sigs[1]).all()
+    # near-dup shares most buckets; random doc shares few
+    share_near = (sigs[0] == sigs[2]).mean()
+    share_far = (sigs[0] == sigs[3]).mean()
+    assert share_near > 0.6 > share_far
+    # near-dup co-blocks on at least one band key
+    keys = band_keys(sigs, cfg)
+    assert len(set(keys[0]) & set(keys[2])) >= 1
+    assert len(set(keys[0]) & set(keys[3])) == 0
+    # short doc (< q) still gets a full deterministic signature
+    s2 = minhash_signatures([b"abc"], cfg)
+    s3 = minhash_signatures([b"abc"], cfg)
+    assert (s2 == s3).all()
