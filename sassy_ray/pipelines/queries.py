@@ -769,10 +769,10 @@ def token_stats(sf_dir: str):
         n_chars = pc.utf8_length(t.column("text"))
         flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
         stop = pa.compute.is_in(flat.flatten(), value_set=pa.array(list(sw)))
-        stop_lists = pa.ListArray.from_arrays(flat.offsets, pc.cast(stop, pa.int64()))
-        n_stop = pa.array(
-            [sum(x) if x is not None else 0 for x in stop_lists.to_pylist()], pa.int64()
-        )
+        # segment sums via cumsum difference at list offsets (no row loop)
+        offs = flat.offsets.to_numpy()
+        cs = np.concatenate([[0], np.cumsum(stop.to_numpy(zero_copy_only=False).astype(np.int64))])
+        n_stop = pa.array(cs[offs[1:]] - cs[offs[:-1]], pa.int64())
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
