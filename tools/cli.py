@@ -72,8 +72,20 @@ def cmd_grep(args) -> None:
             for i, line in enumerate(x.strip() for x in f):
                 if line:
                     patterns.append((f"p{i + 1}" if args.pattern else f"p{i}", line.encode()))
+    if args.pattern_fasta:
+        # the reference's --pattern-fasta: record ids become pat_ids
+        from sassy_ray.sources.fasta import parse_fasta_bytes
+
+        with open(args.pattern_fasta, "rb") as f:
+            t = parse_fasta_bytes(f.read())
+        for pid, seq in zip(t.column("id").to_pylist(), t.column("seq").to_pylist()):
+            patterns.append((pid, seq.encode()))
     if not patterns:
-        sys.exit("no patterns (-p / -l)")
+        sys.exit("no patterns (-p / -l / --pattern-fasta)")
+    if args.v2:
+        # compatibility no-op: the packed suffix prefilter (sassy v2's
+        # pattern tiling) engages automatically for multi-pattern runs
+        print("[v2] packed suffix prefilter engages automatically for >=2 patterns")
     cfg = GrepConfig(
         patterns,
         k=args.k,
@@ -84,16 +96,23 @@ def cmd_grep(args) -> None:
         max_n_frac=args.max_n_frac,
         sam=args.sam,
         invert=args.invert,
+        preserve_order=args.preserve_order,
     )
     res = run_grep(_read_input(args.input), cfg)
     os.makedirs(args.out, exist_ok=True)
-    if args.filter:
-        res["filtered"].write_parquet(os.path.join(args.out, "filtered"))
-        print(f"filtered records -> {args.out}/filtered")
-    else:
-        res["matches"].write_csv(os.path.join(args.out, "matches"))
-        print(f"matches -> {args.out}/matches (8-col)")
+    wrote_any = False
+    if args.filter or args.filter_out:
+        dest = args.filter_out or os.path.join(args.out, "filtered")
+        res["filtered"].write_parquet(dest)
+        print(f"filtered records -> {dest}")
+        wrote_any = True
+    if not args.filter or args.matches_out:
+        dest = args.matches_out or os.path.join(args.out, "matches")
+        res["matches"].write_csv(dest)
+        print(f"matches -> {dest} (8-col)")
         print(res["histogram"].to_string(index=False))
+        wrote_any = True
+    assert wrote_any
 
 
 def cmd_crispr(args) -> None:
@@ -152,6 +171,11 @@ def main() -> None:
     g.add_argument("input")
     g.add_argument("-p", "--pattern")
     g.add_argument("-l", "--pattern-file")
+    g.add_argument("--pattern-fasta", help="patterns from a FASTA file (record ids = pat_ids)")
+    g.add_argument("--v2", action="store_true", help="compat flag; prefilter is automatic")
+    g.add_argument("--preserve-order", action="store_true", help="stream matches in input order (no sort)")
+    g.add_argument("--matches-out", help="also write the 8-col match table here")
+    g.add_argument("--filter-out", help="also write (non-)matching records here")
     g.add_argument("-k", type=int, default=1)
     g.add_argument("--alphabet", default="dna", choices=["dna", "iupac", "ascii", "ascii_ci"])
     g.add_argument("--no-rc", action="store_true")
