@@ -1226,6 +1226,9 @@ def media_features(sf_dir: str):
     refs_tbl = media_refs_from_spans(docs)
     refs = sorted(set(refs_tbl.column("media_ref").to_pylist()))
     media = synthesize_media_payloads(refs)
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     out = (
         _rd()
         .from_arrow(media)
@@ -1234,7 +1237,9 @@ def media_features(sf_dir: str):
             fn_constructor_kwargs={"mode": "deterministic_fake", "dim": 32},
             batch_format="pyarrow",
             batch_size=64,
-            concurrency=2,
+            # autoscaling actor pool sized by the cluster (decode stages are
+            # the canonical stateful actor-pool shape)
+            concurrency=(1, max(2, cpus // 2)),
         )
     )
     return out.sort("media_ref")
