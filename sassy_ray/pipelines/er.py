@@ -218,8 +218,17 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
     def labeled_docs():
         """Docs with cluster_id attached and the spans column passed through
         BYTE-IDENTICALLY (the per-row invariant: kind, text, media_ref,
-        order preserved — BASELINE.json input_hint).  Broadcast the small
-        label map; no shuffle touches the wide rows."""
+        order preserved — BASELINE.json input_hint).  The (doc_id,
+        cluster_id) table ships through plasma once; each batch attaches by
+        vectorized index_in — no shuffle touches the wide rows.
+
+        10^12-doc note: an in-memory label join is NOT the scale path —
+        Ray's hash join cannot carry nested (list<struct>) payload columns,
+        and shuffling the wide rows would be wasteful anyway.  At scale the
+        labels are written hash-partitioned by doc_id NEXT TO the doc
+        shards (stages/checkpoint.py layout) and the attach happens per
+        partition at read time with exactly this index_in merge, one shard
+        pair at a time."""
         lab_tbl = pa.concat_tables(
             clusters.iter_batches(batch_size=65536, batch_format="pyarrow")
         ).combine_chunks()
