@@ -1704,12 +1704,39 @@ GROUP BY n.n_name
 
 
 def sample_fraction(sf_dir: str):
-    """Seeded random sample + aggregate (bench sanity op; rows-only since
-    RNG streams differ between engines)."""
-    ds = _rd().read_parquet(_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
-    out = ds.random_sample(0.1, seed=7)
-    n = out.count()
+    """DETERMINISTIC ~10% sample: keep rows whose md5-prefix hash of the key
+    is 0 mod 10 — reproducible across engines and reruns (what a 100 TB
+    pipeline actually wants; ``Dataset.random_sample(seed=...)`` remains for
+    seeded randomness but its RNG stream is engine-specific).  The SQL twin
+    recomputes the same hash predicate, so the count is hash-verified."""
+    import hashlib
+
+    ds = _rd().read_parquet(_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey")
+        ln = t.column("l_linenumber")
+        keys = [
+            f"{a}|{b}" for a, b in zip(ok.to_pylist(), ln.to_pylist())
+        ]
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(k.encode()).digest()[:8], "big") % 10 for k in keys),
+            dtype=np.int64,
+            count=len(keys),
+        )
+        return t.filter(pa.array(h == 0))
+
+    n = ds.map_batches(keep, batch_format="pyarrow").count()
     return pa.table({"sampled_rows": pa.array([n], pa.int64())})
+
+
+SAMPLE_FRACTION_SQL = """
+SELECT count(*) AS sampled_rows FROM lineitem
+WHERE CAST(list_sum(list_transform(range(16), i ->
+    (strpos('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), i+1, 1)) - 1)::HUGEINT
+    * (1::HUGEINT << ((15-i)*4))
+)) AS UBIGINT) % 10 = 0
+"""
 
 
 QUERIES.update(
@@ -1725,6 +1752,7 @@ ORACLE_SQL.update(
         "asof_join_orders": ASOF_JOIN_SQL,
         "window_running_revenue": WINDOW_RUNNING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
+        "sample_fraction": SAMPLE_FRACTION_SQL,
         "ann_ivf_topk": ANN_IVF_TOPK_SQL,
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     }
