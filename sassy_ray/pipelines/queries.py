@@ -817,10 +817,39 @@ FROM documents GROUP BY lang
 # ---------------------------------------------------------------------------
 
 
+def _export_er_closure_inputs(name: str, res, docs: pa.Table) -> None:
+    """Export the matched edge list + node list so the SQL twin recomputes
+    the TRANSITIVE CLUSTERING independently (DuckDB recursive closure vs
+    stages/clustering.py).  The pair scoring itself has no SQL twin — it is
+    pinned by the kernel fuzz suites and the F1-vs-exhaustive tests."""
+    edges = _collect(res["scored"])
+    edges = edges.filter(edges.column("is_match")).select(["doc_id_a", "doc_id_b"])
+    _oracle_export(f"{name}_edges", edges)
+    _oracle_export(f"{name}_nodes", pa.table({"doc_id": docs.column("doc_id")}))
+
+
+def _er_closure_sql(name: str) -> str:
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT doc_id_a AS a, doc_id_b AS b
+  FROM read_parquet('{_ORACLE_EXPORT_DIR}/{name}_edges.parquet')
+),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+n AS (SELECT doc_id FROM read_parquet('{_ORACLE_EXPORT_DIR}/{name}_nodes.parquet')),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM n
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
 def er_clusters(sf_dir: str):
     """Full ER pipeline over the interleaved corpus derived deterministically
     from this sf_dir's documents table: blocking -> pair scoring ->
-    transitive clusters."""
+    transitive clusters.  The clustering stage is SQL-verified via the
+    exported match edges (recursive closure twin)."""
     import pyarrow.parquet as pq
 
     from sassy_ray.pipelines.er import ERConfig, run_er_pipeline
@@ -836,7 +865,12 @@ def er_clusters(sf_dir: str):
         score_concurrency=4,
     )
     res = run_er_pipeline(_rd().from_arrow(docs), cfg)
+    if docs.num_rows <= 4 * _ORACLE_EXPORT_MAX_DOCS:
+        _export_er_closure_inputs("er_clusters", res, docs)
     return res["clusters"].sort("doc_id")
+
+
+ER_CLUSTERS_SQL = _er_closure_sql("er_clusters")
 
 
 def er_match_edges(sf_dir: str):
@@ -902,7 +936,12 @@ def er_clusters_dna(sf_dir: str):
         score_concurrency=4,
     )
     res = run_er_pipeline(_rd().from_arrow(docs), cfg)
+    if docs.num_rows <= 4 * _ORACLE_EXPORT_MAX_DOCS:
+        _export_er_closure_inputs("er_clusters_dna", res, docs)
     return res["clusters"].sort("doc_id")
+
+
+ER_CLUSTERS_DNA_SQL = _er_closure_sql("er_clusters_dna")
 
 
 # ---------------------------------------------------------------------------
@@ -954,6 +993,8 @@ ORACLE_SQL = {
     "dedup_minhash": DEDUP_MINHASH_SQL,
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "er_clusters": ER_CLUSTERS_SQL,
+    "er_clusters_dna": ER_CLUSTERS_DNA_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "lang_stats": LANG_STATS_SQL,
