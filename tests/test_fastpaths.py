@@ -92,6 +92,31 @@ def test_scorer_suffix_screen_is_exact():
     assert got_match.sum() > 100  # planted dups matched
 
 
+def test_doc_lookup_missing_and_types():
+    from sassy_ray.stages.scoring import _DocLookup, _resolve_docs
+
+    lk = _resolve_docs({"a": b"xx", "b": "yy"})
+    assert lk.get_many(["b", "missing", "a"]) == [b"yy", b"", b"xx"]
+    tbl = pa.table({"doc_id": ["d1", "d2"], "text": ["t1", "t2"]})
+    lk2 = _DocLookup.from_table(tbl)
+    assert lk2.get_many(["d2", "zz", "d1"]) == [b"t2", b"", b"t1"]
+
+
+def test_fasta_gz_whole_file_fallback(ray_session, tmp_path):
+    """gz inputs are not range-seekable: plan must be one whole-file chunk
+    and still parse correctly."""
+    import gzip
+
+    from sassy_ray.sources.fasta import plan_chunks, read_fasta
+
+    payload = b">a\nACGT\n>b\nGGGG\n" * 50_000  # ~0.8 MB compressed poorly
+    p = tmp_path / "big.fa.gz"
+    p.write_bytes(gzip.compress(payload))
+    plan = plan_chunks(str(p), chunk_bytes=64 * 1024)
+    assert len(plan) == 1 and plan[0]["end"] == -1
+    assert read_fasta(str(p)).count() == 100_000
+
+
 def test_oph_minhash_properties():
     from sassy_ray.stages.blocking import BlockingConfig, band_keys, minhash_signatures
 
