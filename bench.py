@@ -110,13 +110,17 @@ def run_bench() -> dict:
     timings["er_pipeline"] = round(er_sec, 3)
     if os.environ.get("GRAFT_BENCH_WARM"):
         # measure the pipeline, not Ray's one-off session warmup (~8 s of
-        # worker startup, identical at every parallelism level): re-run on
-        # the warm session and report the second run separately ("value"
-        # keeps the cold number)
-        t1 = time.time()
-        res = run_er_pipeline(rd.from_arrow(doc_blocks), cfg)
-        n_clusters = res["clusters"].count()
-        timings["er_pipeline_warm"] = round(time.time() - t1, 3)
+        # worker startup, identical at every parallelism level): rerun on
+        # the warm session and keep the MIN of two warm runs — the standard
+        # noise-resistant estimator on a shared machine ("value" keeps the
+        # cold number)
+        warms = []
+        for _ in range(2):
+            t1 = time.time()
+            res = run_er_pipeline(rd.from_arrow(doc_blocks), cfg)
+            n_clusters = res["clusters"].count()
+            warms.append(time.time() - t1)
+        timings["er_pipeline_warm"] = round(min(warms), 3)
     n_pairs = res["pairs"].count()
     total_text_bytes = sum(
         pc.sum(
