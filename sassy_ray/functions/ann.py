@@ -40,9 +40,14 @@ def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     return flat.reshape(len(arr), dim)
 
 
-def _merge_partial_topk(batches, n_queries: int, k: int):
+def _merge_partial_topk(batches, n_queries: int, k: int, quantize=None):
     """Merge per-batch (qi, ids, sims) partial top-k rows: the driver only
-    ever sees k rows per (query, batch)."""
+    ever sees k rows per (query, batch).  Non-finite sims (masked-out rows)
+    are dropped BEFORE the merge, so under-filled queries truncate rather
+    than fabricate zero-sim neighbors; ``counts[qi]`` is the number of real
+    results.  ``quantize`` optionally maps sims to the values the final
+    ordering should compare (e.g. a rounded integer scale, to mirror an
+    external ORDER BY on the rounded column)."""
     merged_ids: list[list] = [[] for _ in range(n_queries)]
     merged_sims: list[list] = [[] for _ in range(n_queries)]
     for b in batches:
@@ -53,13 +58,18 @@ def _merge_partial_topk(batches, n_queries: int, k: int):
             merged_sims[qi].extend(sims)
     out_ids = np.zeros((n_queries, k), dtype=np.int64)
     out_sims = np.zeros((n_queries, k))
+    counts = np.zeros(n_queries, dtype=np.int64)
     for qi in range(n_queries):
-        s = np.asarray(merged_sims[qi])
-        i = np.asarray(merged_ids[qi])
-        order = np.lexsort((i, -s))[:k]
+        s = np.asarray(merged_sims[qi], dtype=np.float64)
+        i = np.asarray(merged_ids[qi], dtype=np.int64)
+        finite = np.isfinite(s)
+        s, i = s[finite], i[finite]
+        key = quantize(s) if quantize is not None else s
+        order = np.lexsort((i, -key))[:k]
+        counts[qi] = len(order)
         out_ids[qi, : len(order)] = i[order]
         out_sims[qi, : len(order)] = s[order]
-    return out_ids, out_sims
+    return out_ids, out_sims, counts
 
 
 def _partial_topk_table(ids: np.ndarray, sims: np.ndarray, k: int) -> pa.Table:
@@ -86,9 +96,9 @@ def _partial_topk_table(ids: np.ndarray, sims: np.ndarray, k: int) -> pa.Table:
     )
 
 
-def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id"):
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id", quantize=None):
     """Exact top-k per query row: per-batch partial top-k, merged on driver.
-    Returns (n_queries, k) arrays of ids and sims."""
+    Returns ((n_queries, k) ids, (n_queries, k) sims, (n_queries,) counts)."""
     Q = _norm_rows(np.asarray(queries, dtype=np.float64))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -100,7 +110,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id
     batches = ds.map_batches(score, batch_format="pyarrow").iter_batches(
         batch_size=4096, batch_format="pyarrow"
     )
-    return _merge_partial_topk(batches, len(Q), k)
+    return _merge_partial_topk(batches, len(Q), k, quantize=quantize)
 
 
 def coarse_centroids(ds, n_centroids: int, seed: int = 42, id_col: str = "vec_id") -> np.ndarray:
@@ -139,10 +149,13 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     centroids: np.ndarray | None = None,
+    quantize=None,
 ):
     """IVF approximate top-k: assign rows to coarse buckets, score ONLY rows
     falling in the ``nprobe`` nearest buckets of some query (probe filter
-    before the query matmul), per-batch partial top-k merged on the driver."""
+    before the query matmul), per-batch partial top-k merged on the driver.
+    Under-filled queries (probed buckets hold < k rows) truncate — masked
+    -inf rows never surface as fabricated neighbors."""
     C = centroids if centroids is not None else coarse_centroids(ds, n_centroids, seed, id_col)
     Q = _norm_rows(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
@@ -167,9 +180,7 @@ def ivf_topk(
     batches = ds.map_batches(score, batch_format="pyarrow").iter_batches(
         batch_size=4096, batch_format="pyarrow"
     )
-    out_ids, out_sims = _merge_partial_topk(batches, len(Q), k)
-    out_sims[out_sims == -np.inf] = 0.0
-    return out_ids, out_sims
+    return _merge_partial_topk(batches, len(Q), k, quantize=quantize)
 
 
 def embedding_neardup_pairs(

@@ -126,12 +126,26 @@ def run_grep(
     if cfg.preserve_order:
         import ray
 
-        ray.data.DataContext.get_current().execution_options.preserve_order = True
-    matches = texts_ds.map_batches(
-        lambda b: grep_matches_batch(b, cfg, id_col, text_col),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    ).materialize()
+        # scope the global DataContext flag to this materialize: later
+        # pipelines in the same session must not silently inherit
+        # order-preserving execution (throughput penalty)
+        opts = ray.data.DataContext.get_current().execution_options
+        prev_order = opts.preserve_order
+        opts.preserve_order = True
+        try:
+            matches = texts_ds.map_batches(
+                lambda b: grep_matches_batch(b, cfg, id_col, text_col),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            ).materialize()
+        finally:
+            opts.preserve_order = prev_order
+    else:
+        matches = texts_ds.map_batches(
+            lambda b: grep_matches_batch(b, cfg, id_col, text_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        ).materialize()
     if not cfg.preserve_order:
         matches = matches.sort(["text_id", "start", "pat_id"])
     hist = (

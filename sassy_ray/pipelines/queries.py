@@ -717,6 +717,13 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 # ---------------------------------------------------------------------------
 
 
+def _e6_half_away(sims: np.ndarray) -> np.ndarray:
+    """round(x*1e6) with half-AWAY-from-zero ties — DuckDB's round(), not
+    numpy's banker's rounding (the float-parity hazard in CLAUDE.md)."""
+    x = np.asarray(sims, dtype=np.float64) * 1e6
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 def ann_topk(sf_dir: str):
     """Brute-force cosine top-10 neighbors of vec_id=0: numpy matmul per
     batch against the broadcast query vector (the scale path buckets by
@@ -730,7 +737,7 @@ def ann_topk(sf_dir: str):
             [np.asarray(e, dtype=np.float64) for e in t.column("embedding").to_pylist()]
         )
         sims = (M / np.linalg.norm(M, axis=1, keepdims=True)) @ qn
-        sim_e6 = np.round(sims * 1e6).astype(np.int64)
+        sim_e6 = _e6_half_away(sims)
         return pa.table(
             {"vec_id": t.column("vec_id"), "sim_e6": pa.array(sim_e6)}
         )
@@ -1316,11 +1323,14 @@ def ann_ivf_topk(sf_dir: str):
     )
     _oracle_export("ann_ivf_assign", assigns)
     _oracle_export("ann_ivf_probed", pa.table({"bucket": pa.array(probe.astype(np.int64))}))
-    ids, sims = ivf_topk(ds, q[None, :], k=10, centroids=C, nprobe=4)
+    ids, sims, counts = ivf_topk(
+        ds, q[None, :], k=10, centroids=C, nprobe=4, quantize=_e6_half_away
+    )
+    n = int(counts[0])
     return pa.table(
         {
-            "vec_id": pa.array(ids[0], pa.int64()),
-            "sim_e6": pa.array(np.round(sims[0] * 1e6).astype(np.int64)),
+            "vec_id": pa.array(ids[0][:n], pa.int64()),
+            "sim_e6": pa.array(_e6_half_away(sims[0][:n])),
         }
     )
 
@@ -1745,27 +1755,31 @@ GROUP BY n.n_name
 
 
 def sample_fraction(sf_dir: str):
-    """DETERMINISTIC ~10% sample: keep rows whose md5-prefix hash of the key
-    is 0 mod 10 — reproducible across engines and reruns (what a 100 TB
-    pipeline actually wants; ``Dataset.random_sample(seed=...)`` remains for
-    seeded randomness but its RNG stream is engine-specific).  The SQL twin
-    recomputes the same hash predicate, so the count is hash-verified."""
-    import hashlib
-
+    """DETERMINISTIC ~10% sample: keep rows whose 64-bit hash of the fused
+    (l_orderkey, l_linenumber) key is 0 mod 10 — reproducible across engines
+    and reruns (what a 100 TB pipeline actually wants;
+    ``Dataset.random_sample(seed=...)`` remains for seeded randomness but its
+    RNG stream is engine-specific).  Fully vectorized: one fused int64 key +
+    a numpy murmur-style finalizer that bit-exactly reproduces DuckDB's
+    ``hash(BIGINT)``, so the SQL twin is a one-line predicate (no per-row
+    Python, no md5)."""
     ds = _rd().read_parquet(_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber"])
+    M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+    MUL = np.uint64(0xD6E8FEB86659FD93)
 
     def keep(t: pa.Table) -> pa.Table:
-        ok = t.column("l_orderkey")
-        ln = t.column("l_linenumber")
-        keys = [
-            f"{a}|{b}" for a, b in zip(ok.to_pylist(), ln.to_pylist())
-        ]
-        h = np.fromiter(
-            (int.from_bytes(hashlib.md5(k.encode()).digest()[:8], "big") % 10 for k in keys),
-            dtype=np.int64,
-            count=len(keys),
+        key = (
+            t.column("l_orderkey").to_numpy().astype(np.int64) * np.int64(100000)
+            + t.column("l_linenumber").to_numpy().astype(np.int64)
         )
-        return t.filter(pa.array(h == 0))
+        # DuckDB's hash(BIGINT) = murmur64 finalizer over the two's-complement bits
+        x = key.view(np.uint64).copy()
+        x ^= x >> np.uint64(32)
+        x = (x * MUL) & M64
+        x ^= x >> np.uint64(32)
+        x = (x * MUL) & M64
+        x ^= x >> np.uint64(32)
+        return t.filter(pa.array(x % np.uint64(10) == 0))
 
     n = ds.map_batches(keep, batch_format="pyarrow").count()
     return pa.table({"sampled_rows": pa.array([n], pa.int64())})
@@ -1773,10 +1787,7 @@ def sample_fraction(sf_dir: str):
 
 SAMPLE_FRACTION_SQL = """
 SELECT count(*) AS sampled_rows FROM lineitem
-WHERE CAST(list_sum(list_transform(range(16), i ->
-    (strpos('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), i+1, 1)) - 1)::HUGEINT
-    * (1::HUGEINT << ((15-i)*4))
-)) AS UBIGINT) % 10 = 0
+WHERE hash(l_orderkey * 100000 + l_linenumber) % 10 = 0
 """
 
 
@@ -1801,17 +1812,15 @@ ORACLE_SQL.update(
 
 
 def json_props_stats(sf_dir: str):
-    """JSON scalar extraction (training-data op): parse events.props and
-    aggregate the extracted field per event_type."""
-    import json
-
+    """JSON scalar extraction (training-data op): extract ``props.k`` and
+    aggregate per event_type.  Vectorized via ``pc.extract_regex`` (a single
+    scalar key needs no full JSON parse); rows without the key yield null."""
     ds = _rd().read_parquet(_path(sf_dir, "events"), columns=["event_type", "props"])
 
     def extract(t: pa.Table) -> pa.Table:
-        ks = [json.loads(p).get("k") if p else None for p in t.column("props").to_pylist()]
-        return pa.table(
-            {"event_type": t.column("event_type"), "k": pa.array(ks, pa.int64())}
-        )
+        m = pc.extract_regex(t.column("props"), r'"k"\s*:\s*(?P<k>-?\d+)')
+        ks = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "k": ks})
 
     from ray.data.aggregate import Count, Max, Min, Sum
 

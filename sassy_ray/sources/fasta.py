@@ -101,13 +101,25 @@ def _expand_paths(paths) -> list[str]:
     return out
 
 
+def _is_gzip(path: str) -> bool:
+    """Sniff the 2-byte gzip magic — a gzipped file WITHOUT a .gz extension
+    must not be byte-range chunked (ranges of a gzip stream parse as
+    garbage, silently yielding wrong records)."""
+    try:
+        with open(path, "rb") as f:
+            return f.read(2) == b"\x1f\x8b"
+    except OSError:
+        return False
+
+
 def plan_chunks(paths, chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> list[dict]:
     """Byte-range chunk plan from file sizes only (no data read on the
-    driver).  gz files and small files become single whole-file chunks."""
+    driver, except a 2-byte gzip-magic sniff on large files).  gz files and
+    small files become single whole-file chunks."""
     plan: list[dict] = []
     for path in _expand_paths(paths):
         size = os.path.getsize(path)
-        if path.endswith(".gz") or size <= 2 * chunk_bytes:
+        if path.endswith(".gz") or size <= 2 * chunk_bytes or _is_gzip(path):
             plan.append({"path": path, "start": 0, "end": -1})
             continue
         start = 0

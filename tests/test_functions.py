@@ -120,9 +120,11 @@ def test_ann_brute_vs_ivf(ray_session):
     )
     ds = rd.from_arrow(tbl).repartition(4)
     q = M[7][None, :]
-    ids_b, sims_b = brute_force_topk(ds, q, k=5)
-    assert ids_b[0][0] == 7 and sims_b[0][0] > 0.999
-    ids_i, sims_i = ivf_topk(ds, q, k=5, n_centroids=8, nprobe=4)
+    ids_b, sims_b, counts_b = brute_force_topk(ds, q, k=5)
+    assert ids_b[0][0] == 7 and sims_b[0][0] > 0.999 and counts_b[0] == 5
+    ids_i, sims_i, counts_i = ivf_topk(ds, q, k=5, n_centroids=8, nprobe=4)
     # IVF must at least find the identical vector and mostly agree
     assert ids_i[0][0] == 7
+    # under-filled probes truncate (never fabricate vec_id-0/sim-0 rows)
+    assert counts_i[0] <= 5 and np.all(np.isfinite(sims_i[0][: counts_i[0]]))
     assert len(set(ids_b[0]) & set(ids_i[0])) >= 3
