@@ -45,6 +45,34 @@ def _dim_lookup(values, keys: pa.Array, outs: pa.Array, default=None) -> pa.Arra
     return taken
 
 
+# Join-side size threshold for broadcast vs partitioned execution: a side
+# whose parquet row groups decode under this many bytes ships once via
+# ray.put and joins as a per-batch lookup (no shuffle at all); bigger sides
+# go through the partitioned ``Dataset.join`` shuffle.  At 100 TB the fact
+# tables always exceed this, so the shuffle path is the one that scales —
+# the broadcast path is the optimizer's choice whenever a side genuinely
+# fits in a worker's heap.
+def _broadcast_join_limit() -> int:
+    return int(os.environ.get("SASSY_BROADCAST_JOIN_LIMIT", 256 << 20))
+
+
+def _parquet_bytes(path: str) -> int:
+    """Decoded size estimate from the parquet FOOTER only (no data read)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    return sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+
+
+def _partial_sum_count(tt: pa.Table, keys: list[str], sum_cols: list[str], count_col: str) -> pa.Table:
+    """Per-batch partial aggregation (combiner) BEFORE the groupby shuffle:
+    only (distinct keys x blocks) rows leave the map task, so the wide
+    groupby moves kilobytes instead of the whole fact table.  The caller's
+    final Ray groupby sums the partial sums and partial counts."""
+    g = tt.group_by(keys).aggregate([(c, "sum") for c in sum_cols] + [(keys[0], "count")])
+    return g.rename_columns(keys + sum_cols + [count_col])
+
+
 # --- oracle artifact exports ------------------------------------------------
 # Some operators (LSH candidate generation, approximate search) are not
 # SQL-expressible end-to-end, but their EXPENSIVE stages are independently
@@ -79,10 +107,12 @@ def _collect(ds_or_tbl) -> pa.Table:
 
 
 def q1_pricing_summary(sf_dir: str):
-    """TPC-H Q1 shape: filtered scan -> computed cols -> groupby multi-agg.
-    Exercises read-prune, vectorized map_batches, Sum/Mean/Count aggregation
-    (the reference's cost-histogram aggregate family, grep.rs:309-328)."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """TPC-H Q1 shape: filtered scan -> computed cols -> per-batch partial
+    aggregation (combiner) -> tiny groupby of the partials.  Exercises
+    read-prune, vectorized map_batches, and the partial+final aggregation
+    pattern (the reference's thread-local cost histograms merged at the end,
+    grep.rs:309-328,575-579) — only (groups x blocks) rows shuffle."""
+    from ray.data.aggregate import Sum
 
     ds = _rd().read_parquet(
         _path(sf_dir, "lineitem"),
@@ -107,21 +137,32 @@ def q1_pricing_summary(sf_dir: str):
             t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
         )
         charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t.column("l_tax")))
-        t = t.append_column("base_price_cents", cents(t.column("l_extendedprice")))
-        t = t.append_column("disc_price_cents", cents(disc_price))
-        t = t.append_column("charge_cents", cents(charge))
-        t = t.append_column("qty_centi", cents(t.column("l_quantity")))
-        return t
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty_centi": cents(t.column("l_quantity")),
+                "sum_base_price_cents": cents(t.column("l_extendedprice")),
+                "sum_disc_price_cents": cents(disc_price),
+                "sum_charge_cents": cents(charge),
+            }
+        )
+        return _partial_sum_count(
+            tt,
+            ["l_returnflag", "l_linestatus"],
+            ["sum_qty_centi", "sum_base_price_cents", "sum_disc_price_cents", "sum_charge_cents"],
+            "count_order",
+        )
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("qty_centi", alias_name="sum_qty_centi"),
-            Sum("base_price_cents", alias_name="sum_base_price_cents"),
-            Sum("disc_price_cents", alias_name="sum_disc_price_cents"),
-            Sum("charge_cents", alias_name="sum_charge_cents"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty_centi", alias_name="sum_qty_centi"),
+            Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+            Sum("sum_disc_price_cents", alias_name="sum_disc_price_cents"),
+            Sum("sum_charge_cents", alias_name="sum_charge_cents"),
+            Sum("count_order", alias_name="count_order"),
         )
     )
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
@@ -200,20 +241,57 @@ GROUP BY c.c_mktsegment
 
 
 def hash_join(sf_dir: str):
-    """Partitioned hash join (Dataset.join) of two large sides:
-    lineitem x orders -> revenue by order priority."""
+    """Hash join of lineitem x orders -> revenue by order priority, with the
+    size-adaptive physical plan a real optimizer picks: when the build side's
+    parquet footer says it decodes under the broadcast limit it ships
+    ONCE via ray.put and the join is a per-batch ``pc.index_in`` lookup (no
+    shuffle; valid because o_orderkey is unique on the build side), followed
+    by a per-batch partial aggregation so only (groups x blocks) rows move.
+    Above the limit both sides go through the partitioned ``Dataset.join``
+    shuffle — the path that scales to two 100 TB fact tables."""
+    import ray
+    from ray.data.aggregate import Sum
+
     li = _rd().read_parquet(
         _path(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
-    def rev(t: pa.Table) -> pa.Table:
+    def rev_cents(t: pa.Table) -> pa.Array:
         r = pc.multiply(
             t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
         )
-        rc = pc.cast(pc.round(pc.multiply(r, pa.scalar(100.0)), round_mode="half_towards_infinity"), pa.int64())
-        return pa.table({"l_orderkey": t.column("l_orderkey"), "revenue_cents": rc})
+        return pc.cast(pc.round(pc.multiply(r, pa.scalar(100.0)), round_mode="half_towards_infinity"), pa.int64())
 
-    li = li.map_batches(rev, batch_format="pyarrow")
+    if _parquet_bytes(_path(sf_dir, "orders")) <= _broadcast_join_limit():
+        import pyarrow.parquet as pq
+
+        dim = pq.read_table(
+            _path(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+        ).combine_chunks()
+        dim_ref = ray.put(dim)
+
+        def join_agg(t: pa.Table) -> pa.Table:
+            d = ray.get(dim_ref)
+            idx = pc.index_in(t.column("l_orderkey"), value_set=d.column("o_orderkey").combine_chunks())
+            tt = pa.table(
+                {
+                    "o_orderpriority": pc.take(d.column("o_orderpriority").combine_chunks(), idx),
+                    "revenue_cents": rev_cents(t),
+                }
+            ).filter(pc.is_valid(idx))  # inner-join semantics: drop misses
+            return _partial_sum_count(tt, ["o_orderpriority"], ["revenue_cents"], "n")
+
+        out = (
+            li.map_batches(join_agg, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Sum("n", alias_name="n"))
+        )
+        return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+    li = li.map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("l_orderkey"), "revenue_cents": rev_cents(t)}),
+        batch_format="pyarrow",
+    )
     orders = _rd().read_parquet(
         _path(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
     )
@@ -223,11 +301,9 @@ def hash_join(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    import ray
-
     nparts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
     joined = li.join(orders, join_type="inner", num_partitions=nparts, on=("l_orderkey",))
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
     out = joined.groupby("o_orderpriority").aggregate(
         Sum("revenue_cents", alias_name="revenue_cents"), Count(alias_name="n")
@@ -282,16 +358,19 @@ def events_window(sf_dir: str):
     def bucket(t: pa.Table) -> pa.Table:
         w = pc.cast(pc.floor_temporal(t.column("ts"), unit="hour"), pa.timestamp("us"))
         cents = pc.cast(pc.round(pc.multiply(t.column("value"), pa.scalar(100.0)), round_mode="half_towards_infinity"), pa.int64())
-        return pa.table(
-            {"window_start": w, "event_type": t.column("event_type"), "value_cents": cents}
+        tt = pa.table(
+            {"window_start": w, "event_type": t.column("event_type"), "sum_value_cents": cents}
+        )
+        return _partial_sum_count(
+            tt, ["window_start", "event_type"], ["sum_value_cents"], "n_events"
         )
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     out = (
         ds.map_batches(bucket, batch_format="pyarrow")
         .groupby(["window_start", "event_type"])
-        .aggregate(Sum("value_cents", alias_name="sum_value_cents"), Count(alias_name="n_events"))
+        .aggregate(Sum("sum_value_cents", alias_name="sum_value_cents"), Sum("n_events", alias_name="n_events"))
     )
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
@@ -1704,37 +1783,70 @@ def revenue_by_nation(sf_dir: str):
             }
         )
 
-    orders = _rd().read_parquet(_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
-    orders = orders.map_batches(attach_nation, batch_format="pyarrow")
     li = _rd().read_parquet(
         _path(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
-    li = li.map_batches(
-        lambda t: pa.table(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "revenue_cents": pc.cast(
-                    pc.round(
-                        pc.multiply(
-                            pc.multiply(
-                                t.column("l_extendedprice"),
-                                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
-                            ),
-                            pa.scalar(100.0),
-                        ),
-                        round_mode="half_towards_infinity",
+
+    def li_rev(t: pa.Table) -> tuple[pa.Array, pa.Array]:
+        rc = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), t.column("l_discount")),
                     ),
-                    pa.int64(),
+                    pa.scalar(100.0),
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return t.column("l_orderkey"), rc
+
+    from ray.data.aggregate import Sum
+
+    if _parquet_bytes(_path(sf_dir, "orders")) <= _broadcast_join_limit():
+        # orders->nation map fits: pre-join on the driver, broadcast it, and
+        # fold the fact scan into lookup + per-batch partial aggregation
+        orders_t = pq.read_table(_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+        order_nation = pa.table(
+            {
+                "o_orderkey": orders_t.column("o_orderkey"),
+                "n_name": _dim_lookup(
+                    orders_t.column("o_custkey"),
+                    cust_nation.column("c_custkey").combine_chunks(),
+                    cust_nation.column("n_name").combine_chunks(),
+                    default="",
                 ),
             }
-        ),
+        ).combine_chunks()
+        on_ref = ray.put(order_nation)
+
+        def join_agg(t: pa.Table) -> pa.Table:
+            d = ray.get(on_ref)
+            ok, rc = li_rev(t)
+            idx = pc.index_in(ok, value_set=d.column("o_orderkey").combine_chunks())
+            tt = pa.table(
+                {"n_name": pc.take(d.column("n_name").combine_chunks(), idx), "revenue_cents": rc}
+            ).filter(pc.is_valid(idx))
+            return _partial_sum_count(tt, ["n_name"], ["revenue_cents"], "n_items")
+
+        out = (
+            li.map_batches(join_agg, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Sum("n_items", alias_name="n_items"))
+        )
+        return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+    orders = _rd().read_parquet(_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(attach_nation, batch_format="pyarrow")
+    li = li.map_batches(
+        lambda t: pa.table(dict(zip(("l_orderkey", "revenue_cents"), li_rev(t)))),
         batch_format="pyarrow",
     )
-    import ray
-
     nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
     joined = li.join(orders, join_type="inner", num_partitions=nparts, on=("l_orderkey",))
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
     out = joined.groupby("n_name").aggregate(
         Sum("revenue_cents", alias_name="revenue_cents"), Count(alias_name="n_items")

@@ -128,3 +128,14 @@ def test_ann_brute_vs_ivf(ray_session):
     # under-filled probes truncate (never fabricate vec_id-0/sim-0 rows)
     assert counts_i[0] <= 5 and np.all(np.isfinite(sims_i[0][: counts_i[0]]))
     assert len(set(ids_b[0]) & set(ids_i[0])) >= 3
+
+
+def test_hash_join_broadcast_vs_partitioned(ray_session, monkeypatch):
+    """The size-adaptive join's two physical plans must agree bit-for-bit."""
+    from sassy_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    bcast = Q.QUERIES["hash_join"](sf).sort_by("o_orderpriority")
+    monkeypatch.setenv("SASSY_BROADCAST_JOIN_LIMIT", "0")
+    part = Q.QUERIES["hash_join"](sf).sort_by("o_orderpriority")
+    assert bcast.equals(part.select(bcast.column_names).cast(bcast.schema))
