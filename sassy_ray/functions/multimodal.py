@@ -100,9 +100,13 @@ class MediaDecoder:
         self.dim = dim
         self.target = target_size
         # per-actor state: the "model" — a fixed seeded projection matrix,
-        # built ONCE per actor (the ST1/ST2 pattern)
+        # built ONCE per actor (the ST1/ST2 pattern).  The float64 copy
+        # backs the e6 feature fingerprints (float64 on both the engine and
+        # the SQL-oracle side makes the rounding hash-stable); float32 is
+        # the pipeline's feature payload dtype.
         rng = np.random.default_rng(1234)
-        self.proj = rng.standard_normal((256, dim)).astype(np.float32)
+        self.proj64 = rng.standard_normal((256, dim))
+        self.proj = self.proj64.astype(np.float32)
 
     def _decode(self, payload: bytes, kind: str, w: int, h: int) -> np.ndarray:
         if self.mode == RAISE:
@@ -111,13 +115,16 @@ class MediaDecoder:
                 "swap MediaDecoder(mode=...) for a PIL/ffmpeg-backed decoder"
             )
         # deterministic fake decode: payload bytes -> byte histogram
+        # (float64 throughout: the e6 fingerprints must round identically
+        # to the SQL oracle's double arithmetic)
         arr = np.frombuffer(payload, dtype=np.uint8)
-        hist = np.bincount(arr, minlength=256).astype(np.float32)
+        hist = np.bincount(arr, minlength=256).astype(np.float64)
         return hist / max(1.0, hist.sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         frames = []
+        sums, mins, maxs = [], [], []
         for payload, kind, w, h, dur in zip(
             batch.column("payload").to_pylist(),
             batch.column("kind").to_pylist(),
@@ -126,7 +133,15 @@ class MediaDecoder:
             batch.column("duration_ms").to_pylist(),
         ):
             hist = self._decode(payload, kind, w, h)
-            feats.append((hist @ self.proj).astype(np.float32))
+            f64 = hist.astype(np.float64) @ self.proj64
+            feats.append(f64.astype(np.float32))
+            # e6 feature fingerprints (half-away rounding, DuckDB parity)
+            def e6(x: float) -> int:
+                return int(np.sign(x) * np.floor(abs(x) * 1e6 + 0.5))
+
+            sums.append(e6(float(f64.sum())))
+            mins.append(e6(float(f64.min())))
+            maxs.append(e6(float(f64.max())))
             # frame-sample stub: one frame per second for video, else 1
             frames.append(max(1, dur // 1000) if kind == "video" else 1)
         return pa.table(
@@ -135,5 +150,8 @@ class MediaDecoder:
                 "kind": batch.column("kind"),
                 "features": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
                 "n_frames": pa.array(frames, pa.int32()),
+                "feat_sum_e6": pa.array(sums, pa.int64()),
+                "feat_min_e6": pa.array(mins, pa.int64()),
+                "feat_max_e6": pa.array(maxs, pa.int64()),
             }
         )

@@ -959,8 +959,84 @@ def er_clusters(sf_dir: str):
 ER_CLUSTERS_SQL = _er_closure_sql("er_clusters")
 
 
+def _er_doc_texts(docs: pa.Table, lowercase: bool) -> dict:
+    from sassy_ray.sources.docs import concat_spans
+
+    ids = docs.column("doc_id").to_pylist()
+    texts = [t.encode() for t in concat_spans(docs.column("spans")).to_pylist()]
+    if lowercase:
+        texts = [t.lower() for t in texts]
+    return dict(zip(ids, texts))
+
+
+def _export_er_scored_oracle(name: str, pairs: pa.Table, docs: pa.Table, score, emit: bool) -> None:
+    """Pure-DP (O(nm) Sellers) recompute of the ER pair scorer over the same
+    candidate pair list — the independent implementation the NumPy kernel's
+    scored edges are hash-compared against (same pattern as the
+    search_approx oracle above).  Gate scale only."""
+    from sassy_ray.kernel.oracle import OracleSearcher, end_costs
+    from sassy_ray.kernel.profiles import get_profile
+
+    prof = get_profile(score.profile)
+    txt = _er_doc_texts(docs, score.lowercase)
+    osr = OracleSearcher(
+        "ascii", rc=False, only_best_match=True, case_sensitive=False
+    ) if emit else None
+    cols: dict[str, list] = {
+        k: []
+        for k in (
+            ["doc_id_a", "doc_id_b", "cost", "k", "is_match"]
+            + (["text_start", "text_end", "strand", "cigar"] if emit else [])
+        )
+    }
+    for a, b in zip(pairs.column("doc_id_a").to_pylist(), pairs.column("doc_id_b").to_pylist()):
+        ta, tb = txt[a], txt[b]
+        pat, t = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
+        k_pair = max(score.k_min, int(score.rel_k * len(pat)))
+        cost = int(end_costs(pat, t, prof, 0).min())
+        if score.rc and prof.supports_rc:
+            cost = min(cost, int(end_costs(prof.reverse_complement(pat), t, prof, 0).min()))
+        cost = min(cost, k_pair + 1)
+        is_match = cost <= k_pair
+        if emit and not is_match:
+            continue
+        cols["doc_id_a"].append(a)
+        cols["doc_id_b"].append(b)
+        cols["cost"].append(cost)
+        cols["k"].append(k_pair)
+        cols["is_match"].append(is_match)
+        if emit:
+            ms = osr.search(pat, t, k_pair)
+            best = min(ms, key=lambda m: (m.cost, -m.text_end), default=None)
+            cols["text_start"].append(best.text_start if best else -1)
+            cols["text_end"].append(best.text_end if best else -1)
+            cols["strand"].append(best.strand if best else "")
+            cols["cigar"].append(best.cigar if best else "")
+    tbl = pa.table(
+        {
+            "doc_id_a": pa.array(cols["doc_id_a"], pa.string()),
+            "doc_id_b": pa.array(cols["doc_id_b"], pa.string()),
+            "cost": pa.array(cols["cost"], pa.int32()),
+            "k": pa.array(cols["k"], pa.int32()),
+            "is_match": pa.array(cols["is_match"], pa.bool_()),
+            **(
+                {
+                    "text_start": pa.array(cols["text_start"], pa.int64()),
+                    "text_end": pa.array(cols["text_end"], pa.int64()),
+                    "strand": pa.array(cols["strand"], pa.string()),
+                    "cigar": pa.array(cols["cigar"], pa.string()),
+                }
+                if emit
+                else {}
+            ),
+        }
+    )
+    _oracle_export(name, tbl)
+
+
 def er_match_edges(sf_dir: str):
-    """Scored candidate pairs of the ER pipeline (cost, k, is_match)."""
+    """Scored candidate pairs of the ER pipeline (cost, k, is_match),
+    hash-verified against a pure-DP recompute of the same pair list."""
     import pyarrow.parquet as pq
 
     from sassy_ray.pipelines.er import ERConfig, run_er_pipeline
@@ -976,12 +1052,22 @@ def er_match_edges(sf_dir: str):
         score_concurrency=4,
     )
     res = run_er_pipeline(_rd().from_arrow(docs), cfg)
+    if docs.num_rows <= 4 * _ORACLE_EXPORT_MAX_DOCS:
+        _export_er_scored_oracle(
+            "er_match_edges_oracle", _collect(res["pairs"]), docs, cfg.score, emit=False
+        )
     return res["scored"].sort(["doc_id_a", "doc_id_b"])
+
+
+ER_MATCH_EDGES_SQL = f"""
+SELECT * FROM read_parquet('{_ORACLE_EXPORT_DIR}/er_match_edges_oracle.parquet')
+"""
 
 
 def er_match_alignments(sf_dir: str):
     """ER scored edges WITH full match coordinates (text_start/end, strand,
-    cigar) — sassy Match parity for the matched pairs (rows-only)."""
+    cigar) — sassy Match parity for the matched pairs, hash-verified against
+    the pure-DP OracleSearcher's traced best matches."""
     import pyarrow.parquet as pq
 
     from sassy_ray.pipelines.er import ERConfig, run_er_pipeline
@@ -1001,7 +1087,16 @@ def er_match_alignments(sf_dir: str):
     matched = res["scored"].map_batches(
         lambda b: b.filter(b.column("is_match")), batch_format="pyarrow"
     )
+    if docs.num_rows <= 4 * _ORACLE_EXPORT_MAX_DOCS:
+        _export_er_scored_oracle(
+            "er_match_alignments_oracle", _collect(res["pairs"]), docs, cfg.score, emit=True
+        )
     return matched.sort(["doc_id_a", "doc_id_b"])
+
+
+ER_MATCH_ALIGNMENTS_SQL = f"""
+SELECT * FROM read_parquet('{_ORACLE_EXPORT_DIR}/er_match_alignments_oracle.parquet')
+"""
 
 
 def er_clusters_dna(sf_dir: str):
@@ -1081,6 +1176,8 @@ ORACLE_SQL = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "er_clusters": ER_CLUSTERS_SQL,
     "er_clusters_dna": ER_CLUSTERS_DNA_SQL,
+    "er_match_edges": ER_MATCH_EDGES_SQL,
+    "er_match_alignments": ER_MATCH_ALIGNMENTS_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "lang_stats": LANG_STATS_SQL,
@@ -1338,7 +1435,15 @@ FROM documents
 
 def media_features(sf_dir: str):
     """Multimodal plumbing: media spans -> synthetic payloads -> actor-pool
-    decode/feature stage (stubbed codec, real Ray plumbing)."""
+    decode/feature stage (stubbed codec, real Ray plumbing).  Returns one
+    fingerprint row per media ref (kind, frame count, e6-quantized feature
+    sum/min/max from a float64 histogram x projection).  The SQL twin
+    RECOMPUTES the features from an independently-built byte histogram
+    (pure-Python Counter, exported) joined against the exported projection
+    matrix — checking the decode+project pipeline against a second
+    implementation."""
+    import collections
+
     import pyarrow.parquet as pq
 
     from sassy_ray.functions.multimodal import (
@@ -1353,6 +1458,41 @@ def media_features(sf_dir: str):
     refs_tbl = media_refs_from_spans(docs)
     refs = sorted(set(refs_tbl.column("media_ref").to_pylist()))
     media = synthesize_media_payloads(refs)
+
+    # oracle inputs: byte histograms via collections.Counter (independent of
+    # the decoder's np.bincount path), media metadata, projection matrix
+    h_ref, h_byte, h_cnt = [], [], []
+    for r, payload in zip(media.column("media_ref").to_pylist(), media.column("payload").to_pylist()):
+        for byte, cnt in sorted(collections.Counter(payload).items()):
+            h_ref.append(r)
+            h_byte.append(byte)
+            h_cnt.append(cnt)
+    _oracle_export(
+        "media_hist",
+        pa.table(
+            {
+                "media_ref": pa.array(h_ref, pa.string()),
+                "byte": pa.array(h_byte, pa.int32()),
+                "cnt": pa.array(h_cnt, pa.int64()),
+            }
+        ),
+    )
+    _oracle_export(
+        "media_meta", media.select(["media_ref", "kind", "duration_ms"])
+    )
+    proj = np.random.default_rng(1234).standard_normal((256, 32))
+    b_idx, d_idx = np.meshgrid(np.arange(256), np.arange(32), indexing="ij")
+    _oracle_export(
+        "media_proj",
+        pa.table(
+            {
+                "byte": pa.array(b_idx.reshape(-1), pa.int32()),
+                "dim": pa.array(d_idx.reshape(-1), pa.int32()),
+                "w": pa.array(proj.reshape(-1), pa.float64()),
+            }
+        ),
+    )
+
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -1368,8 +1508,36 @@ def media_features(sf_dir: str):
             # the canonical stateful actor-pool shape)
             concurrency=(1, max(2, cpus // 2)),
         )
+        .select_columns(["media_ref", "kind", "n_frames", "feat_sum_e6", "feat_min_e6", "feat_max_e6"])
     )
     return out.sort("media_ref")
+
+
+MEDIA_FEATURES_SQL = f"""
+WITH h AS (SELECT * FROM read_parquet('{_ORACLE_EXPORT_DIR}/media_hist.parquet')),
+tot AS (SELECT media_ref, sum(cnt) AS n FROM h GROUP BY media_ref),
+p AS (SELECT * FROM read_parquet('{_ORACLE_EXPORT_DIR}/media_proj.parquet')),
+f AS (
+  SELECT h.media_ref, p.dim,
+         sum((CAST(h.cnt AS DOUBLE) / greatest(CAST(t.n AS DOUBLE), 1.0)) * p.w) AS v
+  FROM h JOIN tot t USING (media_ref) JOIN p ON p.byte = h.byte
+  GROUP BY h.media_ref, p.dim
+),
+agg AS (
+  SELECT media_ref,
+         CAST(round(sum(v) * 1000000) AS BIGINT) AS feat_sum_e6,
+         CAST(round(min(v) * 1000000) AS BIGINT) AS feat_min_e6,
+         CAST(round(max(v) * 1000000) AS BIGINT) AS feat_max_e6
+  FROM f GROUP BY media_ref
+),
+m AS (
+  SELECT media_ref, kind,
+         CASE WHEN kind = 'video' THEN greatest(1, duration_ms // 1000) ELSE 1 END AS n_frames
+  FROM read_parquet('{_ORACLE_EXPORT_DIR}/media_meta.parquet')
+)
+SELECT m.media_ref, m.kind, m.n_frames, a.feat_sum_e6, a.feat_min_e6, a.feat_max_e6
+FROM m JOIN agg a USING (media_ref)
+"""
 
 
 def _query_vec(sf_dir: str, vid: int = 0) -> np.ndarray:
@@ -1918,6 +2086,7 @@ ORACLE_SQL.update(
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "sample_fraction": SAMPLE_FRACTION_SQL,
         "ann_ivf_topk": ANN_IVF_TOPK_SQL,
+        "media_features": MEDIA_FEATURES_SQL,
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     }
 )

@@ -85,7 +85,10 @@ def test_media_pipeline():
     media = synthesize_media_payloads(refs)
     dec = MediaDecoder(mode=DETERMINISTIC_FAKE, dim=16)
     out = dec(media)
-    assert out.column_names == ["media_ref", "kind", "features", "n_frames"]
+    assert out.column_names == [
+        "media_ref", "kind", "features", "n_frames",
+        "feat_sum_e6", "feat_min_e6", "feat_max_e6",
+    ]
     feats = out.column("features").to_pylist()
     assert all(len(f) == 16 for f in feats)
     # deterministic
