@@ -531,8 +531,15 @@ def batch_best_costs(
     if not patterns:
         return np.zeros(0, dtype=np.int32)
     if alpha is None:
-        if max(len(p) for p in patterns) > 64:
-            best = _batch_min_costs_skewed(patterns, texts, profile)
+        m_max = max(len(p) for p in patterns)
+        if m_max > 64:
+            # banded (blocked-filter) path pays off when the ≤k band covers
+            # only part of the limbs; otherwise the wavefront-skewed dense
+            # scan has less per-step overhead
+            if k + 64 < m_max:
+                best = _batch_min_costs_banded(patterns, texts, profile, k)
+            else:
+                best = _batch_min_costs_skewed(patterns, texts, profile)
         else:
             best = _batch_min_costs(patterns, texts, profile)
     else:
@@ -618,6 +625,146 @@ def _batch_min_costs_skewed(patterns: list[bytes], texts: list[bytes], profile: 
         if nhi >= lo + 1:
             hin_pos[:, lo + 1 : nhi + 1] = hout_pos[:, : nhi - lo]
             hin_neg[:, lo + 1 : nhi + 1] = hout_neg[:, : nhi - lo]
+    return best
+
+
+def _batch_min_costs_banded(
+    patterns: list[bytes], texts: list[bytes], profile: Profile, k: int
+) -> np.ndarray:
+    """Band-narrowed multi-limb min-cost scan — Myers' blocked *filter*
+    algorithm (the banded variant of the 1999 bit-parallel paper; also what
+    the reference's check_lanes/prefix-min early-out achieves,
+    /root/reference/src/search.rs:939-975,1131-1161) vectorized across the
+    batch axis:
+
+    * only limbs 0..cap are advanced, where ``cap`` is the deepest limb any
+      pair's ≤k band currently reaches (cells with value > k can never
+      produce a ≤k cell later — costs along DP paths are non-decreasing);
+    * per-pair band bottoms move by the classic block rules: drop the last
+      block when its last-row value >= k+64 (every row in it is then > k),
+      extend one block when its last-row value <= k+64 (the next block may
+      then hold ≤k cells);
+    * a re-activated limb is re-initialized to all-(+1) verticals with
+      last-row value bs[l-1]+64 — an upper bound that is EXACT whenever the
+      true value is ≤ k (the blocked-filter invariant), which is all the
+      clamped min-cost needs.
+
+    Returns exact min end-cost for every pair whose min is ≤ k; any value
+    > k may be overestimated (callers clamp to k+1).
+    """
+    B = len(patterns)
+    txt, n_arr = _pad_texts(texts)
+    present = np.zeros(256, dtype=bool)
+    present[txt.reshape(-1)] = True
+    alphabet = _ALL_BYTES[present]
+    lut = np.zeros(256, dtype=np.intp)
+    lut[alphabet] = np.arange(len(alphabet))
+    txt = lut[txt]
+    peq, m_arr, L = build_peq(patterns, profile, alphabet)
+    steps = int(n_arr.max()) if B else 0
+    score = m_arr.astype(np.int64).copy()
+    best = score.copy()
+    if steps == 0 or L == 1:
+        return _batch_min_costs(patterns, texts, profile)
+
+    all_ones = np.uint64(0xFFFFFFFFFFFFFFFF)
+    # state is (L, B): the per-limb hot loop reads/writes contiguous rows
+    Pv = np.full((L, B), all_ones, dtype=np.uint64)
+    Mv = np.zeros((L, B), dtype=np.uint64)
+    # bs[l, b]: DP value at the LAST row of limb l (row 64(l+1)-1, 0-based;
+    # pattern padding rows never match, so they are ordinary DP rows)
+    bs = np.broadcast_to((np.arange(L, dtype=np.int64) + 1)[:, None] * 64, (L, B)).copy()
+
+    last_limb = (np.maximum(m_arr - 1, 0) // 64).astype(np.int64)
+    score_shift = ((m_arr - 1) % 64).astype(np.uint64)
+    bidx = np.arange(B)
+    sel_per_limb = [(last_limb == l) for l in range(L)]
+    sel_any = [bool(s.any()) for s in sel_per_limb]
+    sel_uniform = [bool(s.all()) for s in sel_per_limb]
+    zero64 = np.int64(0)
+
+    kk = int(k)
+    # Band updates run every U columns, not every column: the band bottom
+    # moves at most one ROW per column, so checking with U columns of slack
+    # in the extension threshold activates every block at or before the
+    # column where it could first hold a ≤k cell (the invariant the
+    # blocked-filter proof needs); the shrink threshold adds hysteresis so
+    # the cap doesn't thrash.
+    U = 16
+    grow_thresh = np.int64(kk + 64 + U)
+    shrink_thresh = np.int64(kk + 64 + U + 32)
+    yb = np.full(B, min(L - 1, (kk + U) // 64), dtype=np.int64)  # per-pair band bottom
+    cap = int(yb.max())
+
+    hin_pos = np.zeros(B, dtype=np.uint64)
+    hin_neg = np.zeros(B, dtype=np.uint64)
+    n_min = int(n_arr.min())
+
+    for t in range(steps):
+        cbytes = txt[:, t]
+        hin_pos.fill(0)
+        hin_neg.fill(0)
+        for l in range(cap + 1):
+            Eq = peq[bidx, cbytes, l]
+            Pvl = Pv[l]
+            Mvl = Mv[l]
+            Xv = Eq | Mvl
+            Eqh = Eq | hin_neg
+            Xh = (((Eqh & Pvl) + Pvl) ^ Pvl) | Eqh
+            Ph = Mvl | ~(Xh | Pvl)
+            Mh = Pvl & Xh
+            if sel_any[l]:
+                upd = ((Ph >> score_shift) & _ONE).view(np.int64) - (
+                    (Mh >> score_shift) & _ONE
+                ).view(np.int64)
+                if sel_uniform[l]:
+                    score += upd
+                else:
+                    score += np.where(sel_per_limb[l], upd, zero64)
+            hout_pos = Ph >> _SIX3
+            hout_neg = Mh >> _SIX3
+            bs[l] += hout_pos.view(np.int64) - hout_neg.view(np.int64)
+            Ph = (Ph << _ONE) | hin_pos
+            Mh = (Mh << _ONE) | hin_neg
+            Pv[l] = Mh | ~(Xv | Ph)
+            Mv[l] = Ph & Xv
+            hin_pos = hout_pos
+            hin_neg = hout_neg
+        # ---- best update: valid for pairs whose last limb is computed ----
+        ok = last_limb <= cap
+        if t >= n_min:
+            ok = ok & (t < n_arr)
+        if ok.all():
+            np.minimum(best, score, out=best)
+        else:
+            np.minimum(best, np.where(ok, score, best), out=best)
+        # ---- periodic band adjustment (post-column values) ----------------
+        if (t & (U - 1)) != U - 1 and t != steps - 1:
+            continue
+        bs_y = bs[yb, bidx]
+        grow = (bs_y <= grow_thresh) & (yb < L - 1)
+        if grow.any():
+            yb = yb + grow  # bottom moves ≤ U rows between checks → ≤ 1 block
+        shrink = ~grow
+        while True:
+            cur = bs[yb, bidx]
+            m1 = shrink & (cur >= shrink_thresh) & (yb > 0)
+            if not m1.any():
+                break
+            yb = yb - m1
+        new_cap = int(yb.max())
+        if new_cap > cap:
+            # re-activate limbs cap+1..new_cap: all-(+1) verticals upper bound
+            for l in range(cap + 1, new_cap + 1):
+                Pv[l] = all_ones
+                Mv[l] = 0
+                bs[l] = bs[l - 1] + 64
+                if sel_any[l]:
+                    # reseed the row-(m-1) score stream for pairs whose last
+                    # limb just re-activated: value under +1 verticals
+                    reseed = bs[l - 1] + (m_arr - 64 * l)
+                    score = np.where(sel_per_limb[l], reseed, score)
+        cap = new_cap
     return best
 
 

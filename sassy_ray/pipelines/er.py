@@ -17,9 +17,12 @@ passes — the 10^12-doc path where the corpus doesn't fit a worker.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from sassy_ray.sources.docs import add_doc_text
 from sassy_ray.stages.blocking import BlockingConfig, minhash_block_rows
@@ -142,8 +145,6 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
         # Normalization (lowercase) happens in parallel, not per scored pair.
         proj = texts_ds.select_columns(["doc_id", "text"])
         if cfg.score.lowercase:
-            import pyarrow.compute as pc
-
             proj = proj.map_batches(
                 lambda b: pa.table(
                     {"doc_id": b.column("doc_id"), "text": pc.utf8_lower(b.column("text"))}
@@ -215,28 +216,38 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
     if resumed:
         stats["resumed_stages"].append("clusters")
 
-    def labeled_docs():
+    def labeled_docs(mode: str = "auto", label_dir: str | None = None, num_shards: int = 32):
         """Docs with cluster_id attached and the spans column passed through
         BYTE-IDENTICALLY (the per-row invariant: kind, text, media_ref,
-        order preserved — BASELINE.json input_hint).  The (doc_id,
-        cluster_id) table ships through plasma once; each batch attaches by
-        vectorized index_in — no shuffle touches the wide rows.
+        order preserved — BASELINE.json input_hint).  No shuffle ever
+        touches the wide rows (Ray's hash join cannot carry nested
+        list<struct> payloads, and shuffling them would be wasteful anyway).
 
-        10^12-doc note: an in-memory label join is NOT the scale path —
-        Ray's hash join cannot carry nested (list<struct>) payload columns,
-        and shuffling the wide rows would be wasteful anyway.  At scale the
-        labels are written hash-partitioned by doc_id NEXT TO the doc
-        shards (stages/checkpoint.py layout) and the attach happens per
-        partition at read time with exactly this index_in merge, one shard
-        pair at a time."""
+        Two attach paths:
+        * 'sharded' (the 10^12-doc path; default whenever the pipeline has a
+          checkpoint_dir or a label_dir is given): the labels are written
+          hash-partitioned by doc_id NEXT TO the doc shards
+          (write_label_shards, idempotent) and each batch attaches from the
+          worker-cached shards its ids hash into — no driver-side concat of
+          the label set, no ray.put broadcast.
+        * 'broadcast': the (doc_id, cluster_id) table ships through plasma
+          once and every batch attaches by vectorized index_in — right when
+          the label set fits a worker (tests/bench scale)."""
+        if mode == "auto":
+            mode = "sharded" if (label_dir or checkpoint_dir) else "broadcast"
+        if mode == "sharded":
+            if label_dir is None:
+                assert checkpoint_dir, "sharded attach needs label_dir or checkpoint_dir"
+                label_dir = os.path.join(checkpoint_dir, "label_shards")
+            write_label_shards(clusters, label_dir, num_shards)
+            return attach_labels_sharded(docs_ds, label_dir, num_shards)
+
         lab_tbl = pa.concat_tables(
             clusters.iter_batches(batch_size=65536, batch_format="pyarrow")
         ).combine_chunks()
         lab_ref = ray.put(lab_tbl)
 
         def attach(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
             lt = ray.get(lab_ref)
             taken = pc.take(
                 lt.column("cluster_id").combine_chunks(),
@@ -255,6 +266,126 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
         "stats": stats,
         "labeled_docs": labeled_docs,
     }
+
+
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_U64_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def hash_doc_ids_mod(ids, mod: int) -> np.ndarray:
+    """Vectorized FNV-1a over a string column, mod ``mod`` — the shard key
+    for partition-aligned label placement.  Stable across processes and
+    engines; no per-row Python (the per-character loop runs max-id-length
+    times over the whole column)."""
+    arr = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    arr = arr.cast(pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    if arr.offset != 0 or arr.null_count:
+        arr = pa.concat_arrays([pa.array(arr.to_pylist(), pa.string())])
+    off_dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], off_dt, n + 1).astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8, int(off[-1]))
+    lens = np.diff(off)
+    ml = int(lens.max()) if n else 0
+    mat = np.zeros((n, max(1, ml)), np.uint8)
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.arange(len(data)) - np.repeat(off[:-1], lens)
+    mat[rows, cols] = data
+    h = np.full(n, _FNV_OFF, np.uint64)
+    for j in range(ml):
+        hj = ((h ^ mat[:, j]) * _FNV_PRIME) & _U64_MASK
+        np.copyto(h, hj, where=j < lens)
+    return (h % np.uint64(mod)).astype(np.int64)
+
+
+def write_label_shards(clusters_ds, out_dir: str, num_shards: int = 32) -> None:
+    """Write (doc_id, cluster_id) hash-partitioned by doc_id — hive dirs
+    ``label_shard=N`` NEXT TO the doc shards (the stages/checkpoint.py
+    layout).  A distributed write: each map task appends the shard key
+    vectorized and Ray writes partitioned parquet; nothing is concatenated
+    on the driver.  Idempotent: a matching manifest skips the rewrite
+    (kill-and-resume)."""
+    import json
+
+    man_path = os.path.join(out_dir, "manifest.json")
+    try:
+        with open(man_path) as f:
+            man = json.load(f)
+        if man.get("complete") and man.get("num_shards") == num_shards:
+            return
+    except (OSError, json.JSONDecodeError):
+        pass
+    import shutil
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "label_shard", pa.array(hash_doc_ids_mod(t.column("doc_id"), num_shards))
+        )
+
+    clusters_ds.map_batches(add_shard, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["label_shard"]
+    )
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump({"complete": True, "num_shards": num_shards}, f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+
+
+# per-worker shard cache: each worker process loads a label shard at most
+# once; when doc shards are hash-aligned with label shards (the 10^12
+# layout) a task touches exactly one entry
+_LABEL_SHARD_CACHE: dict = {}
+
+
+def _load_label_shard(label_dir: str, shard: int):
+    key = (label_dir, shard)
+    hit = _LABEL_SHARD_CACHE.get(key)
+    if hit is None:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(label_dir, f"label_shard={shard}")
+        if os.path.isdir(path):
+            hit = pq.read_table(path, columns=["doc_id", "cluster_id"])
+        else:  # shard received no labels
+            hit = pa.table(
+                {"doc_id": pa.array([], pa.string()), "cluster_id": pa.array([], pa.string())}
+            )
+        hit = pa.table(
+            {
+                "doc_id": pc.cast(hit.column("doc_id"), pa.string()).combine_chunks(),
+                "cluster_id": pc.cast(hit.column("cluster_id"), pa.string()).combine_chunks(),
+            }
+        )
+        _LABEL_SHARD_CACHE[key] = hit
+    return hit
+
+
+def attach_labels_sharded(docs_ds, label_dir: str, num_shards: int = 32):
+    """Attach cluster_id to docs from hash-partitioned label shards: per
+    batch, load (worker-cached) only the shards its doc_ids hash into and
+    merge with one vectorized index_in.  No driver-side concat of the label
+    set, no ray.put of the labels, spans pass through untouched."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        shard = hash_doc_ids_mod(batch.column("doc_id"), num_shards)
+        tables = [_load_label_shard(label_dir, int(s)) for s in np.unique(shard)]
+        lookup = pa.concat_tables(tables) if tables else _load_label_shard(label_dir, 0)
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        taken = pc.take(
+            lookup.column("cluster_id").combine_chunks(),
+            pc.index_in(ids, value_set=lookup.column("doc_id").combine_chunks()),
+        )
+        label = pc.coalesce(taken, ids)  # unlabeled docs are their own cluster
+        return batch.append_column("cluster_id", label)
+
+    return docs_ds.map_batches(attach, batch_format="pyarrow")
 
 
 class DSU:

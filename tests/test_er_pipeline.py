@@ -252,3 +252,42 @@ def test_er_empty_and_single_doc(ray_session):
     res = run_er_pipeline(rd.from_arrow(one), ERConfig())
     out = res["clusters"].to_pandas()
     assert list(out.doc_id) == ["d1"] and list(out.cluster_id) == ["d1"]
+
+
+def test_labeled_docs_sharded_attach(ray_session, dna_docs, tmp_path):
+    """Partition-aligned label attach: labels written hash-partitioned by
+    doc_id (distributed write, no driver concat of the label set), attach
+    merges per batch from worker-cached shards.  Must agree bit-for-bit
+    with the broadcast attach, preserve the span fingerprint, and resume
+    idempotently (second call skips the shard rewrite via the manifest)."""
+    import numpy as np
+    import ray.data as rd
+
+    docs, _ = dna_docs
+    res = run_er_pipeline(rd.from_arrow(docs), _dna_cfg())
+    label_dir = str(tmp_path / "label_shards")
+    out_sharded = res["labeled_docs"](mode="sharded", label_dir=label_dir, num_shards=8)
+    got = pa.concat_tables(
+        out_sharded.iter_batches(batch_size=100_000, batch_format="pyarrow")
+    ).sort_by("doc_id")
+    out_bcast = res["labeled_docs"](mode="broadcast")
+    want = pa.concat_tables(
+        out_bcast.iter_batches(batch_size=100_000, batch_format="pyarrow")
+    ).sort_by("doc_id")
+    assert got.column("cluster_id").to_pylist() == want.column("cluster_id").to_pylist()
+    np.testing.assert_array_equal(spans_fingerprint(got), spans_fingerprint(docs.sort_by("doc_id")))
+
+    # kill-and-resume: manifest present -> rewrite skipped, result identical
+    import json
+    import os
+
+    man = os.path.join(label_dir, "manifest.json")
+    mtime = os.path.getmtime(man)
+    out2 = res["labeled_docs"](mode="sharded", label_dir=label_dir, num_shards=8)
+    got2 = pa.concat_tables(
+        out2.iter_batches(batch_size=100_000, batch_format="pyarrow")
+    ).sort_by("doc_id")
+    assert os.path.getmtime(man) == mtime  # no rewrite
+    assert got2.column("cluster_id").to_pylist() == want.column("cluster_id").to_pylist()
+    with open(man) as f:
+        assert json.load(f)["complete"]

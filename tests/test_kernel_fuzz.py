@@ -174,3 +174,50 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_banded_min_costs_matches_dense():
+    """The band-narrowed multi-limb scan must agree with the dense skewed
+    scan after the k+1 clamp, on near-dup, half-match and random pairs."""
+    import numpy as np
+
+    from sassy_ray.kernel.myers import _batch_min_costs_banded, _batch_min_costs_skewed
+    from sassy_ray.kernel.profiles import get_profile
+
+    rng = np.random.default_rng(7)
+    prof = get_profile("ascii_ci")
+    alpha = list(b"abcdefgh")
+    for trial in range(25):
+        B = int(rng.integers(1, 24))
+        k = int(rng.integers(0, 48))
+        pats, txts = [], []
+        for _ in range(B):
+            m = int(rng.integers(65, 420))
+            n = int(rng.integers(max(1, m - 40), m + 120))
+            t = bytes(rng.choice(alpha, n))
+            r = rng.random()
+            if r < 0.5:
+                s = int(rng.integers(0, max(1, n - m + 1)))
+                p = bytearray(t[s : s + m])
+                for _ in range(int(rng.integers(0, k + 4))):
+                    pos = int(rng.integers(0, len(p)))
+                    op = rng.random()
+                    if op < 0.4:
+                        p[pos] = int(rng.choice(alpha))
+                    elif op < 0.7 and len(p) > 66:
+                        del p[pos]
+                    else:
+                        p.insert(pos, int(rng.choice(alpha)))
+                p = bytes(p)
+                if len(p) < 65:
+                    p = p + bytes(rng.choice(alpha, 65 - len(p)))
+            elif r < 0.75:
+                half = bytes(rng.choice(alpha, m))
+                p = t[: m // 2] + half[: m - m // 2]
+            else:
+                p = bytes(rng.choice(alpha, m))
+            pats.append(p)
+            txts.append(t)
+        ref = np.minimum(_batch_min_costs_skewed(pats, txts, prof), k + 1)
+        got = np.minimum(_batch_min_costs_banded(pats, txts, prof, k), k + 1)
+        assert np.array_equal(ref, got), f"trial {trial} k={k}"

@@ -61,7 +61,7 @@ def bench_multi(n_texts=16, text_len=100_000, n_pats=32, m=23, k=3, reps=3):
           f"{total/best/1e6:.1f} MB/s/core pattern-scan ({out.num_rows} matches)")
 
 
-def bench_pairs(n_pairs=4096, tlen=300, k=17, reps=3):
+def bench_pairs(n_pairs=4096, tlen=300, k=17, reps=3, label="pairs"):
     from sassy_ray.kernel.myers import batch_best_costs
     from sassy_ray.kernel.profiles import get_profile
 
@@ -78,7 +78,7 @@ def bench_pairs(n_pairs=4096, tlen=300, k=17, reps=3):
         t0 = time.time()
         c = batch_best_costs(pats, txts, prof, k)
         best = min(best, time.time() - t0)
-    print(f"pairs: {n_pairs} pairs ({tlen} ch) in {best:.2f}s = {n_pairs/best:.0f} pairs/s/core")
+    print(f"{label}: {n_pairs} pairs ({tlen} ch, k={k}) in {best:.2f}s = {n_pairs/best:.0f} pairs/s/core")
 
 
 if __name__ == "__main__":
@@ -89,3 +89,5 @@ if __name__ == "__main__":
         bench_multi()
     if which in ("pairs", "all"):
         bench_pairs()
+    if which in ("pairs_long", "all"):
+        bench_pairs(tlen=600, k=21, label="pairs_long")
