@@ -65,6 +65,68 @@ def _pack_bits_u64(bits: np.ndarray) -> np.ndarray:
     return packed.view(np.uint64)
 
 
+def _rows_matrix(rows, min_width: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Rows of bytes -> (padded uint8 matrix, lengths).
+
+    Accepts a list[bytes] OR an Arrow string/binary array — the Arrow path
+    builds the matrix with ONE vectorized scatter from the array's
+    offsets+data buffers (zero per-row Python), which is how the scorer
+    stages feed batches in without a to_pylist round-trip."""
+    try:
+        import pyarrow as pa
+
+        is_arrow = isinstance(rows, (pa.Array, pa.ChunkedArray))
+    except ImportError:  # pragma: no cover
+        is_arrow = False
+    if is_arrow:
+        import pyarrow as pa
+
+        arr = rows.combine_chunks() if isinstance(rows, pa.ChunkedArray) else rows
+        if pa.types.is_string(arr.type):
+            arr = arr.cast(pa.binary())
+        elif pa.types.is_large_string(arr.type):
+            arr = arr.cast(pa.large_binary())
+        if arr.null_count:
+            arr = arr.fill_null(b"")
+        if arr.offset != 0:
+            arr = pa.concat_arrays([arr])
+        n = len(arr)
+        off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        bufs = arr.buffers()
+        off = np.frombuffer(bufs[1], off_dt, n + 1).astype(np.int64)
+        data = np.frombuffer(bufs[2], np.uint8, int(off[-1])) if off[-1] else np.zeros(0, np.uint8)
+        lens = np.diff(off)
+        width = max(min_width, int(lens.max()) if n else 0, 1)
+        mat = np.zeros((n, width), dtype=np.uint8)
+        if len(data):
+            r = np.repeat(np.arange(n), lens)
+            c = np.arange(len(data)) - np.repeat(off[:-1], lens)
+            mat[r, c] = data
+        return mat, lens
+    lens = np.array([len(t) for t in rows], dtype=np.int64)
+    width = max(min_width, int(lens.max()) if len(lens) else 0, 1)
+    mat = np.zeros((len(rows), width), dtype=np.uint8)
+    for i, t in enumerate(rows):
+        if t:
+            mat[i, : len(t)] = np.frombuffer(t, dtype=np.uint8)
+    return mat, lens
+
+
+def _max_len(rows) -> int:
+    try:
+        import pyarrow as pa
+
+        if isinstance(rows, (pa.Array, pa.ChunkedArray)):
+            import pyarrow.compute as pc
+
+            if len(rows) == 0:
+                return 0
+            return int(pc.max(pc.binary_length(rows)).as_py() or 0)
+    except ImportError:  # pragma: no cover
+        pass
+    return max((len(p) for p in rows), default=0)
+
+
 def build_peq(
     patterns: list[bytes], profile: Profile, alphabet: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray, int]:
@@ -75,15 +137,16 @@ def build_peq(
     else the distinct text bytes — texts rarely use more than a few dozen).
     Padding rows never match.
     """
-    m_arr = np.array([len(p) for p in patterns], dtype=np.int64)
+    pat0, m_arr = _rows_matrix(patterns)
     m_max = max(1, int(m_arr.max()) if len(m_arr) else 1)
     L = -(-m_max // 64)
     m_pad = L * 64
-    B = len(patterns)
-    pat = np.zeros((B, m_pad), dtype=np.uint8)
-    for i, p in enumerate(patterns):
-        if p:
-            pat[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+    B = len(m_arr)
+    if pat0.shape[1] < m_pad:
+        pat = np.zeros((B, m_pad), dtype=np.uint8)
+        pat[:, : pat0.shape[1]] = pat0
+    else:
+        pat = pat0[:, :m_pad]
     ab = _ALL_BYTES if alphabet is None else alphabet
     # bits[b, j, a] = match(pattern[b][j], alphabet byte a)
     bits = profile.match_matrix[pat[:, :, None], ab[None, None, :]]  # (B, m_pad, A)
@@ -93,14 +156,8 @@ def build_peq(
     return _pack_bits_u64(bits), m_arr, L
 
 
-def _pad_texts(texts: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
-    n_arr = np.array([len(t) for t in texts], dtype=np.int64)
-    n_max = max(1, int(n_arr.max()) if len(n_arr) else 1)
-    txt = np.zeros((len(texts), n_max), dtype=np.uint8)
-    for i, t in enumerate(texts):
-        if t:
-            txt[i, : len(t)] = np.frombuffer(t, dtype=np.uint8)
-    return txt, n_arr
+def _pad_texts(texts) -> tuple[np.ndarray, np.ndarray]:
+    return _rows_matrix(texts)
 
 
 def batch_end_costs(
@@ -528,10 +585,10 @@ def batch_best_costs(
     (B, W) cost matrix — less memory traffic, which is what bounds the
     many-process aggregate throughput.
     """
-    if not patterns:
+    if len(patterns) == 0:
         return np.zeros(0, dtype=np.int32)
     if alpha is None:
-        m_max = max(len(p) for p in patterns)
+        m_max = _max_len(patterns)
         if m_max > 64:
             # banded (blocked-filter) path pays off when the ≤k band covers
             # only part of the limbs; otherwise the wavefront-skewed dense

@@ -56,39 +56,45 @@ class ScoreConfig:
 
 class _DocLookup:
     """Broadcast id->text lookup that does NOT copy the text payload into
-    the worker heap: ids live in a hash ``pd.Index`` (C-speed get_indexer),
-    texts stay in the (plasma-backed, chunked) Arrow column and only the
-    batch's rows are gathered per call.  A per-worker python dict of the
-    whole corpus cost ~1 GB heap + a GC-heavy build per worker at 600k
-    docs — this holds ~10% of that."""
+    the worker heap: ids and texts stay in (plasma-backed) Arrow arrays and
+    only the batch's rows are gathered per call (``pc.index_in`` hash
+    lookup + ``take`` — all C++).  A per-worker python dict of the whole
+    corpus cost ~1 GB heap + a GC-heavy build per worker at 600k docs —
+    this holds ~10% of that."""
 
-    def __init__(self, index, texts):
-        self.index = index  # pd.Index of doc_id
-        self.texts = texts  # pa.ChunkedArray/Array of str, or list[bytes]
+    def __init__(self, ids, texts):
+        self.ids = ids  # pa.Array of doc_id (combined)
+        self.texts = texts  # pa.Array of str (combined)
 
     @classmethod
     def from_table(cls, tbl: pa.Table) -> "_DocLookup":
-        import pandas as pd
-
-        return cls(pd.Index(tbl.column("doc_id").to_pandas()), tbl.column("text"))
+        return cls(
+            tbl.column("doc_id").combine_chunks(),
+            tbl.column("text").combine_chunks(),
+        )
 
     @classmethod
     def from_dict(cls, d: dict) -> "_DocLookup":
-        import pandas as pd
+        vals = [
+            v.decode() if isinstance(v, bytes) else str(v) for v in d.values()
+        ]
+        return cls(pa.array(list(d.keys())), pa.array(vals, pa.string()))
 
-        vals = [v if isinstance(v, bytes) else str(v).encode() for v in d.values()]
-        return cls(pd.Index(list(d.keys())), vals)
+    def take_arrow(self, ids) -> pa.Array:
+        """Batch ids (pa.Array) -> text pa.Array; misses resolve to ""."""
+        import pyarrow.compute as pc
+
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if ids.type != self.ids.type:
+            ids = pc.cast(ids, self.ids.type)
+        idx = pc.index_in(ids, value_set=self.ids)
+        got = pc.take(self.texts, idx)
+        return pc.fill_null(got, "")
 
     def get_many(self, ids: list) -> list[bytes]:
-        idx = self.index.get_indexer(ids)
-        if isinstance(self.texts, list):
-            return [self.texts[i] if i >= 0 else b"" for i in idx]
-        safe = np.maximum(idx, 0)
-        got = self.texts.take(pa.array(safe, pa.int64())).to_pylist()
-        return [
-            g.encode() if (i >= 0 and g is not None) else b""
-            for g, i in zip(got, idx)
-        ]
+        got = self.take_arrow(pa.array(ids)).to_pylist()
+        return [(g or "").encode() for g in got]
 
 
 # per-worker cache of the broadcast lookup: built once per process, never
@@ -145,20 +151,25 @@ class PairScorer:
         if docs_ref is not None:
             self.docs = _resolve_docs(docs_ref)
 
-    def _texts(self, batch: pa.Table, col: str, id_col: str) -> list[bytes]:
+    def _texts_arrow(self, batch: pa.Table, col: str, id_col: str) -> pa.Array:
         if col in batch.column_names:
-            vals = batch.column(col).to_pylist()
-            return [(v or "").encode() for v in vals]
+            arr = batch.column(col)
+            arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            import pyarrow.compute as pc
+
+            return pc.fill_null(arr, "")
         assert self.docs is not None, f"no {col} column and no docs_ref broadcast"
-        return self.docs.get_many(batch.column(id_col).to_pylist())
+        return self.docs.take_arrow(batch.column(id_col))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         cfg = self.cfg
-        ta = self._texts(batch, "text_a", "doc_id_a")
-        tb = self._texts(batch, "text_b", "doc_id_b")
+        ta = self._texts_arrow(batch, "text_a", "doc_id_a")
+        tb = self._texts_arrow(batch, "text_b", "doc_id_b")
         if cfg.lowercase and not self.pre_lowercased:
-            ta = [t.lower() for t in ta]
-            tb = [t.lower() for t in tb]
+            ta = pc.utf8_lower(ta)
+            tb = pc.utf8_lower(tb)
         n = len(ta)
         if n == 0:
             return pa.table(
@@ -170,21 +181,20 @@ class PairScorer:
                     "is_match": pa.array([], pa.bool_()),
                 }
             )
-        pats, txts = [], []
-        min_len = np.empty(n, dtype=np.int64)
-        for i in range(n):
-            a, b = ta[i], tb[i]
-            if len(a) <= len(b):
-                pats.append(a)
-                txts.append(b)
-            else:
-                pats.append(b)
-                txts.append(a)
-            min_len[i] = len(pats[-1])
+        # orientation (pattern = shorter side): one vectorized if_else —
+        # the batch never round-trips through Python lists; the kernel
+        # consumes the Arrow arrays zero-copy (myers._rows_matrix)
+        la = pc.binary_length(ta).to_numpy()
+        lb = pc.binary_length(tb).to_numpy()
+        a_shorter = pa.array(la <= lb)
+        pats_arr = pc.if_else(a_shorter, ta, tb)
+        txts_arr = pc.if_else(a_shorter, tb, ta)
+        min_len = np.minimum(la, lb)
         k_pair = np.maximum(cfg.k_min, (cfg.rel_k * min_len).astype(np.int64)).astype(np.int32)
         k_max = int(k_pair.max())
+        rc = cfg.rc and self.prof.supports_rc
 
-        # --- stage 1: 15-char suffix screen (single-limb kernel) ----------
+        # --- stage 1: 63-char suffix screen (single-limb kernel) ----------
         # The suffix's best end-cost lower-bounds the full pattern's (the
         # restriction of any full alignment to the last SUF pattern chars
         # ends at the same position and cannot cost more), so pairs whose
@@ -197,15 +207,16 @@ class PairScorer:
         # leaving headroom over k (rel_k * paragraph lengths reaches ~20)
         use_screen = k_max < SUF - 8 and int(min_len.max()) > 2 * SUF
         if use_screen:
-            suf = [p[-SUF:] if len(p) > SUF else p for p in pats]
-            smin = batch_best_costs(suf, txts, self.prof, k_max)
-            if cfg.rc and self.prof.supports_rc:
-                # rc suffix = rc of the FIRST 15 pattern chars
-                suf_rc = [
-                    self.prof.reverse_complement(p[:SUF] if len(p) > SUF else p)
-                    for p in pats
-                ]
-                smin = np.minimum(smin, batch_best_costs(suf_rc, txts, self.prof, k_max))
+            # suffix slice, vectorized: reverse -> take first SUF -> reverse
+            suf = pc.utf8_reverse(
+                pc.utf8_slice_codeunits(pc.utf8_reverse(pats_arr), 0, SUF)
+            )
+            smin = batch_best_costs(suf, txts_arr, self.prof, k_max)
+            if rc:
+                # rc suffix = rc of the FIRST SUF pattern chars
+                pre = pc.utf8_slice_codeunits(pats_arr, 0, SUF)
+                suf_rc = [self.prof.reverse_complement((p or "").encode()) for p in pre.to_pylist()]
+                smin = np.minimum(smin, batch_best_costs(suf_rc, txts_arr, self.prof, k_max))
             todo = np.nonzero(smin <= k_pair)[0]
         else:
             todo = np.arange(n)
@@ -214,20 +225,22 @@ class PairScorer:
         # (a batch's kernel cost is B x max(L); mixing a 64-char pattern
         # with a 560-char one makes everyone pay 9 limbs)
         cost = np.full(n, np.int32(np.iinfo(np.int32).max // 2), dtype=np.int32)
-        order = sorted(todo.tolist(), key=lambda i: len(pats[i]))
+        limbs = (min_len + 63) // 64
+        order = todo[np.argsort(limbs[todo], kind="stable")]
         nt = len(order)
         i = 0
         while i < nt:
-            L0 = (len(pats[order[i]]) + 63) // 64
+            L0 = limbs[order[i]]
             j = i
-            while j < nt and (len(pats[order[j]]) + 63) // 64 == L0:
+            while j < nt and limbs[order[j]] == L0:
                 j += 1
             idx = order[i:j]
-            sub_p = [pats[x] for x in idx]
-            sub_t = [txts[x] for x in idx]
+            take = pa.array(idx)
+            sub_p = pats_arr.take(take)
+            sub_t = txts_arr.take(take)
             c = batch_best_costs(sub_p, sub_t, self.prof, k_max)
-            if cfg.rc and self.prof.supports_rc:
-                rc_p = [self.prof.reverse_complement(p) for p in sub_p]
+            if rc:
+                rc_p = [self.prof.reverse_complement((p or "").encode()) for p in sub_p.to_pylist()]
                 c = np.minimum(c, batch_best_costs(rc_p, sub_t, self.prof, k_max))
             cost[idx] = c
             i = j
@@ -254,9 +267,10 @@ class PairScorer:
             cigars = [""] * n
             hit = np.nonzero(is_match)[0]
             if len(hit):
-                res = searcher.search_pairs(
-                    [pats[i] for i in hit], [txts[i] for i in hit], k_max
-                )
+                take = pa.array(hit)
+                hp = [(p or "").encode() for p in pats_arr.take(take).to_pylist()]
+                ht = [(t or "").encode() for t in txts_arr.take(take).to_pylist()]
+                res = searcher.search_pairs(hp, ht, k_max)
                 for hi_, ms in zip(hit.tolist(), res):
                     best = min(ms, key=lambda m: (m.cost, -m.text_end), default=None)
                     if best is not None:
