@@ -16,6 +16,7 @@
 
 from __future__ import annotations
 
+import os
 import zlib
 
 import numpy as np
@@ -113,10 +114,26 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id
     return _merge_partial_topk(batches, len(Q), k, quantize=quantize)
 
 
-def coarse_centroids(ds, n_centroids: int, seed: int = 42, id_col: str = "vec_id") -> np.ndarray:
-    """Seeded-sample k-means-ish coarse quantizer (a few Lloyd iterations on
-    the sample; the only full passes over the data are the assignments)."""
-    sample = ds.random_sample(min(1.0, max(0.05, n_centroids * 20 / max(1, ds.count()))), seed=seed)
+def coarse_centroids(
+    ds,
+    n_centroids: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    cache_path: str | None = None,
+) -> np.ndarray:
+    """Coarse quantizer (a few Lloyd iterations on a bounded sample).
+
+    Single partial pass: ``ds.limit`` pulls only the first ~50x-n_centroids
+    rows (no ``count()`` pre-pass, no full-data sample pass) — the quantizer
+    needs a sketch of the distribution, and IVF correctness never depends on
+    centroid quality (only recall does).  With ``cache_path`` the centroid
+    artifact is persisted and reused across calls — the thing a real 100 TB
+    pipeline computes once and ships to every query job."""
+    if cache_path is not None and os.path.exists(cache_path):
+        C = np.load(cache_path)
+        if C.shape[0] == n_centroids:
+            return C
+    sample = ds.limit(max(2048, n_centroids * 50))
     M = _norm_rows(_emb_matrix(pa.concat_tables(sample.iter_batches(batch_size=65536, batch_format="pyarrow"))))
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(M), size=min(n_centroids, len(M)), replace=False)
@@ -128,6 +145,11 @@ def coarse_centroids(ds, n_centroids: int, seed: int = 42, id_col: str = "vec_id
             if len(members):
                 C[c] = members.mean(axis=0)
         C = _norm_rows(C)
+    if cache_path is not None:
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.save(f, C)
+        os.replace(tmp, cache_path)
     return C
 
 

@@ -9,8 +9,9 @@ So scan cheap 15-char suffixes first and run the full kernel only on
 (pattern, text) rows where some position had suffix cost <= k — exact
 filtering, no false negatives.
 
-Packing: FOUR suffixes per 64-bit word, one per 16-bit lane
-(15 data bits + 1 guard bit).  Lane independence inside the word-wide Myers
+Packing: ``LaneConfig`` lanes per 64-bit word — 4x(15 data bits + guard)
+for the cheap first level, 2x(31 data bits + guard) for the longer-suffix
+level used at larger k.  Lane independence inside the word-wide Myers
 ops is enforced by construction:
 - guard bits of Pv are kept 0, so the (Eq & Pv) + Pv carry chain is absorbed
   at each guard (0 + carry -> no carry out);
@@ -31,16 +32,37 @@ import numpy as np
 from sassy_ray.kernel.myers import _ALL_BYTES, _pad_texts
 from sassy_ray.kernel.profiles import Profile
 
-__all__ = ["PackedSuffixes", "prefilter_hits"]
+__all__ = ["PackedSuffixes", "prefilter_hits", "LANES4X15", "LANES2X31"]
 
 _ONE = np.uint64(1)
-LANES = 4
-LANE_BITS = 16
-DATA_BITS = 15
-GUARD = np.uint64(0x8000_8000_8000_8000)
-NGUARD = np.uint64(~0x8000_8000_8000_8000 & 0xFFFFFFFFFFFFFFFF)
-M1 = np.uint64(0x0001_0001_0001_0001)
-SHIFT_LAST = np.uint64(DATA_BITS - 1)  # last data row of every lane: bit 14
+_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+class LaneConfig:
+    """SWAR lane geometry: ``lanes`` suffixes per 64-bit word, each in a
+    ``lane_bits``-wide lane holding ``lane_bits - 1`` data rows + 1 guard
+    bit.  4x15 is the cheapest level (4 suffixes/word); 2x31 doubles the
+    suffix length (selective at larger k) at half the packing."""
+
+    def __init__(self, lanes: int, lane_bits: int):
+        self.lanes = lanes
+        self.lane_bits = lane_bits
+        self.data_bits = lane_bits - 1
+        guard = 0
+        m1 = 0
+        for l in range(lanes):
+            guard |= 1 << (l * lane_bits + lane_bits - 1)
+            m1 |= 1 << (l * lane_bits)
+        self.guard = np.uint64(guard)
+        self.nguard = np.uint64(~guard & 0xFFFFFFFFFFFFFFFF)
+        self.m1 = np.uint64(m1)
+        self.shift_last = np.uint64(self.data_bits - 1)
+        # unreachable init cost for empty lanes (half the lane range)
+        self.empty_cost = 1 << (lane_bits - 2)
+
+
+LANES4X15 = LaneConfig(4, 16)
+LANES2X31 = LaneConfig(2, 32)
 
 
 class PackedSuffixes:
@@ -48,8 +70,10 @@ class PackedSuffixes:
     per-word init vectors, and the always-hit set (suffix too short to
     filter at this k)."""
 
-    def __init__(self, patterns: list[bytes], profile: Profile, k: int):
+    def __init__(self, patterns: list[bytes], profile: Profile, k: int, cfg: LaneConfig = LANES4X15):
         self.k = k
+        self.cfg = cfg
+        LANES, LANE_BITS, DATA_BITS = cfg.lanes, cfg.lane_bits, cfg.data_bits
         self.n_patterns = len(patterns)
         self.always_hit: list[int] = []
         packable: list[int] = []
@@ -77,13 +101,13 @@ class PackedSuffixes:
             # deltas provably stay 0, so the suffix sees a clean free start
             for j in range(DATA_BITS - sl):
                 self.peq[w, :] |= _ONE << np.uint64(base + j)
-            # suffix rows, top-aligned: last char at bit base+14
+            # suffix rows, top-aligned: last char at bit base+data_bits-1
             for j in range(sl):
                 bit = np.uint64(base + (DATA_BITS - sl) + j)
                 match_bytes = _ALL_BYTES[mm[suf[j], _ALL_BYTES]]
                 self.peq[w, match_bytes] |= _ONE << bit
             # Pv init: 1 on suffix rows only (column-0 vertical +1 per row)
-            lane_sufmask = np.uint64(((1 << sl) - 1) << (DATA_BITS - sl)) << np.uint64(base)
+            lane_sufmask = np.uint64((((1 << sl) - 1) << (DATA_BITS - sl)) << base)
             self.pv_init[w] |= lane_sufmask
             self.score_init[w] |= np.uint64(sl) << np.uint64(base)
         # empty lanes: all-filler (always-match, Pv=0 -> score pinned at its
@@ -95,7 +119,7 @@ class PackedSuffixes:
                     base = lane * LANE_BITS
                     for j in range(DATA_BITS):
                         self.peq[w, :] |= _ONE << np.uint64(base + j)
-                    self.score_init[w] |= np.uint64(0x4000) << np.uint64(base)
+                    self.score_init[w] |= np.uint64(cfg.empty_cost) << np.uint64(base)
 
 
 def prefilter_hits(
@@ -127,11 +151,15 @@ def prefilter_hits(
     peq_flat = np.ascontiguousarray(packed.peq).reshape(-1)  # (W*256,)
     base = word_of * 256
 
+    cfg = packed.cfg
+    NGUARD = cfg.nguard
+    SHIFT_LAST = cfg.shift_last
+    M1 = cfg.m1
     Pv = packed.pv_init[word_of].copy()
     Mv = np.zeros(B, dtype=np.uint64)
     score = packed.score_init[word_of].copy()
-    K1 = np.uint64((k + 1) * 0x0001_0001_0001_0001)
-    H = GUARD
+    K1 = np.uint64((k + 1)) * M1
+    H = cfg.guard
     hit = np.zeros(B, dtype=bool)
 
     codes = np.empty(B, np.uint8)
@@ -191,7 +219,7 @@ def prefilter_hits(
     # expand word-level hits to their lanes' patterns
     hitWT = hit.reshape(W, T)
     for w in range(W):
-        for lane in range(LANES):
+        for lane in range(cfg.lanes):
             pi = packed.lane_pattern[w, lane]
             if pi >= 0:
                 hits[pi] |= hitWT[w]

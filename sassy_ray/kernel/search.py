@@ -27,6 +27,12 @@ __all__ = ["Searcher", "Match", "search_many"]
 
 # pairs per kernel batch; bounds peak memory of the (B, W) cost matrix
 DEFAULT_CHUNK_PAIRS = 2048
+# level-2 gate: the 63-char screen runs when level 1 was SKIPPED or left
+# more than this fraction of pairs alive (an unselective level-1 means the
+# survivors are mostly false positives worth killing before the multi-limb
+# kernel; after a selective level-1 the survivors are mostly real matches
+# and another screen is a wasted pass).  Set > 1 to disable in A/B benches.
+PREFILTER_L2_MIN_HIT_FRAC = 0.25
 
 
 class Searcher:
@@ -227,10 +233,55 @@ class Searcher:
         if P == 0 or T == 0:
             return out
         if self.alpha is None and P >= 2:
-            from sassy_ray.kernel.prefilter import PackedSuffixes, prefilter_hits
+            # hierarchical prefilter cascade (the reference's multi-level
+            # suffix filter, pattern_tiling/general.rs:59-102; level choice
+            # by the selectivity heuristic of its table at 294-313, keyed on
+            # k a priori — a suffix level whose length can't dominate k is
+            # skipped, it would pass everything):
+            #   level 1: packed SWAR word scan — 4x15-char lanes for small k,
+            #            2x31-char lanes for mid k;
+            #   level 2: 63-char single-limb per-pair screen, for patterns
+            #            whose full kernel is multi-limb (costs 1/L of the
+            #            full scan, exact lower bound like every level).
+            from sassy_ray.kernel.prefilter import (
+                LANES2X31,
+                LANES4X15,
+                PackedSuffixes,
+                prefilter_hits,
+            )
 
-            packed = PackedSuffixes(patterns, self.profile, k)
-            pairs = [(int(pi), int(ti)) for pi, ti in np.argwhere(prefilter_hits(packed, texts))]
+            if k <= 3:
+                lvl1 = LANES4X15
+            elif k <= 10:
+                lvl1 = LANES2X31
+            else:
+                lvl1 = None
+            if lvl1 is not None:
+                packed = PackedSuffixes(patterns, self.profile, k, lvl1)
+                pairs = [
+                    (int(pi), int(ti)) for pi, ti in np.argwhere(prefilter_hits(packed, texts))
+                ]
+            else:
+                pairs = [(pi, ti) for pi in range(P) for ti in range(T)]
+            SUF2 = 63
+            if (
+                pairs
+                and k < SUF2 - 8
+                and max(len(p) for p in patterns) > 2 * SUF2
+                and (lvl1 is None or len(pairs) > PREFILTER_L2_MIN_HIT_FRAC * P * T)
+            ):
+                from sassy_ray.kernel.myers import batch_best_costs
+
+                kept: list[tuple[int, int]] = []
+                for s in range(0, len(pairs), 8192):
+                    chunk = pairs[s : s + 8192]
+                    suf = [
+                        patterns[pi][-SUF2:] if len(patterns[pi]) > SUF2 else patterns[pi]
+                        for pi, _ in chunk
+                    ]
+                    smin = batch_best_costs(suf, [texts[ti] for _, ti in chunk], self.profile, k)
+                    kept.extend(pr for pr, c in zip(chunk, smin) if c <= k)
+                pairs = kept
         else:
             pairs = [(pi, ti) for pi in range(P) for ti in range(T)]
         for s in range(0, len(pairs), chunk_pairs):

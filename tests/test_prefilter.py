@@ -87,3 +87,38 @@ def test_chunked_multi_equals_chunked_single():
             got = sorted(_key(m) for m in multi[pi][ti])
             want = sorted(_key(m) for m in single[ti])
             assert got == want, (pi, ti)
+
+
+def test_hierarchical_level2_equivalence():
+    """search_many with the 63-char second prefilter level active (long
+    patterns, selective level 1) must return exactly the per-pair search
+    results — the cascade is a pure filter, no false negatives."""
+    import numpy as np
+
+    from sassy_ray.kernel.search import Searcher
+
+    rng = np.random.default_rng(11)
+    ab = np.frombuffer(b"ACGT", dtype=np.uint8)
+    texts = [bytes(rng.choice(ab, 3000)) for _ in range(12)]
+    pats = []
+    for i in range(8):
+        if i < 4:
+            # planted: mutated 200-char substring of some text
+            t = texts[i % len(texts)]
+            s = int(rng.integers(0, len(t) - 200))
+            p = bytearray(t[s : s + 200])
+            for _ in range(3):
+                p[int(rng.integers(0, len(p)))] = int(rng.choice(ab))
+            pats.append(bytes(p))
+        else:
+            pats.append(bytes(rng.choice(ab, 200)))
+    k = 5
+    s = Searcher("dna", rc=False)
+    got = {(m.pattern_idx, m.text_idx, m.text_start, m.text_end, m.cost, m.cigar)
+           for m in s.search_many(pats, texts, k)}
+    want = set()
+    for pi, p in enumerate(pats):
+        for ti, t in enumerate(texts):
+            for m in s.search(p, t, k):
+                want.add((pi, ti, m.text_start, m.text_end, m.cost, m.cigar))
+    assert got == want and len(want) >= 4
