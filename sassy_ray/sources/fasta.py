@@ -10,8 +10,13 @@ therefore parallelizes across ~3000 tasks instead of one whole-file parse
 (the reference's ~1 MiB ``InputIterator`` batching,
 bin/input_iterator.rs:56-206, re-expressed as a chunk plan + map_batches).
 
-Gzip members are not range-seekable, so ``.gz`` inputs fall back to one
-task per file.
+Gzip members are not range-seekable, so a ``.gz`` input keeps one
+*decompress* task — but that task STREAMS: it inflates ``chunk_bytes`` at a
+time and yields a record-aligned table per chunk (``stream_gz_records``),
+so peak memory is O(chunk) rather than O(file) and downstream stages
+pipeline on the yielded blocks instead of waiting for one whole-file parse
+(the reference streams gz through needletail the same way,
+bin/input_iterator.rs:65-71).
 
 FASTQ boundary detection inside a chunk uses the standard heuristic
 (a line starting ``@`` whose +2 line starts ``+`` and whose seq/qual line
@@ -26,7 +31,13 @@ import os
 
 import pyarrow as pa
 
-__all__ = ["parse_fasta_bytes", "read_fasta", "plan_chunks", "parse_chunk"]
+__all__ = [
+    "parse_fasta_bytes",
+    "read_fasta",
+    "plan_chunks",
+    "parse_chunk",
+    "stream_gz_records",
+]
 
 DEFAULT_CHUNK_BYTES = 1 << 20
 
@@ -216,25 +227,79 @@ def parse_chunk(path: str, start: int, end: int) -> pa.Table:
         return parse_fasta_bytes(data[first : cut if cut != -1 else len(data)])
 
 
+def _cut_complete_records(buf: bytes, fastq: bool, at_eof: bool):
+    """Split ``buf`` into (complete-records payload, carry).
+
+    FASTA: complete records end where the LAST header in the buffer starts
+    (that final record may still be growing).  FASTQ: records are strictly
+    4 lines, so emit the longest 4-line-multiple prefix of complete lines.
+    At EOF everything is complete.
+    """
+    if at_eof:
+        return buf, b""
+    if not fastq:
+        i = buf.rfind(b"\n>")
+        if i == -1:
+            # zero or one header seen so far: keep buffering
+            return b"", buf
+        return buf[: i + 1], buf[i + 1 :]
+    # FASTQ: count terminated lines, keep a multiple of 4
+    nlines = buf.count(b"\n")
+    keep = nlines - (nlines % 4)
+    if keep == 0:
+        return b"", buf
+    pos = -1
+    for _ in range(keep):
+        pos = buf.index(b"\n", pos + 1)
+    return buf[: pos + 1], buf[pos + 1 :]
+
+
+def stream_gz_records(path: str, chunk_bytes: int = DEFAULT_CHUNK_BYTES):
+    """Stream-decompress a gzip FASTA/FASTQ and yield record-aligned
+    ``pa.Table`` chunks.  Peak memory is O(chunk_bytes + longest record),
+    never O(inflated file) — the whole-file ``gzip.decompress`` fallback
+    this replaces held a 3 GB genome in one task's heap."""
+    with gzip.open(path, "rb") as f:
+        head = f.read(1)
+        fastq = head == b"@"
+        buf = head
+        while True:
+            piece = f.read(chunk_bytes)
+            at_eof = not piece
+            buf += piece
+            out, buf = _cut_complete_records(buf, fastq, at_eof)
+            if out:
+                yield parse_fasta_bytes(out)
+            if at_eof:
+                break
+
+
 def read_fasta(paths, chunk_bytes: int = DEFAULT_CHUNK_BYTES):
     """paths (file or dir) -> Dataset(id, seq, quality); large plain files
-    stream as record-aligned byte-range chunks, one Ray task each."""
+    stream as record-aligned byte-range chunks, one Ray task each; gz files
+    stream-decompress in one task that yields record-aligned blocks."""
     import ray.data as rd
 
     plan = plan_chunks(paths, chunk_bytes)
     # one metadata row per block so every chunk is its own task
     ds = rd.from_items(plan, override_num_blocks=max(1, len(plan)))
 
-    def parse(batch: pa.Table) -> pa.Table:
-        tables = [
-            parse_chunk(p, int(s), int(e))
-            for p, s, e in zip(
-                batch.column("path").to_pylist(),
-                batch.column("start").to_pylist(),
-                batch.column("end").to_pylist(),
-            )
-        ]
-        return pa.concat_tables(tables) if tables else parse_fasta_bytes(b"")
+    def parse(batch: pa.Table):
+        yielded = False
+        for p, s, e in zip(
+            batch.column("path").to_pylist(),
+            batch.column("start").to_pylist(),
+            batch.column("end").to_pylist(),
+        ):
+            if int(e) == -1 and (p.endswith(".gz") or _is_gzip(p)):
+                for tbl in stream_gz_records(p, chunk_bytes):
+                    yielded = True
+                    yield tbl
+            else:
+                yielded = True
+                yield parse_chunk(p, int(s), int(e))
+        if not yielded:
+            yield parse_fasta_bytes(b"")  # keep a stable empty schema
 
     # one task per chunk row: the chunk plan IS the parallelism plan
     return ds.map_batches(parse, batch_format="pyarrow", batch_size=1)

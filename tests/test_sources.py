@@ -108,3 +108,64 @@ def test_cached_rev_and_pretty():
     assert lines[3] == "ATCA"
     out_rc = pretty_print_match(b"ATCG", b"CCCATCACCC", ms[1])
     assert "cost=1" in out_rc.splitlines()[0]
+
+def test_stream_gz_fasta_multi_chunk(ray_session, tmp_path):
+    """A gz FASTA stream-decompresses in bounded chunks: many record-aligned
+    tables come out (no whole-file inflate), and records are byte-identical
+    to the plain-file chunked path."""
+    import random
+
+    from sassy_ray.sources.fasta import read_fasta, stream_gz_records
+
+    rng = random.Random(7)
+    recs = []
+    for i in range(400):
+        n = rng.randint(50, 30_000) if i != 200 else 900_000
+        seq = "".join(rng.choice("ACGT") for _ in range(500))
+        seq = (seq * (n // 500 + 1))[:n]
+        recs.append((f"g{i:04d}", seq))
+    raw = []
+    for rid, seq in recs:
+        raw.append(f">{rid} meta\n")
+        for s in range(0, len(seq), 70):
+            raw.append(seq[s : s + 70] + "\n")
+    payload = "".join(raw).encode()
+    plain = tmp_path / "g.fa"
+    plain.write_bytes(payload)
+    gz = tmp_path / "g.fa.gz"
+    gz.write_bytes(gzip.compress(payload))
+
+    # generator yields MANY record-aligned tables, not one whole-file parse
+    tables = list(stream_gz_records(str(gz), chunk_bytes=256 * 1024))
+    assert len(tables) > 4
+    assert sum(t.num_rows for t in tables) == len(recs)
+
+    got = read_fasta(str(gz), chunk_bytes=256 * 1024).to_pandas()
+    want = read_fasta(str(plain), chunk_bytes=256 * 1024).to_pandas()
+    got = got.sort_values("id").reset_index(drop=True)
+    want = want.sort_values("id").reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_stream_gz_fastq(ray_session, tmp_path):
+    """gz FASTQ streaming keeps strict 4-line record alignment even when
+    quality lines contain '@'/'+' bytes."""
+    import random
+
+    from sassy_ray.sources.fasta import read_fasta
+
+    rng = random.Random(8)
+    lines = []
+    for i in range(3000):
+        n = rng.randint(30, 120)
+        seq = "".join(rng.choice("ACGT") for _ in range(n))
+        qual = "".join(rng.choice("@+IF5#") for _ in range(n))
+        lines.append(f"@s{i:05d}\n{seq}\n+\n{qual}\n")
+    payload = "".join(lines).encode()
+    gz = tmp_path / "s.fq.gz"
+    gz.write_bytes(gzip.compress(payload))
+    got = read_fasta(str(gz), chunk_bytes=32 * 1024).to_pandas()
+    assert len(got) == 3000
+    assert sorted(got["id"]) == [f"s{i:05d}" for i in range(3000)]
+    assert (got.sort_values("id")["quality"].str.len().to_numpy()
+            == got.sort_values("id")["seq"].str.len().to_numpy()).all()
