@@ -127,6 +127,44 @@ def test_distributed_label_propagation(ray_session):
     assert lab["z-solo"] == "z-solo"
 
 
+def test_distributed_cc_high_diameter_fuzz(ray_session):
+    """Alternating-star must converge in few rounds even on a long chain
+    (diameter 200 — hash-min would need ~200 shuffles) and on a random
+    graph; verify labels against the driver union-find path."""
+    import random
+
+    import ray.data as rd
+
+    from sassy_ray.stages.clustering import connected_components
+
+    rng = random.Random(13)
+    edges = [
+        {"doc_id_a": f"c{i:04d}", "doc_id_b": f"c{i + 1:04d}"} for i in range(200)
+    ]
+    # plus a random sparse graph over a second namespace
+    for _ in range(300):
+        a, b = rng.sample(range(250), 2)
+        a, b = min(a, b), max(a, b)
+        edges.append({"doc_id_a": f"r{a:04d}", "doc_id_b": f"r{b:04d}"})
+    nodes = [{"doc_id": f"c{i:04d}"} for i in range(201)] + [
+        {"doc_id": f"r{i:04d}"} for i in range(250)
+    ]
+    e_ds, n_ds = rd.from_items(edges), rd.from_items(nodes)
+    got = (
+        connected_components(e_ds, n_ds, driver_edge_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        connected_components(e_ds, n_ds, driver_edge_limit=10**9)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
 def test_blocking_skew_salting(ray_session):
     """F4: a hot blocking key (many near-identical docs) stays bounded."""
     import ray.data as rd

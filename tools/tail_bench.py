@@ -1,0 +1,131 @@
+"""Measure the DISTRIBUTED tails of the ER machinery (the 10^12-doc paths).
+
+At sandbox scale both paths are normally cold: ``make_pairs_dataset`` takes
+the single-task fast path below ``single_task_rows_limit`` block rows and
+``connected_components`` runs driver union-find below ``driver_edge_limit``
+edges.  This bench zeroes the thresholds so the shuffle paths run hot on a
+multi-million-row synthetic input, and reports measured rows/s for each —
+the numbers BASELINE.md cites for the scale route.
+
+Usage: python tools/tail_bench.py [--rows 4000000] [--cpus 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+
+
+def synth_block_rows(n_rows: int, seed: int = 11) -> pa.Table:
+    """(block_key, doc_id) rows with a realistic skew: ~70% of docs are
+    singletons in their block, duplicate clusters of size 2-8 share block
+    keys, plus a handful of hot keys near the salt cap."""
+    rng = np.random.default_rng(seed)
+    n_docs = n_rows // 2  # each doc lands in ~2 blocks
+    doc_idx = rng.integers(0, n_docs, size=n_rows)
+    # cluster structure: docs with the same doc_idx // span share block keys
+    span = 4
+    base_key = (doc_idx // span).astype(np.int64)
+    # 8 bands' worth of key space so co-blocking is partial, like real LSH
+    band = rng.integers(0, 8, size=n_rows)
+    block_key = base_key * 8 + band
+    # hot keys: route 0.1% of rows into 16 shared buckets
+    hot = rng.random(n_rows) < 0.001
+    block_key[hot] = rng.integers(0, 16, size=int(hot.sum()))
+    doc_ids = np.char.add("d", doc_idx.astype("U12"))
+    return pa.table(
+        {
+            "block_key": pa.array(block_key, pa.int64()),
+            "doc_id": pa.array(doc_ids, pa.string()),
+        }
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+
+    from sassy_ray.stages.clustering import connected_components
+    from sassy_ray.stages.pairs import PairGenConfig, make_pairs_dataset
+
+    tbl = synth_block_rows(args.rows)
+    n_parts = max(8, args.cpus)
+    block_rows = rd.from_arrow(tbl).repartition(n_parts).materialize()
+
+    # --- distributed pair generation + partitioned exact dedup -------------
+    cfg = PairGenConfig(single_task_rows_limit=0, single_task_dedup_limit=0)
+    t0 = time.time()
+    pairs = make_pairs_dataset(block_rows, cfg).materialize()
+    t_pairs = time.time() - t0
+    n_pairs = pairs.count()
+    print(
+        f"pairs(distributed): {args.rows} block rows -> {n_pairs} deduped pairs "
+        f"in {t_pairs:.1f}s ({args.rows / t_pairs / 1e3:.0f}k block rows/s)",
+        file=sys.stderr,
+    )
+
+    # --- distributed min-label propagation ---------------------------------
+    nodes = block_rows.map_batches(
+        lambda b: pa.table({"doc_id": pc_unique(b.column("doc_id"))}),
+        batch_format="pyarrow",
+    ).materialize()
+    t0 = time.time()
+    comps = connected_components(pairs, nodes, driver_edge_limit=0).materialize()
+    t_cc = time.time() - t0
+    n_labeled = comps.count()
+    n_clusters = comps.map_batches(
+        lambda b: pa.table({"c": pc_unique(b.column("cluster_id"))}),
+        batch_format="pyarrow",
+    ).count()  # upper bound across blocks; fine for a bench line
+    print(
+        f"label-prop(distributed): {n_pairs} edges / {n_labeled} node rows in "
+        f"{t_cc:.1f}s ({n_pairs / t_cc / 1e3:.0f}k edges/s), ~{n_clusters} labels",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "distributed_tails",
+                "rows": args.rows,
+                "num_cpus": args.cpus,
+                "pairs_out": int(n_pairs),
+                "pairs_sec": round(t_pairs, 2),
+                "pairs_block_rows_per_s": round(args.rows / t_pairs),
+                "labelprop_sec": round(t_cc, 2),
+                "labelprop_edges_per_s": round(n_pairs / t_cc),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def pc_unique(arr):
+    import pyarrow.compute as pc
+
+    return pc.unique(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+
+
+if __name__ == "__main__":
+    main()
