@@ -12,16 +12,25 @@ shared-nothing algorithm, re-expressed on Ray Data groupbys):
     until the edge-set signature stops changing (or max_iters)
     labels: one groupby-min over (self rows ∪ converged star edges)
 
-Each star step is ONE ``groupby(node).aggregate(Unique(nbr))`` plus a
-vectorized emit — no ``Dataset.join`` anywhere (an earlier
-two-joins-per-round hash-min design measured 44 s/round at 100k rows / 8
-CPUs: join aggregator actors dominate; and hash-min needs O(diameter)
-rounds, which a chain-shaped giant component turns into hundreds of
-shuffles).  Alternating star converges in O(log² n) rounds regardless of
-diameter, and the edge set collapses toward stars so later rounds shrink.
-The convergence check is a cheap scalar aggregate (xor of vectorized row
-hashes), not a join.  At 10^12-doc scale each round's edge set would land
-in a checkpoint (pipelines/er.py wires StageCheckpoint through).
+Each star step is ``sort(node)`` + two vectorized block passes — NOT a
+``groupby().aggregate()``: Ray's aggregate machinery invokes Python per
+GROUP, and star steps have one group per node (measured: a 1 M-edge round
+through ``Unique(nbr)`` took minutes of pure per-group overhead, while
+``Dataset.sort`` moves the same 2 M rows in ~1 s at 32 CPUs).  After the
+sort each node's rows are contiguous within range-partitioned blocks, so
+per-node minima are one C-speed pandas groupby per BLOCK; the only
+cross-block state is the first/last node of each block, fixed up with a
+driver-side correction map of O(2 × num_blocks) rows (scale-safe: blocks,
+not rows).  No ``Dataset.join`` anywhere (an earlier two-joins-per-round
+hash-min design measured 44 s/round at 100k rows / 8 CPUs, and hash-min
+needs O(diameter) rounds, which a chain-shaped component turns into
+hundreds of shuffles).  Alternating star converges in O(log² n) rounds
+regardless of diameter.  Convergence is exact, not a signature: a round
+with zero "merge moves" (large-star: emitted edge whose per-group min !=
+the node; small-star: any emitted strictly-smaller-neighbor row) proves
+the edge set is already a union of minimum-rooted stars.  At 10^12-doc
+scale each round's edge set would land in a checkpoint (pipelines/er.py
+wires StageCheckpoint through).
 """
 
 from __future__ import annotations
@@ -126,79 +135,8 @@ def connected_components(
             batch_format="pyarrow",
         )
 
-    from ray.data.aggregate import Min, Unique
-
-    def _explode(b: pa.Table) -> pa.Table:
-        a = b.column("lo").combine_chunks()
-        c = b.column("hi").combine_chunks()
-        return pa.table(
-            {"node": pa.concat_arrays([a, c]), "nbr": pa.concat_arrays([c, a])}
-        )
-
-    def _star_emit(b: pa.Table, small: bool) -> pa.Table:
-        """One star step's emit over (node, unique(nbr)) groups — per-group
-        string mins via a pandas C groupby over parent indices, the rest
-        numpy masks; no per-group Python loop."""
-        import pyarrow.compute as pc
-
-        node = np.asarray(b.column("node").to_pandas(), dtype=object)
-        nbrs = b.column("unique(nbr)").combine_chunks()
-        flat_arr = pc.list_flatten(nbrs)
-        parent_arr = pc.list_parent_indices(nbrs)
-        flat = np.asarray(flat_arr.to_pandas(), dtype=object)
-        parent = np.asarray(parent_arr.to_pandas(), dtype=np.int64)
-        node_per = node[parent]
-        empty = pa.table(
-            {"lo": pa.array([], pa.string()), "hi": pa.array([], pa.string())}
-        )
-        if small:
-            mask = flat < node_per
-            sub, subp = flat[mask], parent[mask]
-            gmin = pd.Series(sub).groupby(subp).min()
-            m = node.copy()  # N- empty -> m = u
-            m[gmin.index.to_numpy()] = gmin.to_numpy()
-            # emit (m, v) for v in N- with v != m, plus (m, u) where u != m
-            m_sub = m[subp]
-            keep = sub != m_sub
-            self_keep = node != m
-            lo = np.concatenate([m_sub[keep], m[self_keep]])
-            hi = np.concatenate([sub[keep], node[self_keep]])
-        else:
-            gmin = pd.Series(flat).groupby(parent).min()
-            m = node.copy()
-            g_idx = gmin.index.to_numpy()
-            g_val = gmin.to_numpy()
-            smaller = g_val < m[g_idx]
-            m[g_idx[smaller]] = g_val[smaller]
-            mask = flat > node_per  # v > u  (v > u >= m, so v != m)
-            lo = m[parent[mask]]
-            hi = flat[mask]
-        if not len(lo):
-            return empty
-        df = pd.DataFrame({"lo": lo, "hi": hi}).drop_duplicates()
-        return pa.table(
-            {
-                "lo": pa.array(df["lo"], pa.string()),
-                "hi": pa.array(df["hi"], pa.string()),
-            }
-        )
-
-    def _star(edges, small: bool):
-        return (
-            edges.map_batches(_explode, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Unique("nbr"))
-            .map_batches(
-                lambda b: _star_emit(b, small),
-                batch_format="pyarrow",
-            )
-        )
-
-    def _edge_sig(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df["lo"] + "\x1f" + df["hi"], index=False)
-        return pd.DataFrame(
-            {"sig": [np.bitwise_xor.reduce(h.to_numpy())], "n": [len(df)]}
-        )
+    import ray
+    import ray.data as rd
 
     def _local_contract(b: pa.Table) -> pa.Table:
         """Contract each edge batch to its LOCAL spanning stars before any
@@ -222,43 +160,226 @@ def connected_components(
             }
         )
 
+    def _explode(b: pa.Table) -> pa.Table:
+        a = b.column("lo").combine_chunks()
+        c = b.column("hi").combine_chunks()
+        return pa.table(
+            {"node": pa.concat_arrays([a, c]), "nbr": pa.concat_arrays([c, a])}
+        )
+
+    def _cols(b: pa.Table, names):
+        return tuple(
+            np.asarray(b.column(n).to_pandas(), dtype=object) for n in names
+        )
+
+    def _groups(node: np.ndarray):
+        """Group codes + start offsets for an array already sorted by node."""
+        change = np.flatnonzero(node[1:] != node[:-1]) + 1
+        codes = np.zeros(len(node), np.int64)
+        codes[change] = 1
+        np.cumsum(codes, out=codes)
+        starts = np.concatenate([np.zeros(1, np.int64), change])
+        return codes, starts
+
+    _EMPTY_PARTIAL = pa.table(
+        {"node": pa.array([], pa.string()), "pmin": pa.array([], pa.string())}
+    )
+    _EMPTY_EDGES = pa.table(
+        {
+            "lo": pa.array([], pa.string()),
+            "hi": pa.array([], pa.string()),
+            "mv": pa.array([], pa.int64()),
+        }
+    )
+
+    def _boundary_partials(b: pa.Table, small: bool, val_col: str) -> pa.Table:
+        """Per-block min of ``val_col`` for the block's FIRST and LAST node
+        groups only — the driver merges these O(2 x num_blocks) rows into
+        the cross-block correction map."""
+        if b.num_rows == 0:
+            return _EMPTY_PARTIAL
+        node, val = _cols(b, ["node", val_col])
+        sel = (node == node[0]) | (node == node[-1])
+        nds, vals = node[sel], val[sel]
+        if small:
+            keep = vals < nds
+            nds, vals = nds[keep], vals[keep]
+        if not len(nds):
+            return _EMPTY_PARTIAL
+        df = pd.DataFrame({"node": nds, "pmin": vals}).groupby(
+            "node", as_index=False
+        )["pmin"].min()
+        return pa.table(
+            {
+                "node": pa.array(df["node"], pa.string()),
+                "pmin": pa.array(df["pmin"], pa.string()),
+            }
+        )
+
+    def _collect_corr(sorted_ds, small: bool, val_col: str) -> dict:
+        parts = sorted_ds.map_batches(
+            lambda b: _boundary_partials(b, small, val_col),
+            batch_format="pyarrow",
+        ).take_all()
+        corr: dict = {}
+        for row in parts:
+            n, v = row["node"], row["pmin"]
+            if n not in corr or v < corr[n]:
+                corr[n] = v
+        return corr
+
+    def _group_mins(node, codes, starts, vals, mask, corr):
+        """m[g] = min over masked vals in group g, the group's node, and the
+        boundary correction (first/last groups only).  Object-dtype strings;
+        the groupby is pandas C, the rest O(num_groups) fancy indexing."""
+        m = node[starts].copy()
+        if mask.any():
+            gmin = pd.Series(vals[mask]).groupby(codes[mask]).min()
+            gi = gmin.index.to_numpy()
+            gv = gmin.to_numpy()
+            lt = gv < m[gi]
+            m[gi[lt]] = gv[lt]
+        for g in (0, len(m) - 1):
+            c = corr.get(node[starts[g]])
+            if c is not None and c < m[g]:
+                m[g] = c
+        return m
+
+    def _star_emit(b: pa.Table, small: bool, corr: dict) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY_EDGES
+        node, nbr = _cols(b, ["node", "nbr"])
+        codes, starts = _groups(node)
+        # local exact dedup of (node, nbr) rows (groups stay contiguous)
+        dup = pd.DataFrame({"c": codes, "v": nbr}).duplicated().to_numpy()
+        if dup.any():
+            keep = ~dup
+            node, nbr, codes = node[keep], nbr[keep], codes[keep]
+            starts = np.concatenate(
+                [np.zeros(1, np.int64), np.flatnonzero(codes[1:] != codes[:-1]) + 1]
+            )
+        mask = (nbr < node) if small else np.ones(len(nbr), bool)
+        m = _group_mins(node, codes, starts, nbr, mask, corr)
+        grp_node = node[starts]
+        if small:
+            g = codes[mask]
+            v = nbr[mask]
+            mvrow = v != m[g]
+            lo_a, hi_a = m[g[mvrow]], v[mvrow]
+            # self rows (m, u) for strictly-interior groups; boundary groups'
+            # self rows are emitted once by the driver from the corr map
+            interior = np.ones(len(m), bool)
+            interior[0] = interior[-1] = False
+            selfg = interior & (m != grp_node)
+            lo = np.concatenate([lo_a, m[selfg]])
+            hi = np.concatenate([hi_a, grp_node[selfg]])
+            mv = np.concatenate(
+                [np.ones(len(lo_a), np.int64), np.zeros(int(selfg.sum()), np.int64)]
+            )
+        else:
+            emit = nbr > node
+            g = codes[emit]
+            lo, hi = m[g], nbr[emit]
+            mv = (lo != node[emit]).astype(np.int64)
+        if not len(lo):
+            return _EMPTY_EDGES
+        return pa.table(
+            {
+                "lo": pa.array(lo, pa.string()),
+                "hi": pa.array(hi, pa.string()),
+                "mv": pa.array(mv, pa.int64()),
+            }
+        )
+
+    def _star(edges, small: bool):
+        """One star step = sort + boundary-correction map + vectorized emit.
+        Returns (emitted edges [materialized], total merge moves)."""
+        sorted_ds = (
+            edges.map_batches(_explode, batch_format="pyarrow")
+            .sort("node")
+            .materialize()
+        )
+        corr = _collect_corr(sorted_ds, small, "nbr")
+        out = sorted_ds.map_batches(
+            lambda b: _star_emit(b, small, corr), batch_format="pyarrow"
+        )
+        if small and corr:
+            bnodes = sorted(corr)
+            drv = pa.table(
+                {
+                    "lo": pa.array([corr[n] for n in bnodes], pa.string()),
+                    "hi": pa.array(bnodes, pa.string()),
+                    "mv": pa.array(np.zeros(len(bnodes), np.int64)),
+                }
+            )
+            out = out.union(rd.from_arrow(drv))
+        out = out.materialize()
+        moves = out.sum("mv") or 0
+        return out, int(moves)
+
     edges = edges_ds.map_batches(
         _local_contract, batch_format="pyarrow"
     ).materialize()
 
-    prev_sig = None
     for _ in range(max_iters):
-        edges = _star(_star(edges, small=False), small=True).materialize()
-        sigs = edges.map_batches(_edge_sig, batch_format="pandas").to_pandas()
-        sig = (
-            int(np.bitwise_xor.reduce(sigs["sig"].to_numpy())),
-            int(sigs["n"].sum()),
-        )
-        if sig == prev_sig:
+        mid, lg_moves = _star(edges, small=False)
+        edges, sm_moves = _star(mid, small=True)
+        if lg_moves == 0 and sm_moves == 0:
             break
-        prev_sig = sig
 
-    # converged star edges: every non-root node points at its component
-    # min.  Labels = groupby-min over self rows + (hi -> lo) rows.
-    self_rows = nodes_ds.map_batches(
+    # converged: one minimum-rooted star per component.  Label = per-node
+    # min over self rows + (hi -> lo) rows, via the same sorted-pass trick.
+    label_rows = nodes_ds.map_batches(
         lambda b: pa.table(
             {"node": b.column("doc_id"), "label": b.column("doc_id")}
         ),
         batch_format="pyarrow",
-    )
-    star_rows = edges.map_batches(
-        lambda b: pa.table({"node": b.column("hi"), "label": b.column("lo")}),
-        batch_format="pyarrow",
-    )
-    return (
-        self_rows.union(star_rows)
-        .map_batches(_precombine, batch_format="pandas")
-        .groupby("node")
-        .aggregate(Min("label"))
-        .map_batches(
-            lambda b: pa.table(
-                {"doc_id": b.column("node"), "cluster_id": b.column("min(label)")}
-            ),
+    ).union(
+        edges.map_batches(
+            lambda b: pa.table({"node": b.column("hi"), "label": b.column("lo")}),
             batch_format="pyarrow",
         )
     )
+    sorted_lab = (
+        label_rows.map_batches(_precombine, batch_format="pandas")
+        .sort("node")
+        .materialize()
+    )
+    lab_corr = _collect_corr(sorted_lab, small=False, val_col="label")
+
+    def _label_emit(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "cluster_id": pa.array([], pa.string()),
+                }
+            )
+        node, label = _cols(b, ["node", "label"])
+        codes, starts = _groups(node)
+        m = _group_mins(
+            node, codes, starts, label, np.ones(len(label), bool), {}
+        )
+        grp_node = node[starts]
+        interior = np.ones(len(m), bool)
+        interior[0] = interior[-1] = False
+        return pa.table(
+            {
+                "doc_id": pa.array(grp_node[interior], pa.string()),
+                "cluster_id": pa.array(m[interior], pa.string()),
+            }
+        )
+
+    out = sorted_lab.map_batches(_label_emit, batch_format="pyarrow")
+    if lab_corr:
+        bnodes = sorted(lab_corr)
+        drv = pa.table(
+            {
+                "doc_id": pa.array(bnodes, pa.string()),
+                "cluster_id": pa.array(
+                    [min(lab_corr[n], n) for n in bnodes], pa.string()
+                ),
+            }
+        )
+        out = out.union(rd.from_arrow(drv))
+    return out
