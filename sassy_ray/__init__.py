@@ -9,7 +9,8 @@ actor pools for stateful scoring stages) plus the blocking / pair-scoring /
 transitive-clustering stages of a web-scale entity-resolution pipeline.
 """
 
+from sassy_ray.kernel.alignments import Continuation
 from sassy_ray.kernel.search import Match, Searcher, search_many
 
-__all__ = ["Searcher", "Match", "search_many"]
+__all__ = ["Searcher", "Match", "search_many", "Continuation"]
 __version__ = "0.1.0"

@@ -15,13 +15,29 @@ every distinct <=k alignment, with the reference's pruning rules:
 
 from __future__ import annotations
 
+import enum
+
 import numpy as np
 
 from sassy_ray.kernel import oracle
 from sassy_ray.kernel.profiles import Profile
 from sassy_ray.kernel.types import FWD, RC, Match, cigar_to_string
 
-__all__ = ["search_all_alignments"]
+__all__ = ["Continuation", "iterate_all_alignments", "search_all_alignments"]
+
+
+class Continuation(enum.Enum):
+    """DFS flow control returned by an ``iterate_all_alignments`` callback
+    (reference ``alignment_iterator.rs:16-23``).
+
+    - CONTINUE: keep exploring the subtree.
+    - PRUNE: skip the subtree of alignments extending the current one.
+    - BREAK: done with the current end position, move to the next anchor.
+    """
+
+    CONTINUE = 0
+    PRUNE = 1
+    BREAK = 2
 
 
 def _ranges(ends: list[int], width: int) -> list[tuple[int, int]]:
@@ -69,11 +85,16 @@ def _enumerate_one_strand(
     text: bytes,
     k: int,
     ends: list[int],
-) -> list[Match]:
-    """All alignments for the given end positions (strand-local coords)."""
+    emit,
+    partial_matches: bool = False,
+) -> None:
+    """DFS-enumerate alignments for the given end positions (strand-local
+    coords), firing ``emit(complete, match) -> Continuation`` at every
+    complete alignment (and at every visited DFS state when
+    ``partial_matches``); PRUNE skips the current subtree, BREAK moves to the
+    next end anchor (reference ``alignment_iterator.rs:239-368``)."""
     m = len(pattern)
     width = k + m
-    flat: list[Match] = []
     last_row_in_diag: dict[int, int] = {}
 
     for r0, r1 in _ranges(sorted(set(ends)), width):
@@ -81,21 +102,28 @@ def _enumerate_one_strand(
         D = oracle.dp_matrix(pattern, window, profile, None, None)
         last_row_in_diag.clear()
 
-        def dfs(tpos: int, ppos: int, cost: int, ops: list[str], text_end: int):
+        def dfs(tpos: int, ppos: int, cost: int, ops: list[str], text_end: int) -> Continuation:
             # ops is reversed (end->start); full match when ppos == 0
-            if ppos == 0:
-                flat.append(
+            full = ppos == 0
+            if full or partial_matches:
+                cont = emit(
+                    full,
                     Match(
                         text_start=tpos,
                         text_end=text_end,
-                        pattern_start=0,
+                        pattern_start=ppos,
                         pattern_end=m,
                         cost=cost,
                         strand=FWD,
                         cigar=cigar_to_string(ops[::-1]),
-                    )
+                    ),
                 )
-                return
+                if cont is Continuation.PRUNE:
+                    return Continuation.CONTINUE
+                if cont is Continuation.BREAK:
+                    return Continuation.BREAK
+            if full:
+                return Continuation.CONTINUE
             edges = []
             for base_op in ("M", "D", "I"):
                 if base_op == "D" and (ppos == 0 or ppos == m):
@@ -143,12 +171,15 @@ def _enumerate_one_strand(
                 old = last_row_in_diag.get(diag, m)
                 last_row_in_diag[diag] = np_
                 ops.append(op)
-                dfs(nt, np_, cost + ec, ops, text_end)
+                cont = dfs(nt, np_, cost + ec, ops, text_end)
                 ops.pop()
                 if old == m:
                     last_row_in_diag[diag] = m
                 else:
                     last_row_in_diag[diag] = old
+                if cont is Continuation.BREAK:
+                    return Continuation.BREAK
+            return Continuation.CONTINUE
 
         for e in range(r0, r1 + 1):
             if e - r0 >= D.shape[1]:
@@ -156,44 +187,80 @@ def _enumerate_one_strand(
             if D[m, e - r0] > k:
                 continue
             last_row_in_diag.clear()
-            dfs(e, m, 0, [], e)
-    return flat
+            dfs(e, m, 0, [], e)  # BREAK aborts this anchor only
 
 
-def search_all_alignments(searcher, pattern: bytes, text: bytes, k: int) -> list[list[Match]]:
+def iterate_all_alignments(
+    searcher,
+    pattern: bytes,
+    text: bytes,
+    k: int,
+    matches: list[Match] | None = None,
+    partial_matches: bool = False,
+    callback=None,
+) -> None:
+    """Iterate all alignments of cost <= k for all end positions of the given
+    anchor ``matches`` (from ``search_all`` without trace; computed here when
+    None), firing ``callback(complete: bool, match: Match) -> Continuation``
+    (reference ``alignment_iterator.rs:43-105`` + ``Continuation`` at
+    ``:16-23``).  When ``partial_matches``, the callback also fires for every
+    visited DFS state with ``complete=False``.  RC matches are enumerated on
+    the reversed text with the complemented pattern and translated back to
+    forward-text coordinates before the callback fires.  A callback returning
+    None is treated as CONTINUE."""
+    if callback is None:
+        raise TypeError("iterate_all_alignments requires a callback")
     if searcher.alpha is not None:
         raise ValueError("Tracing all alignments with overhang is not yet implemented.")
     profile = searcher.profile
     n = len(text)
 
-    # anchors from search_all (without trace)
-    from sassy_ray.kernel.search import Searcher
+    if matches is None:
+        from sassy_ray.kernel.search import Searcher
 
-    anchor_s = Searcher.__new__(Searcher)
-    anchor_s.__dict__.update(searcher.__dict__)
-    anchor_s.without_trace = True
-    anchor_s.only_best = False
-    anchor_s.max_n_frac = None
-    anchors = anchor_s._pair_matches([pattern], [text], k, all_minima=True)[0]
+        anchor_s = Searcher.__new__(Searcher)
+        anchor_s.__dict__.update(searcher.__dict__)
+        anchor_s.without_trace = True
+        anchor_s.only_best = False
+        anchor_s.max_n_frac = None
+        matches = anchor_s._pair_matches([pattern], [text], k, all_minima=True)[0]
 
-    fwd_ends = [mm.text_end for mm in anchors if mm.strand == FWD]
-    rc_starts = [mm.text_start for mm in anchors if mm.strand == RC]
+    fwd_ends = [mm.text_end for mm in matches if mm.strand == FWD]
+    rc_starts = [mm.text_start for mm in matches if mm.strand == RC]
 
-    flat = _enumerate_one_strand(profile, pattern, text, k, fwd_ends)
+    def emit_fwd(full: bool, mm: Match) -> Continuation:
+        return callback(full, mm) or Continuation.CONTINUE
+
+    _enumerate_one_strand(profile, pattern, text, k, fwd_ends, emit_fwd, partial_matches)
+
     if rc_starts:
         comp = profile.complement(pattern)
         rev = text[::-1]
         rc_ends = sorted(n - s for s in rc_starts)
-        rc_flat = _enumerate_one_strand(profile, comp, rev, k, rc_ends)
-        for mm in rc_flat:
+
+        def emit_rc(full: bool, mm: Match) -> Continuation:
             s, e = mm.text_start, mm.text_end
             mm.text_start = n - e
             mm.text_end = n - s
             mm.strand = RC
-        flat.extend(rc_flat)
+            return callback(full, mm) or Continuation.CONTINUE
+
+        _enumerate_one_strand(profile, comp, rev, k, rc_ends, emit_rc, partial_matches)
+
+
+def search_all_alignments(searcher, pattern: bytes, text: bytes, k: int) -> list[list[Match]]:
+    flat: list[Match] = []
+
+    def collect(full: bool, mm: Match) -> Continuation:
+        flat.append(mm)
+        return Continuation.CONTINUE
+
+    iterate_all_alignments(searcher, pattern, text, k, callback=collect)
 
     if searcher.max_n_frac is not None:
-        flat = [mm for mm in flat if oracle.traced_n_ok(profile, mm, text, searcher.max_n_frac)]
+        flat = [
+            mm for mm in flat if oracle.traced_n_ok(searcher.profile, mm, text, searcher.max_n_frac)
+        ]
 
     # group by anchor (strand, end for fwd / start for rc), preserving order
     groups: list[list[Match]] = []

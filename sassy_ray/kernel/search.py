@@ -367,6 +367,25 @@ class Searcher:
 
         return search_all_alignments(self, _b(pattern), _b(text), k)
 
+    def iterate_all_alignments(
+        self,
+        pattern: bytes,
+        text: bytes,
+        k: int,
+        matches: list[Match] | None = None,
+        partial_matches: bool = False,
+        callback=None,
+    ) -> None:
+        """Callback-driven alignment DFS with ``Continuation`` flow control
+        (reference ``alignment_iterator.rs:43-105``): the callback receives
+        ``(complete, match)`` and returns CONTINUE / PRUNE (skip subtree) /
+        BREAK (next end anchor)."""
+        from sassy_ray.kernel.alignments import iterate_all_alignments
+
+        iterate_all_alignments(
+            self, _b(pattern), _b(text), k, matches, partial_matches, callback
+        )
+
 
 def _b(x) -> bytes:
     if isinstance(x, bytes):

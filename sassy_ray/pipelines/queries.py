@@ -596,28 +596,33 @@ def match_cost_histogram(sf_dir: str):
 
 def dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition on a 128-bit CONTENT HASH (two independent
-    vectorized 64-bit siphashes), keep min doc_id per distinct content — the
+    vectorized 64-bit hashes), keep min doc_id per distinct content — the
     raw text column is never used as a shuffle key.  Input is documents
-    unioned with itself so the dedup is exercised."""
-    import pandas as pd
-
+    unioned with itself so the dedup is exercised.  Arrow-native throughout:
+    polars' vectorized xxhash over the zero-copy Arrow buffer, int64 views
+    (uint64 keys >= 2^63 degrade Ray blocks — see CLAUDE.md), and an Arrow
+    cast+binary_join for the fused 128-bit group key."""
     ds = _rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"])
     doubled = ds.union(_rd().read_parquet(_path(sf_dir, "documents"), columns=["doc_id", "text"]))
     from ray.data.aggregate import Min
 
-    def content_key(df: pd.DataFrame) -> pd.DataFrame:
-        h1 = pd.util.hash_pandas_object(df["text"], index=False, hash_key="0123456789123456")
-        h2 = pd.util.hash_pandas_object(df["text"], index=False, hash_key="fedcba9876543210")
-        key = h1.astype(str) + "_" + h2.astype(str)
-        return pd.DataFrame({"content_key": key, "doc_id": df["doc_id"]})
+    def content_key(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(t.column("text"))
+        h1 = s.hash(seed=0x0123456789ABCDEF).to_numpy().view(np.int64)
+        h2 = s.hash(seed=0x1EDCBA9876543210).to_numpy().view(np.int64)
+        key = pc.binary_join_element_wise(
+            pc.cast(pa.array(h1), pa.string()), pc.cast(pa.array(h2), pa.string()), "_"
+        )
+        return pa.table({"content_key": key, "doc_id": t.column("doc_id")})
 
     out = (
-        doubled.map_batches(content_key, batch_format="pandas")
+        doubled.map_batches(content_key, batch_format="pyarrow")
         .groupby("content_key")
         .aggregate(Min("doc_id", alias_name="doc_id"))
     )
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return t.select(["doc_id"])
+    return out.select_columns(["doc_id"])
 
 
 DEDUP_EXACT_SQL = """
@@ -1307,9 +1312,13 @@ def crispr_offtarget(sf_dir: str):
     all-minima search).  Oracle: pure-DP search_all with the same guide."""
     from sassy_ray.pipelines.crispr import CrisprConfig, run_crispr
 
-    texts = _dna_texts_ds(sf_dir).materialize()
-    first = next(iter(texts.iter_batches(batch_size=1, batch_format="pyarrow")))
+    from sassy_ray.sources.docs import add_doc_text
+
+    # Derive the guide from a 1-row driver-side slice — never materialize or
+    # double-consume the corpus dataset (it streams once through run_crispr).
+    first = add_doc_text(_dna_docs_table(sf_dir).slice(0, 1))
     seq = first.column("text")[0].as_py()
+    texts = _dna_texts_ds(sf_dir)
     guide = (seq[10:25] if len(seq) >= 25 else (seq * 3)[:15]).encode()
     _export_dna_grep_oracle(
         "crispr_matches", sf_dir, [(guide.decode(), guide)], k=2, all_minima=True,

@@ -157,3 +157,94 @@ def test_chunked_search_matches_unchunked():
         want = sorted(x.key() for x in s.search(pat, text, k))
         got = sorted(x.key() for x in chunked_search(s, pat, [text], k, chunk_len=701)[0])
         assert got == want, f"trial {trial}"
+
+
+# --- Continuation flow control (alignment_iterator.rs:16-23,239-368) -------
+
+
+def _collect_with(pattern, text, k, cb, rc=False, partial=False):
+    out = []
+
+    def callback(complete, m):
+        return cb(complete, m, out)
+
+    Searcher("dna", rc=rc).iterate_all_alignments(
+        pattern, text, k, partial_matches=partial, callback=callback
+    )
+    return out
+
+
+def test_continuation_continue_matches_search_all():
+    from sassy_ray import Continuation
+
+    pat, txt, k = b"A" * 8, b"A" * 5, 3
+    full = Searcher("dna", rc=False).search_all_alignments(pat, txt, k)
+    got = _collect_with(
+        pat, txt, k, lambda c, m, out: (out.append(m), Continuation.CONTINUE)[1]
+    )
+    assert [m.key() for m in got] == [m.key() for g in full for m in g]
+
+
+def test_continuation_break_one_per_anchor():
+    """BREAK after the first complete alignment -> exactly the first (cheapest
+    edge-ordered) alignment of each anchor group."""
+    from sassy_ray import Continuation
+
+    pat, txt, k = b"A" * 8, b"A" * 5, 3
+    full = Searcher("dna", rc=False).search_all_alignments(pat, txt, k)
+
+    def cb(complete, m, out):
+        out.append(m)
+        return Continuation.BREAK
+
+    got = _collect_with(pat, txt, k, cb)
+    assert [m.key() for m in got] == [g[0].key() for g in full]
+
+
+def test_continuation_prune_at_root_yields_nothing():
+    from sassy_ray import Continuation
+
+    def cb(complete, m, out):
+        if not complete and m.pattern_start == m.pattern_end:
+            return Continuation.PRUNE  # prune the empty root state
+        if complete:
+            out.append(m)
+        return Continuation.CONTINUE
+
+    got = _collect_with(b"AT", b"ACT", 1, cb, partial=True)
+    assert got == []
+
+
+def test_continuation_partial_states_fire():
+    from sassy_ray import Continuation
+
+    partials, completes = [], []
+
+    def cb(complete, m, out):
+        (completes if complete else partials).append(m)
+        return Continuation.CONTINUE
+
+    _collect_with(b"ACGT", b"ACGT", 0, cb, partial=True)
+    assert len(completes) == 1
+    # root + one state per '=' step before completion
+    assert len(partials) == 4
+    assert all(m.pattern_start > 0 for m in partials)
+
+
+def test_continuation_none_return_is_continue():
+    got = _collect_with(b"ACGT", b"ACGT", 0, lambda c, m, out: out.append(m))
+    assert len(got) == 1 and got[0].cigar == "4="
+
+
+@pytest.mark.parametrize("rc", [True])
+def test_continuation_rc_translated_coords(rc):
+    """RC matches reach the callback in forward-text coordinates."""
+    from sassy_ray import Continuation
+    from sassy_ray.kernel.types import RC
+
+    txt = b"TTTT" + bytes(reversed(b"ACGT".translate(bytes.maketrans(b"ACGT", b"TGCA"))))
+    got = _collect_with(b"ACGT", txt, 0, lambda c, m, out: out.append(m), rc=rc)
+    rcs = [m for m in got if m.strand == RC]
+    assert rcs and all(0 <= m.text_start < m.text_end <= len(txt) for m in rcs)
+    groups = Searcher("dna", rc=rc).search_all_alignments(b"ACGT", txt, 0)
+    assert sorted(m.key() for m in got) == sorted(m.key() for g in groups for m in g)
