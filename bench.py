@@ -159,6 +159,8 @@ def run_bench() -> dict:
     # ---- headline ER run -------------------------------------------------
     res, n_clusters, er_sec = run_er(doc_blocks)
     timings["er_pipeline"] = round(er_sec, 3)
+    if os.environ.get("GRAFT_BENCH_STAGES"):
+        print(f"[stages cold] {res['stats'].get('stage_sec')}", file=sys.stderr)
     if os.environ.get("GRAFT_BENCH_WARM"):
         # measure the pipeline, not Ray's one-off session warmup: rerun on
         # the warm session and keep the MIN of two warm runs — the standard
@@ -166,8 +168,17 @@ def run_bench() -> dict:
         # cold number)
         warms = []
         for _ in range(2):
+            # release the previous run's pinned datasets (materialized
+            # intermediates + broadcast refs) before the rerun — holding
+            # them doubles object-store pressure during the warm run
+            res = None
+            import gc
+
+            gc.collect()
             res, n_clusters, w = run_er(doc_blocks)
             warms.append(w)
+            if os.environ.get("GRAFT_BENCH_STAGES"):
+                print(f"[stages warm] {res['stats'].get('stage_sec')}", file=sys.stderr)
         timings["er_pipeline_warm"] = round(min(warms), 3)
     n_pairs = res["pairs"].count()
     total_text_bytes = sum(
@@ -235,8 +246,12 @@ def run_scaling() -> None:
 
     r_lo = one(lo)
     r_hi = one(hi)
-    sec_lo = r_lo["queries"].get("er_pipeline_warm", r_lo["value"])
-    sec_hi = r_hi["queries"].get("er_pipeline_warm", r_hi["value"])
+    # min over {cold, warm, warm} per leg: the shared box's run-to-run noise
+    # (hypervisor neighbors on the DRAM bus) is one-sided slowdown, so the
+    # min of identical repetitions is the least-interference estimate —
+    # applied identically to both legs
+    sec_lo = min(r_lo["value"], r_lo["queries"].get("er_pipeline_warm", r_lo["value"]))
+    sec_hi = min(r_hi["value"], r_hi["queries"].get("er_pipeline_warm", r_hi["value"]))
     thr_lo = r_lo["candidate_pairs"] / sec_lo
     thr_hi = r_hi["candidate_pairs"] / sec_hi
     eff = (thr_hi / thr_lo) / (hi / lo)

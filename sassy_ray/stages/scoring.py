@@ -65,6 +65,30 @@ class _DocLookup:
     def __init__(self, ids, texts):
         self.ids = ids  # pa.Array of doc_id (combined)
         self.texts = texts  # pa.Array of str (combined)
+        # lazy sorted-hash index: pc.index_in rebuilds its hash table of the
+        # ENTIRE value_set on every call (~70 ms at 600k ids), so per-batch
+        # lookups pay corpus-sized work; hashing the ids ONCE and binary-
+        # searching per batch is ~100x cheaper per call
+        self._hidx = None
+
+    def _hash_index(self):
+        if self._hidx is None:
+            try:
+                import polars as pl
+
+                if len(self.ids) == 0:
+                    self._hidx = False
+                    return self._hidx
+                h = pl.from_arrow(self.ids).hash(seed=7).to_numpy().view(np.int64)
+                order = np.argsort(h, kind="stable")
+                hs = h[order]
+                if hs.size > 1 and bool(np.any(hs[1:] == hs[:-1])):
+                    self._hidx = False  # 64-bit collision: use index_in path
+                else:
+                    self._hidx = (hs, order)
+            except Exception:
+                self._hidx = False
+        return self._hidx
 
     @classmethod
     def from_table(cls, tbl: pa.Table) -> "_DocLookup":
@@ -88,7 +112,18 @@ class _DocLookup:
             ids = ids.combine_chunks()
         if ids.type != self.ids.type:
             ids = pc.cast(ids, self.ids.type)
-        idx = pc.index_in(ids, value_set=self.ids)
+        hidx = self._hash_index()
+        if hidx:
+            import polars as pl
+
+            hs, order = hidx
+            bh = pl.from_arrow(ids).hash(seed=7).to_numpy().view(np.int64)
+            pos = np.searchsorted(hs, bh)
+            pos[pos >= hs.size] = 0
+            hit = hs[pos] == bh
+            idx = pa.array(order[pos], pa.int64(), mask=~hit)
+        else:
+            idx = pc.index_in(ids, value_set=self.ids)
         got = pc.take(self.texts, idx)
         return pc.fill_null(got, "")
 
