@@ -148,11 +148,11 @@ def build_peq(
     else:
         pat = pat0[:, :m_pad]
     ab = _ALL_BYTES if alphabet is None else alphabet
-    # bits[b, j, a] = match(pattern[b][j], alphabet byte a)
-    bits = profile.match_matrix[pat[:, :, None], ab[None, None, :]]  # (B, m_pad, A)
+    # bits[b, a, j] = match(pattern[b][j], alphabet byte a) — gathered
+    # directly in (B, A, m_pad) layout so no transpose+copy is needed
+    bits = profile.match_matrix[pat[:, None, :], ab[None, :, None]]  # (B, A, m_pad)
     mask = np.arange(m_pad) < m_arr[:, None]
-    bits &= mask[:, :, None]
-    bits = np.ascontiguousarray(bits.transpose(0, 2, 1))  # (B, A, m_pad)
+    bits &= mask[:, None, :]
     return _pack_bits_u64(bits), m_arr, L
 
 
