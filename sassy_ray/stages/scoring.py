@@ -196,6 +196,23 @@ class PairScorer:
         assert self.docs is not None, f"no {col} column and no docs_ref broadcast"
         return self.docs.take_arrow(batch.column(id_col))
 
+    @staticmethod
+    def _length_chunks(tlens, order, ratio: float = 1.3, min_chunk: int = 1024):
+        """Split ``order`` (indices pre-sorted by ascending text length) into
+        chunks whose max/min length ratio stays below ``ratio`` — kernel cost
+        is B x max(text len) per call, so a lone long text must not make the
+        whole batch pay its steps.  ``min_chunk`` bounds dispatch overhead."""
+        chunks = []
+        i, nt = 0, len(order)
+        while i < nt:
+            lo = max(1, int(tlens[order[i]]))
+            j = min(i + min_chunk, nt)
+            while j < nt and tlens[order[j]] <= lo * ratio:
+                j += 1
+            chunks.append(order[i:j])
+            i = j
+        return chunks
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -241,17 +258,28 @@ class PairScorer:
         SUF = 63  # max single-limb suffix: stays on the L=1 fast path while
         # leaving headroom over k (rel_k * paragraph lengths reaches ~20)
         use_screen = k_max < SUF - 8 and int(min_len.max()) > 2 * SUF
+        tlens = np.maximum(la, lb)
         if use_screen:
             # suffix slice, vectorized: reverse -> take first SUF -> reverse
             suf = pc.utf8_reverse(
                 pc.utf8_slice_codeunits(pc.utf8_reverse(pats_arr), 0, SUF)
             )
-            smin = batch_best_costs(suf, txts_arr, self.prof, k_max)
+            suf_rc = None
             if rc:
                 # rc suffix = rc of the FIRST SUF pattern chars
                 pre = pc.utf8_slice_codeunits(pats_arr, 0, SUF)
                 suf_rc = [self.prof.reverse_complement((p or "").encode()) for p in pre.to_pylist()]
-                smin = np.minimum(smin, batch_best_costs(suf_rc, txts_arr, self.prof, k_max))
+            # text-length-homogeneous chunks: scan steps = chunk max length
+            smin = np.empty(n, dtype=np.int32)
+            t_order = np.argsort(tlens, kind="stable")
+            for chunk in self._length_chunks(tlens, t_order):
+                take = pa.array(chunk)
+                sub_t = txts_arr.take(take)
+                sc = batch_best_costs(suf.take(take), sub_t, self.prof, k_max)
+                if rc:
+                    rc_chunk = [suf_rc[i] for i in chunk.tolist()]
+                    sc = np.minimum(sc, batch_best_costs(rc_chunk, sub_t, self.prof, k_max))
+                smin[chunk] = sc
             todo = np.nonzero(smin <= k_pair)[0]
         else:
             todo = np.arange(n)
@@ -261,7 +289,10 @@ class PairScorer:
         # with a 560-char one makes everyone pay 9 limbs)
         cost = np.full(n, np.int32(np.iinfo(np.int32).max // 2), dtype=np.int32)
         limbs = (min_len + 63) // 64
-        order = todo[np.argsort(limbs[todo], kind="stable")]
+        # (limbs, text length) sort: limb buckets bound per-step cost, the
+        # length sub-chunks bound the step count (one long text otherwise
+        # makes the whole bucket pay its scan length)
+        order = todo[np.lexsort((tlens[todo], limbs[todo]))]
         nt = len(order)
         i = 0
         while i < nt:
@@ -269,15 +300,15 @@ class PairScorer:
             j = i
             while j < nt and limbs[order[j]] == L0:
                 j += 1
-            idx = order[i:j]
-            take = pa.array(idx)
-            sub_p = pats_arr.take(take)
-            sub_t = txts_arr.take(take)
-            c = batch_best_costs(sub_p, sub_t, self.prof, k_max)
-            if rc:
-                rc_p = [self.prof.reverse_complement((p or "").encode()) for p in sub_p.to_pylist()]
-                c = np.minimum(c, batch_best_costs(rc_p, sub_t, self.prof, k_max))
-            cost[idx] = c
+            for idx in self._length_chunks(tlens, order[i:j]):
+                take = pa.array(idx)
+                sub_p = pats_arr.take(take)
+                sub_t = txts_arr.take(take)
+                c = batch_best_costs(sub_p, sub_t, self.prof, k_max)
+                if rc:
+                    rc_p = [self.prof.reverse_complement((p or "").encode()) for p in sub_p.to_pylist()]
+                    c = np.minimum(c, batch_best_costs(rc_p, sub_t, self.prof, k_max))
+                cost[idx] = c
             i = j
         cost = np.minimum(cost, k_pair + 1)
         is_match = cost <= k_pair
