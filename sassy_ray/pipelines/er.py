@@ -239,7 +239,7 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
             if label_dir is None:
                 assert checkpoint_dir, "sharded attach needs label_dir or checkpoint_dir"
                 label_dir = os.path.join(checkpoint_dir, "label_shards")
-            write_label_shards(clusters, label_dir, num_shards)
+            write_label_shards(clusters, label_dir, num_shards, fingerprint=fp)
             return attach_labels_sharded(docs_ds, label_dir, num_shards)
 
         lab_tbl = pa.concat_tables(
@@ -302,20 +302,27 @@ def hash_doc_ids_mod(ids, mod: int) -> np.ndarray:
     return (h % np.uint64(mod)).astype(np.int64)
 
 
-def write_label_shards(clusters_ds, out_dir: str, num_shards: int = 32) -> None:
+def write_label_shards(
+    clusters_ds, out_dir: str, num_shards: int = 32, fingerprint: str = ""
+) -> None:
     """Write (doc_id, cluster_id) hash-partitioned by doc_id — hive dirs
     ``label_shard=N`` NEXT TO the doc shards (the stages/checkpoint.py
     layout).  A distributed write: each map task appends the shard key
     vectorized and Ray writes partitioned parquet; nothing is concatenated
-    on the driver.  Idempotent: a matching manifest skips the rewrite
-    (kill-and-resume)."""
+    on the driver.  Idempotent: a manifest matching BOTH the shard count and
+    the config+input ``fingerprint`` (same StageCheckpoint semantics) skips
+    the rewrite (kill-and-resume); changed docs/config rewrite."""
     import json
 
     man_path = os.path.join(out_dir, "manifest.json")
     try:
         with open(man_path) as f:
             man = json.load(f)
-        if man.get("complete") and man.get("num_shards") == num_shards:
+        if (
+            man.get("complete")
+            and man.get("num_shards") == num_shards
+            and man.get("fingerprint", "") == fingerprint
+        ):
             return
     except (OSError, json.JSONDecodeError):
         pass
@@ -333,19 +340,35 @@ def write_label_shards(clusters_ds, out_dir: str, num_shards: int = 32) -> None:
         tmp, partition_cols=["label_shard"]
     )
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
-        json.dump({"complete": True, "num_shards": num_shards}, f)
+        json.dump(
+            {"complete": True, "num_shards": num_shards, "fingerprint": fingerprint}, f
+        )
     shutil.rmtree(out_dir, ignore_errors=True)
     os.replace(tmp, out_dir)
 
 
 # per-worker shard cache: each worker process loads a label shard at most
 # once; when doc shards are hash-aligned with label shards (the 10^12
-# layout) a task touches exactly one entry
+# layout) a task touches exactly one entry.  Keyed by the manifest's
+# (fingerprint, mtime) token so a same-session rewrite of the shards
+# invalidates warm workers' cached tables.
 _LABEL_SHARD_CACHE: dict = {}
 
 
-def _load_label_shard(label_dir: str, shard: int):
-    key = (label_dir, shard)
+def _label_dir_token(label_dir: str) -> tuple:
+    import json
+
+    man_path = os.path.join(label_dir, "manifest.json")
+    try:
+        with open(man_path) as f:
+            man = json.load(f)
+        return (man.get("fingerprint", ""), os.stat(man_path).st_mtime_ns)
+    except (OSError, json.JSONDecodeError):
+        return ("", 0)
+
+
+def _load_label_shard(label_dir: str, shard: int, token: tuple = ("", 0)):
+    key = (label_dir, shard, token)
     hit = _LABEL_SHARD_CACHE.get(key)
     if hit is None:
         import pyarrow.parquet as pq
@@ -373,10 +396,14 @@ def attach_labels_sharded(docs_ds, label_dir: str, num_shards: int = 32):
     merge with one vectorized index_in.  No driver-side concat of the label
     set, no ray.put of the labels, spans pass through untouched."""
 
+    token = _label_dir_token(label_dir)  # driver-read once; closed over
+
     def attach(batch: pa.Table) -> pa.Table:
         shard = hash_doc_ids_mod(batch.column("doc_id"), num_shards)
-        tables = [_load_label_shard(label_dir, int(s)) for s in np.unique(shard)]
-        lookup = pa.concat_tables(tables) if tables else _load_label_shard(label_dir, 0)
+        tables = [_load_label_shard(label_dir, int(s), token) for s in np.unique(shard)]
+        lookup = (
+            pa.concat_tables(tables) if tables else _load_label_shard(label_dir, 0, token)
+        )
         ids = pc.cast(batch.column("doc_id"), pa.string())
         taken = pc.take(
             lookup.column("cluster_id").combine_chunks(),

@@ -70,7 +70,15 @@ def _partial_sum_count(tt: pa.Table, keys: list[str], sum_cols: list[str], count
     groupby moves kilobytes instead of the whole fact table.  The caller's
     final Ray groupby sums the partial sums and partial counts."""
     g = tt.group_by(keys).aggregate([(c, "sum") for c in sum_cols] + [(keys[0], "count")])
-    return g.rename_columns(keys + sum_cols + [count_col])
+    # select by the GENERATED names ("col_sum", "key_count") — the column
+    # ordering of TableGroupBy.aggregate output is pyarrow-version-dependent
+    # (keys-first in 16.x, aggregates-first earlier), so positional renames
+    # would silently mislabel on a pyarrow bump
+    cols = {k: g.column(k) for k in keys}
+    for c in sum_cols:
+        cols[c] = g.column(f"{c}_sum")
+    cols[count_col] = g.column(f"{keys[0]}_count")
+    return pa.table(cols)
 
 
 # --- oracle artifact exports ------------------------------------------------

@@ -321,11 +321,22 @@ def connected_components(
         _local_contract, batch_format="pyarrow"
     ).materialize()
 
+    converged = False
     for _ in range(max_iters):
         mid, lg_moves = _star(edges, small=False)
         edges, sm_moves = _star(mid, small=True)
         if lg_moves == 0 and sm_moves == 0:
+            converged = True
             break
+    if not converged:
+        # the final labeling pass is only correct on a union of min-rooted
+        # stars (the zero-move fixpoint); finishing early would silently
+        # mislabel.  Alternating-star converges in O(log^2 n) rounds, so
+        # hitting the cap means the caller's max_iters is too small.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} star rounds; "
+            "raise max_iters (alternating-star needs O(log^2 n) rounds)"
+        )
 
     # converged: one minimum-rooted star per component.  Label = per-node
     # min over self rows + (hi -> lo) rows, via the same sorted-pass trick.

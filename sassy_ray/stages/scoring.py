@@ -122,6 +122,14 @@ class _DocLookup:
             pos[pos >= hs.size] = 0
             hit = hs[pos] == bh
             idx = pa.array(order[pos], pa.int64(), mask=~hit)
+            # a probe id ABSENT from the set can still hash-collide with a
+            # stored id (the build-time duplicate check only covers ids
+            # within the set) — confirm the gathered ids actually equal the
+            # probes (one vectorized pc.equal) before trusting the hit
+            if hit.any():
+                eq = pc.fill_null(pc.equal(pc.take(self.ids, idx), ids), False)
+                if not pc.all(eq).as_py():
+                    idx = pc.if_else(eq, idx, pa.scalar(None, pa.int64()))
         else:
             idx = pc.index_in(ids, value_set=self.ids)
         got = pc.take(self.texts, idx)
