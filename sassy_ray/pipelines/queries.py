@@ -494,7 +494,14 @@ class _SearchActor:
 def search_approx(sf_dir: str):
     """Approximate search (M1): local-minima matches of 'spark' at k=1 over
     all documents, via an actor-pool map_batches (no SQL equivalent —
-    rows-only check)."""
+    rows-only check).  Memoized per (sf_dir, Ray session): the driver's
+    correctness pass consumes this both directly and via
+    match_cost_histogram, and the matches are small — one materialized run
+    serves both."""
+    key = ("search_approx", os.path.abspath(sf_dir), _session_token())
+    hit = _GATE_CACHE.get(key)
+    if hit is not None:
+        return hit
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -511,7 +518,9 @@ def search_approx(sf_dir: str):
         search_batch, batch_format="pyarrow", batch_size=128
     )
     _export_search_approx_oracle(sf_dir)
-    return out.sort(["doc_id", "text_start", "cost"])
+    out = out.sort(["doc_id", "text_start", "cost"]).materialize()
+    _GATE_CACHE[key] = out
+    return out
 
 
 def filter_matching_docs(sf_dir: str):
@@ -957,26 +966,58 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+# Gate-scale result cache: the driver's correctness pass calls er_clusters,
+# er_match_edges and er_match_alignments back-to-back; they share one config
+# (emit_matches=True is a column superset — cost/k/is_match are computed
+# identically), so ONE pipeline execution serves all three.  Keyed by the
+# Ray job id so a fresh ray.init (whose materialized blocks are gone)
+# rebuilds instead of serving dead object refs.
+_GATE_CACHE: dict = {}
+
+
+def _session_token() -> str:
+    try:
+        import ray
+
+        return ray.get_runtime_context().get_job_id() if ray.is_initialized() else "-"
+    except Exception:
+        return "-"
+
+
+def _er_ascii_run(sf_dir: str):
+    """Shared memoized ER run for the three ascii ER queries; returns
+    (docs Arrow table, ERConfig, pipeline result dict)."""
+    key = ("er_ascii", os.path.abspath(sf_dir), _session_token())
+    hit = _GATE_CACHE.get(key)
+    if hit is None:
+        import pyarrow.parquet as pq
+
+        from sassy_ray.pipelines.er import ERConfig, run_er_pipeline
+        from sassy_ray.sources.synth import interleave_flat_documents
+        from sassy_ray.stages.blocking import BlockingConfig
+        from sassy_ray.stages.scoring import ScoreConfig
+
+        flat = pq.read_table(_path(sf_dir, "documents"))
+        docs, _truth = interleave_flat_documents(flat, seed=7)
+        cfg = ERConfig(
+            blocking=BlockingConfig(q=12),
+            score=ScoreConfig(
+                profile="ascii_ci", k_min=3, rel_k=0.03, lowercase=True, emit_matches=True
+            ),
+            score_concurrency=4,
+        )
+        res = run_er_pipeline(_rd().from_arrow(docs), cfg)
+        hit = (docs, cfg, res)
+        _GATE_CACHE[key] = hit
+    return hit
+
+
 def er_clusters(sf_dir: str):
     """Full ER pipeline over the interleaved corpus derived deterministically
     from this sf_dir's documents table: blocking -> pair scoring ->
     transitive clusters.  The clustering stage is SQL-verified via the
     exported match edges (recursive closure twin)."""
-    import pyarrow.parquet as pq
-
-    from sassy_ray.pipelines.er import ERConfig, run_er_pipeline
-    from sassy_ray.sources.synth import interleave_flat_documents
-    from sassy_ray.stages.blocking import BlockingConfig
-    from sassy_ray.stages.scoring import ScoreConfig
-
-    flat = pq.read_table(_path(sf_dir, "documents"))
-    docs, _truth = interleave_flat_documents(flat, seed=7)
-    cfg = ERConfig(
-        blocking=BlockingConfig(q=12),
-        score=ScoreConfig(profile="ascii_ci", k_min=3, rel_k=0.03, lowercase=True),
-        score_concurrency=4,
-    )
-    res = run_er_pipeline(_rd().from_arrow(docs), cfg)
+    docs, _cfg, res = _er_ascii_run(sf_dir)
     if docs.num_rows <= 4 * _ORACLE_EXPORT_MAX_DOCS:
         _export_er_closure_inputs("er_clusters", res, docs)
     return res["clusters"].sort("doc_id")
@@ -1062,27 +1103,19 @@ def _export_er_scored_oracle(name: str, pairs: pa.Table, docs: pa.Table, score, 
 
 def er_match_edges(sf_dir: str):
     """Scored candidate pairs of the ER pipeline (cost, k, is_match),
-    hash-verified against a pure-DP recompute of the same pair list."""
-    import pyarrow.parquet as pq
-
-    from sassy_ray.pipelines.er import ERConfig, run_er_pipeline
-    from sassy_ray.sources.synth import interleave_flat_documents
-    from sassy_ray.stages.blocking import BlockingConfig
-    from sassy_ray.stages.scoring import ScoreConfig
-
-    flat = pq.read_table(_path(sf_dir, "documents"))
-    docs, _truth = interleave_flat_documents(flat, seed=7)
-    cfg = ERConfig(
-        blocking=BlockingConfig(q=12),
-        score=ScoreConfig(profile="ascii_ci", k_min=3, rel_k=0.03, lowercase=True),
-        score_concurrency=4,
-    )
-    res = run_er_pipeline(_rd().from_arrow(docs), cfg)
+    hash-verified against a pure-DP recompute of the same pair list.
+    Reuses the memoized shared run; the alignment columns its scorer also
+    emitted are projected away (cost/k/is_match are identical either way)."""
+    docs, cfg, res = _er_ascii_run(sf_dir)
     if docs.num_rows <= 4 * _ORACLE_EXPORT_MAX_DOCS:
         _export_er_scored_oracle(
             "er_match_edges_oracle", _collect(res["pairs"]), docs, cfg.score, emit=False
         )
-    return res["scored"].sort(["doc_id_a", "doc_id_b"])
+    return (
+        res["scored"]
+        .select_columns(["doc_id_a", "doc_id_b", "cost", "k", "is_match"])
+        .sort(["doc_id_a", "doc_id_b"])
+    )
 
 
 ER_MATCH_EDGES_SQL = f"""
@@ -1094,22 +1127,7 @@ def er_match_alignments(sf_dir: str):
     """ER scored edges WITH full match coordinates (text_start/end, strand,
     cigar) — sassy Match parity for the matched pairs, hash-verified against
     the pure-DP OracleSearcher's traced best matches."""
-    import pyarrow.parquet as pq
-
-    from sassy_ray.pipelines.er import ERConfig, run_er_pipeline
-    from sassy_ray.sources.synth import interleave_flat_documents
-    from sassy_ray.stages.blocking import BlockingConfig
-    from sassy_ray.stages.scoring import ScoreConfig
-
-    flat = pq.read_table(_path(sf_dir, "documents"))
-    docs, _truth = interleave_flat_documents(flat, seed=7)
-    cfg = ERConfig(
-        blocking=BlockingConfig(q=12),
-        score=ScoreConfig(
-            profile="ascii_ci", k_min=3, rel_k=0.03, lowercase=True, emit_matches=True
-        ),
-    )
-    res = run_er_pipeline(_rd().from_arrow(docs), cfg)
+    docs, cfg, res = _er_ascii_run(sf_dir)
     matched = res["scored"].map_batches(
         lambda b: b.filter(b.column("is_match")), batch_format="pyarrow"
     )
