@@ -1679,26 +1679,145 @@ WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.35
 """
 
 
-def events_sessionize(sf_dir: str):
-    """Sessionization: per-user sessions split at >30min gaps (streaming-
-    shaped groupby + sorted window logic inside map_groups)."""
-    import pandas as pd
+def _fused_sort_key(cols: list, widths: list[int]) -> pa.Array:
+    """Fixed-width zero-padded decimal concatenation of non-negative int
+    columns — ONE string sort key whose lexicographic order equals the
+    multi-column numeric order (Ray's multi-column sort/groupby is ~20x
+    slower than a single key column; see CLAUDE.md)."""
+    parts = [
+        pc.utf8_lpad(pc.cast(pc.cast(c, pa.int64()), pa.string()), w, "0")
+        for c, w in zip(cols, widths)
+    ]
+    return pc.binary_join_element_wise(*parts, "")
 
+
+_SESSION_GAP_US = 1800 * 1_000_000
+
+
+def events_sessionize(sf_dir: str):
+    """Sessionization: per-user sessions split at >30min gaps.
+
+    NOT a per-user ``groupby().map_groups`` — Ray's aggregate machinery
+    invokes Python once per GROUP and millions of users turn the stage into
+    per-group-Python overhead (the failure measured in stages/clustering.py).
+    Instead the proven sort + vectorized block-pass + boundary-correction
+    pattern: one global sort on a fused (user, ts, event_id) key, sessions
+    computed vectorized per BLOCK, and only each block's first/last session
+    (the only ones that can continue across a block seam) go to the driver
+    for an O(2 x blocks) merge."""
     ds = _rd().read_parquet(_path(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff().dt.total_seconds().fillna(1e9)
-        sid = (gap > 1800).cumsum()
-        out = g.groupby(sid).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            n_events=("event_id", "count"),
+    def keyed(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "skey": _fused_sort_key(
+                    [t.column("user_id"), ts_us, t.column("event_id")], [12, 16, 12]
+                ),
+                "user": pc.cast(t.column("user_id"), pa.int64()),
+                "ts_us": ts_us,
+            }
         )
-        return out.reset_index(drop=True)
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    sorted_ds = ds.map_batches(keyed, batch_format="pyarrow").sort("skey").materialize()
+
+    def block_sessions(b: pa.Table) -> pa.Table:
+        """Vectorized sessions over one sorted block; rows tagged edge=1 for
+        the block's first/last session (driver merges those), edge=0 final."""
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "user": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "edge": pa.array([], pa.int8()),
+                }
+            )
+        user = b.column("user").to_numpy()
+        ts = b.column("ts_us").to_numpy()
+        n = len(user)
+        new = np.ones(n, bool)
+        new[1:] = (user[1:] != user[:-1]) | (ts[1:] - ts[:-1] > _SESSION_GAP_US)
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        ends = starts + counts - 1
+        edge = np.zeros(len(starts), np.int8)
+        edge[0] = edge[-1] = 1
+        return pa.table(
+            {
+                "user": pa.array(user[starts], pa.int64()),
+                "start_us": pa.array(ts[starts], pa.int64()),
+                "end_us": pa.array(ts[ends], pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "edge": pa.array(edge, pa.int8()),
+            }
+        )
+
+    # batch_size=None: batches == materialized sorted blocks, so block seams
+    # are exactly the places the edge flag covers
+    sess = sorted_ds.map_batches(
+        block_sessions, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    final = sess.map_batches(
+        lambda t: t.filter(pc.equal(t.column("edge"), pa.scalar(0, pa.int8()))),
+        batch_format="pyarrow",
+    )
+    # driver merge of the edge sessions: adjacent-in-time sessions of the
+    # same user merge iff gap <= 30min (exact: any interior session between
+    # two edge sessions forces their gap above the threshold)
+    edges = (
+        pa.concat_tables(
+            sess.map_batches(
+                lambda t: t.filter(pc.equal(t.column("edge"), pa.scalar(1, pa.int8()))),
+                batch_format="pyarrow",
+            ).iter_batches(batch_size=65536, batch_format="pyarrow")
+        )
+        .sort_by([("user", "ascending"), ("start_us", "ascending")])
+        .drop_columns(["edge"])
+    )
+    merged = {"user": [], "start_us": [], "n_events": []}
+    cur = None  # (user, start, end, n)
+    for u, s, e, cnt in zip(
+        edges.column("user").to_pylist(),
+        edges.column("start_us").to_pylist(),
+        edges.column("end_us").to_pylist(),
+        edges.column("n_events").to_pylist(),
+    ):
+        if cur is not None and cur[0] == u and s - cur[2] <= _SESSION_GAP_US:
+            cur = (u, cur[1], max(cur[2], e), cur[3] + cnt)
+            continue
+        if cur is not None:
+            merged["user"].append(cur[0])
+            merged["start_us"].append(cur[1])
+            merged["n_events"].append(cur[3])
+        cur = (u, s, e, cnt)
+    if cur is not None:
+        merged["user"].append(cur[0])
+        merged["start_us"].append(cur[1])
+        merged["n_events"].append(cur[3])
+    drv = pa.table(
+        {
+            "user_id": pa.array(merged["user"], pa.int64()),
+            "session_start": pc.cast(
+                pa.array(merged["start_us"], pa.int64()), pa.timestamp("us")
+            ),
+            "n_events": pa.array(merged["n_events"], pa.int64()),
+        }
+    )
+    body = _collect(
+        final.map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t.column("user"),
+                    "session_start": pc.cast(t.column("start_us"), pa.timestamp("us")),
+                    "n_events": t.column("n_events"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return pa.concat_tables([body, drv])
 
 
 EVENTS_SESSIONIZE_SQL = """
@@ -1857,9 +1976,12 @@ ORACLE_SQL.update(
 
 def asof_join_orders(sf_dir: str):
     """As-of join (custom operator SURVEY.md §2.4 note): each event matched
-    to the user's latest order with o_orderdate <= ts.  The orders side is
-    small -> broadcast; rows are independent so pandas merge_asof runs
-    batch-locally inside map_batches (no shuffle)."""
+    to the user's latest order with o_orderdate <= ts.  Size-adaptive like
+    hash_join: when the orders parquet footer says the side decodes under
+    the broadcast limit, the deduped orders ship once via ray.put and pandas
+    merge_asof runs batch-locally (no shuffle); above the limit both sides
+    hash-partition by user key and each partition runs one sorted merge_asof
+    (the path that scales — the driver never materializes either side)."""
     import pandas as pd
     import ray
     from ray.data.aggregate import Max
@@ -1868,8 +1990,7 @@ def asof_join_orders(sf_dir: str):
     # make the as-of ambiguous; keep the max orderkey per (custkey, date)
     # (mirrored in the SQL oracle).  The two-column key is fused into ONE
     # int64 (custkey << 22 | epoch_days) — Ray's multi-column groupby sort is
-    # ~20x slower than a single key column.  Only the deduped (custkey, date,
-    # orderkey) side reaches the driver, as the broadcast table.
+    # ~20x slower than a single key column.
     def fuse(t: pa.Table) -> pa.Table:
         days = pc.cast(pc.cast(t.column("o_orderdate"), pa.date32()), pa.int32())
         key = pc.add(
@@ -1885,45 +2006,129 @@ def asof_join_orders(sf_dir: str):
         .groupby("ckey_day")
         .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
     )
-    small = pa.concat_tables(dedup.iter_batches(batch_size=65536, batch_format="pyarrow"))
-    fused = small.column("ckey_day").to_numpy()
-    orders = (
-        pd.DataFrame(
+    events = _rd().read_parquet(_path(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    if _parquet_bytes(_path(sf_dir, "orders")) <= _broadcast_join_limit():
+        # broadcast path: only the deduped (custkey, date, orderkey) side
+        # reaches the driver, as the broadcast table
+        small = pa.concat_tables(dedup.iter_batches(batch_size=65536, batch_format="pyarrow"))
+        fused = small.column("ckey_day").to_numpy()
+        orders = (
+            pd.DataFrame(
+                {
+                    "o_custkey": (fused >> 22).astype("int64"),
+                    "o_orderdate": pd.to_datetime(fused & ((1 << 22) - 1), unit="D"),
+                    "o_orderkey": small.column("o_orderkey").to_numpy().astype("int64"),
+                }
+            )
+            .sort_values("o_orderdate")
+            .reset_index(drop=True)
+        )
+        orders_ref = ray.put(orders)
+
+        def match(df: pd.DataFrame) -> pd.DataFrame:
+            odf = ray.get(orders_ref)
+            odf = odf.assign(o_orderdate=odf["o_orderdate"].astype(df["ts"].dtype))
+            df = df.sort_values("ts").reset_index(drop=True)
+            out = pd.merge_asof(
+                df,
+                odf,
+                left_on="ts",
+                right_on="o_orderdate",
+                left_by="user_id",
+                right_by="o_custkey",
+                direction="backward",
+            )
+            out = out[out["o_orderkey"].notna()]
+            return pd.DataFrame(
+                {
+                    "event_id": out["event_id"].astype("int64"),
+                    "user_id": out["user_id"].astype("int64"),
+                    "o_orderkey": out["o_orderkey"].astype("int64"),
+                }
+            )
+
+        out = events.map_batches(match, batch_format="pandas")
+        return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+    # ---- partitioned path (orders side too big to broadcast) --------------
+    # Both sides map into ONE unified schema tagged by null-ness (orders rows
+    # have event_id=null, events rows o_orderkey=null), hash-partitioned on
+    # user.  ONE groupby(part) shuffle co-locates each user's events with
+    # their orders; each partition (P = cluster CPUs groups, NOT per-user
+    # groups — per-group Python stays O(CPUs)) runs one vectorized sorted
+    # merge_asof.  Timestamps compare as int64 micros; a date at midnight
+    # matches ts >= date exactly like the broadcast path.
+    # power of two so the partition key is one bit_wise_and (pyarrow has no
+    # modulo kernel); raise on a real cluster — groups = shuffle parallelism
+    nparts = 32
+
+    def orders_rows(t: pa.Table) -> pa.Table:
+        fusedk = t.column("ckey_day")
+        user = pc.cast(pc.shift_right(fusedk, 22), pa.int64())
+        days = pc.bit_wise_and(fusedk, pa.scalar((1 << 22) - 1, pa.int64()))
+        ts_us = pc.multiply(pc.cast(days, pa.int64()), pa.scalar(86_400_000_000, pa.int64()))
+        n = t.num_rows
+        return pa.table(
             {
-                "o_custkey": (fused >> 22).astype("int64"),
-                "o_orderdate": pd.to_datetime(fused & ((1 << 22) - 1), unit="D"),
-                "o_orderkey": small.column("o_orderkey").to_numpy().astype("int64"),
+                "part": pc.cast(pc.bit_wise_and(user, pa.scalar(nparts - 1, pa.int64())), pa.int64()),
+                "user": user,
+                "ts_us": ts_us,
+                "event_id": pa.nulls(n, pa.int64()),
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
             }
         )
-        .sort_values("o_orderdate")
-        .reset_index(drop=True)
-    )
-    orders_ref = ray.put(orders)
-    ds = _rd().read_parquet(_path(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
 
-    def match(df: pd.DataFrame) -> pd.DataFrame:
-        odf = ray.get(orders_ref)
-        odf = odf.assign(o_orderdate=odf["o_orderdate"].astype(df["ts"].dtype))
-        df = df.sort_values("ts").reset_index(drop=True)
+    def events_rows(t: pa.Table) -> pa.Table:
+        user = pc.cast(t.column("user_id"), pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {
+                "part": pc.cast(pc.bit_wise_and(user, pa.scalar(nparts - 1, pa.int64())), pa.int64()),
+                "user": user,
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "o_orderkey": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    both = dedup.map_batches(orders_rows, batch_format="pyarrow").union(
+        events.map_batches(events_rows, batch_format="pyarrow")
+    )
+
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
+        is_order = g["event_id"].isna()
+        odf = (
+            g.loc[is_order, ["user", "ts_us", "o_orderkey"]]
+            .sort_values("ts_us")
+            .reset_index(drop=True)
+        )
+        edf = (
+            g.loc[~is_order, ["user", "ts_us", "event_id"]]
+            .sort_values("ts_us")
+            .reset_index(drop=True)
+        )
+        if not len(odf) or not len(edf):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                }
+            )
         out = pd.merge_asof(
-            df,
-            odf,
-            left_on="ts",
-            right_on="o_orderdate",
-            left_by="user_id",
-            right_by="o_custkey",
-            direction="backward",
+            edf, odf, on="ts_us", by="user", direction="backward"
         )
         out = out[out["o_orderkey"].notna()]
         return pd.DataFrame(
             {
                 "event_id": out["event_id"].astype("int64"),
-                "user_id": out["user_id"].astype("int64"),
+                "user_id": out["user"].astype("int64"),
                 "o_orderkey": out["o_orderkey"].astype("int64"),
             }
         )
 
-    out = ds.map_batches(match, batch_format="pandas")
+    out = both.groupby("part").map_groups(asof_part, batch_format="pandas")
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -1939,27 +2144,131 @@ FROM events e ASOF JOIN o
 
 
 def window_running_revenue(sf_dir: str):
-    """Per-customer running order total (window function shape): sorted
-    cumulative sum inside groupby(o_custkey).map_groups."""
-    import pandas as pd
+    """Per-customer running order total (window function shape).
 
+    Same scale pattern as events_sessionize (per-user ``map_groups`` dies at
+    millions of groups): ONE global sort on a fused (custkey, orderdate,
+    orderkey) key, a boundary-partials pass collecting each block's first/
+    last customer sums (O(2 x blocks) rows to the driver), a driver prefix
+    scan turning those into per-block offsets, then a vectorized per-block
+    cumsum pass that adds the offset to its first customer group."""
     ds = _rd().read_parquet(
         _path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     )
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
-        cents = (g["o_totalprice"] * 100).round().astype("int64")
-        return pd.DataFrame(
+    def keyed(t: pa.Table) -> pa.Table:
+        days = pc.cast(pc.cast(pc.cast(t.column("o_orderdate"), pa.date32()), pa.int32()), pa.int64())
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t.column("o_totalprice"), pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
             {
-                "o_orderkey": g["o_orderkey"],
-                "o_custkey": g["o_custkey"],
-                "running_cents": cents.cumsum(),
+                "skey": _fused_sort_key(
+                    [t.column("o_custkey"), days, t.column("o_orderkey")], [12, 8, 14]
+                ),
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "cents": cents,
             }
         )
 
-    out = ds.groupby("o_custkey").map_groups(running, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    sorted_ds = ds.map_batches(keyed, batch_format="pyarrow").sort("skey").materialize()
+
+    _EMPTY_PARTIAL = pa.table(
+        {
+            "bkey": pa.array([], pa.string()),
+            "cust": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int8()),
+        }
+    )
+
+    def boundary_partials(b: pa.Table) -> pa.Table:
+        """(block first skey, first/last customer, that customer's block
+        sum) — only the first/last customer of a block can span a seam."""
+        if b.num_rows == 0:
+            return _EMPTY_PARTIAL
+        cust = b.column("o_custkey").to_numpy()
+        cents = b.column("cents").to_numpy()
+        bkey = b.column("skey")[0].as_py()
+        first_c, last_c = int(cust[0]), int(cust[-1])
+        out = {
+            "bkey": [bkey],
+            "cust": [first_c],
+            "cents": [int(cents[cust == first_c].sum())],
+            "pos": [0],
+        }
+        if last_c != first_c:
+            out["bkey"].append(bkey)
+            out["cust"].append(last_c)
+            out["cents"].append(int(cents[cust == last_c].sum()))
+            out["pos"].append(1)
+        return pa.table(
+            {
+                "bkey": pa.array(out["bkey"], pa.string()),
+                "cust": pa.array(out["cust"], pa.int64()),
+                "cents": pa.array(out["cents"], pa.int64()),
+                "pos": pa.array(out["pos"], pa.int8()),
+            }
+        )
+
+    partials = _collect(
+        sorted_ds.map_batches(boundary_partials, batch_format="pyarrow", batch_size=None)
+    ).sort_by([("bkey", "ascending"), ("pos", "ascending")])
+    # driver prefix scan in block order: offset of a block's FIRST customer
+    # group = that customer's total in all earlier blocks (only boundary
+    # customers ever accumulate — O(2 x blocks) state)
+    corr: dict = {}  # bkey -> offset for the block's first group
+    cum: dict = {}  # cust -> running total across blocks seen so far
+    for bk, cu, ce, pos in zip(
+        partials.column("bkey").to_pylist(),
+        partials.column("cust").to_pylist(),
+        partials.column("cents").to_pylist(),
+        partials.column("pos").to_pylist(),
+    ):
+        if pos == 0:
+            off = cum.get(cu, 0)
+            if off:
+                corr[bk] = off
+            cum[cu] = off + ce
+        else:
+            cum[cu] = cum.get(cu, 0) + ce
+
+    def running_pass(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "running_cents": pa.array([], pa.int64()),
+                }
+            )
+        cust = b.column("o_custkey").to_numpy()
+        cents = b.column("cents").to_numpy()
+        cs = np.cumsum(cents)
+        new = np.ones(len(cust), bool)
+        new[1:] = cust[1:] != cust[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(cust)))
+        base = cs[starts] - cents[starts]  # cumsum before each group
+        running = cs - np.repeat(base, counts)
+        off = corr.get(b.column("skey")[0].as_py(), 0)
+        if off:
+            running[: counts[0]] += off
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "running_cents": pa.array(running, pa.int64()),
+            }
+        )
+
+    out = sorted_ds.map_batches(running_pass, batch_format="pyarrow", batch_size=None)
+    return _collect(out)
 
 
 WINDOW_RUNNING_SQL = """

@@ -142,3 +142,61 @@ def test_hash_join_broadcast_vs_partitioned(ray_session, monkeypatch):
     monkeypatch.setenv("SASSY_BROADCAST_JOIN_LIMIT", "0")
     part = Q.QUERIES["hash_join"](sf).sort_by("o_orderpriority")
     assert bcast.equals(part.select(bcast.column_names).cast(bcast.schema))
+
+
+def test_asof_join_broadcast_vs_partitioned(ray_session, monkeypatch):
+    """asof_join_orders' two physical plans (driver broadcast vs user-hash
+    partitioned merge_asof) must agree bit-for-bit."""
+    from sassy_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    bcast = Q.QUERIES["asof_join_orders"](sf).sort_by("event_id")
+    monkeypatch.setenv("SASSY_BROADCAST_JOIN_LIMIT", "0")
+    part = Q.QUERIES["asof_join_orders"](sf).sort_by("event_id")
+    assert bcast.num_rows == part.num_rows > 0
+    assert bcast.equals(part.select(bcast.column_names).cast(bcast.schema))
+
+
+def test_window_ops_block_seams(ray_session, tmp_path):
+    """events_sessionize / window_running_revenue boundary correction: with
+    a tiny target block size the sorted dataset splits into many blocks, so
+    user/customer groups straddle block seams — results must still equal the
+    DuckDB window oracle exactly."""
+    import duckdb
+    import ray.data
+
+    sys_path_tools = "/root/repo/tools"
+    import sys
+
+    if sys_path_tools not in sys.path:
+        sys.path.insert(0, sys_path_tools)
+    from tail_bench import synth_window_tables
+
+    from sassy_ray.pipelines import queries as Q
+
+    sf = str(tmp_path)
+    synth_window_tables(sf, n_groups=500, rows_per_group=6, seed=3)
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 << 10  # ~hundreds of rows per block
+    try:
+        t1 = Q.QUERIES["events_sessionize"](sf)
+        t2 = Q.QUERIES["window_running_revenue"](sf)
+    finally:
+        ctx.target_max_block_size = old
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    o1 = con.execute(Q.ORACLE_SQL["events_sessionize"]).arrow()
+    o2 = con.execute(Q.ORACLE_SQL["window_running_revenue"]).arrow()
+
+    def norm(t, keys):
+        df = t.to_pandas().sort_values(keys).reset_index(drop=True)
+        return df[sorted(df.columns)]
+
+    a1 = norm(t1, ["user_id", "session_start"])
+    b1 = norm(o1, ["user_id", "session_start"]).astype(a1.dtypes.to_dict())
+    assert len(a1) == len(b1) > 0 and a1.equals(b1)
+    a2 = norm(t2, ["o_custkey", "o_orderkey"])
+    b2 = norm(o2, ["o_custkey", "o_orderkey"]).astype(a2.dtypes.to_dict())
+    assert len(a2) == len(b2) > 0 and a2.equals(b2)

@@ -49,10 +49,82 @@ def synth_block_rows(n_rows: int, seed: int = 11) -> pa.Table:
     )
 
 
+def synth_window_tables(out_dir: str, n_groups: int, rows_per_group: int, seed: int = 5) -> None:
+    """events + orders parquet with ``n_groups`` distinct users/customers —
+    the regime where a per-group map_groups dies and the sort+block-pass
+    window implementations must hold."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n = n_groups * rows_per_group
+    user = np.repeat(np.arange(n_groups, dtype=np.int64), rows_per_group)
+    base = np.int64(1_600_000_000_000_000)  # epoch us
+    ts = base + rng.integers(0, 90 * 86_400_000_000, size=n)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "ts": pc_cast_ts(ts),
+                "user_id": pa.array(user),
+            }
+        ),
+        os.path.join(out_dir, "events.parquet"),
+        row_group_size=1 << 20,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+                "o_custkey": pa.array(user),
+                "o_orderdate": pc_cast_ts(base + rng.integers(0, 90, size=n) * 86_400_000_000),
+                "o_totalprice": pa.array(rng.uniform(10, 500000, size=n)),
+            }
+        ),
+        os.path.join(out_dir, "orders.parquet"),
+        row_group_size=1 << 20,
+    )
+
+
+def pc_cast_ts(us: np.ndarray) -> pa.Array:
+    return pa.array(us, pa.int64()).cast(pa.timestamp("us"))
+
+
+def run_window_tails(n_groups: int, rows_per_group: int) -> dict:
+    """rows/s of events_sessionize + window_running_revenue at >=1M groups."""
+    from sassy_ray.pipelines import queries as Q
+
+    out_dir = f"/tmp/sassy_window_bench_{n_groups}"
+    if not os.path.exists(os.path.join(out_dir, "orders.parquet")):
+        synth_window_tables(out_dir, n_groups, rows_per_group)
+    n = n_groups * rows_per_group
+    res = {}
+    for name in ("events_sessionize", "window_running_revenue"):
+        t0 = time.time()
+        out = Q.QUERIES[name](out_dir)
+        nrows = out.num_rows
+        dt = time.time() - t0
+        res[f"{name}_sec"] = round(dt, 2)
+        res[f"{name}_rows_per_s"] = round(n / dt)
+        print(
+            f"{name}: {n} input rows / {n_groups} groups -> {nrows} rows "
+            f"in {dt:.1f}s ({n / dt / 1e3:.0f}k rows/s)",
+            file=sys.stderr,
+        )
+    return res
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=4_000_000)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument(
+        "--windows",
+        action="store_true",
+        help="bench the sessionize/window sort+block-pass tails at 1M+ groups",
+    )
+    ap.add_argument("--groups", type=int, default=1_200_000)
+    ap.add_argument("--rows-per-group", type=int, default=4)
     args = ap.parse_args()
 
     import ray
@@ -64,6 +136,22 @@ def main() -> None:
             include_dashboard=False,
             logging_level="ERROR",
         )
+    if args.windows:
+        res = run_window_tails(args.groups, args.rows_per_group)
+        print(
+            json.dumps(
+                {
+                    "metric": "window_tails",
+                    "groups": args.groups,
+                    "rows": args.groups * args.rows_per_group,
+                    "num_cpus": args.cpus,
+                    **res,
+                }
+            )
+        )
+        ray.shutdown()
+        return
+
     import ray.data as rd
 
     from sassy_ray.stages.clustering import connected_components
