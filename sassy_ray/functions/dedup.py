@@ -54,7 +54,14 @@ def jaccard_verify_batch(batch: pa.Table, docs_ref, q: int = 12, tau: float = 0.
     """(doc_id_a, doc_id_b) pairs -> + jac_e6 + is_match columns.
 
     Each unique doc in the batch is shingled ONCE; per-pair work is a single
-    ``np.intersect1d`` over the two sorted hash arrays."""
+    ``np.intersect1d`` over the two sorted hash arrays.
+
+    Measured note (round 4): a fully-batched alternative — concatenate all
+    pairs' sets tagged by pair id, one lexsort, count adjacent equals — was
+    tried and measured 30x SLOWER (2119 ms vs 67 ms per 8192-pair batch at
+    ~350 shingles/doc): the per-pair intersects are tiny cache-resident C
+    sorts, while the batch variant pays one giant indirect two-key sort.
+    Keep the loop."""
     from sassy_ray.stages.scoring import _resolve_docs
 
     docs = _resolve_docs(docs_ref)
@@ -172,7 +179,14 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit SimHash over whitespace tokens.  Token hash = first 8 bytes of
     md5(token) big-endian; bit b is set iff strictly more than half the
     token occurrences have bit b set.  Unique tokens are hashed once per
-    batch; the bit-vote is a vectorized numpy reduction."""
+    batch; the bit-vote is a vectorized numpy reduction.
+
+    Measured note (round 4): batch-flattened alternatives (64 masked
+    bincounts over one (token, doc) expansion: 163 ms; one 2D
+    ``np.add.reduceat``: 1009 ms) both measured SLOWER than this per-doc
+    loop (106 ms per 4000-doc batch at ~60 tokens/doc) — the loop body is
+    already a C-level (ntok x 64) reduction and md5-hashing the unique
+    tokens dominates regardless.  Keep the loop."""
     texts = batch.column(text_col).to_pylist()
     tok_lists = [(t or "").split() for t in texts]
     uniq: set[str] = set()

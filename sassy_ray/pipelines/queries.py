@@ -847,9 +847,9 @@ def ann_topk(sf_dir: str):
     ds = _rd().read_parquet(_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     def score(t: pa.Table) -> pa.Table:
-        M = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in t.column("embedding").to_pylist()]
-        )
+        from sassy_ray.functions.ann import _emb_matrix
+
+        M = _emb_matrix(t)  # zero-copy flatten+reshape off the Arrow buffer
         sims = (M / np.linalg.norm(M, axis=1, keepdims=True)) @ qn
         sim_e6 = _e6_half_away(sims)
         return pa.table(

@@ -99,21 +99,31 @@ def _shingle_hashes(buf: np.ndarray, q: int, rc_canonical: bool = False) -> np.n
 
 
 def minhash_signatures(texts: list[bytes], cfg: BlockingConfig) -> np.ndarray:
+    """List-of-bytes convenience wrapper around ``minhash_signatures_buf``."""
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    return minhash_signatures_buf(buf, starts, cfg)
+
+
+def minhash_signatures_buf(buf: np.ndarray, starts: np.ndarray, cfg: BlockingConfig) -> np.ndarray:
     """(n_docs, num_perm) uint64 signatures via ONE-PERMUTATION HASHING:
     shingle hashes are bucketed by their low bits and the min is kept per
     (row, bucket), with rotation densification for empty buckets (Li/Owen/
     Zhang's OPH — a published minhash variant).  One pass over the hash
     array instead of ``num_perm`` permutation passes: the k-perm scheme's
     ~60 full-array passes made the blocking stage DRAM-bandwidth-bound at
-    high process counts (measured 4.5x core-time inflation at 16 procs)."""
-    n_docs = len(texts)
+    high process counts (measured 4.5x core-time inflation at 16 procs).
+
+    Input is the CONCATENATED byte buffer + row start offsets (n_docs + 1
+    entries) — callers with Arrow string columns pass the offsets/data
+    buffers directly (zero-copy), no per-row Python, no payload copy."""
+    n_docs = len(starts) - 1
     P = cfg.num_perm
     sig = np.full((n_docs, P), _MASK, dtype=np.uint64)
     if n_docs == 0:
         return sig
-    lens = np.array([len(t) for t in texts], dtype=np.int64)
-    buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
-    starts = np.concatenate([[0], np.cumsum(lens)])
+    lens = np.diff(starts)
     h = _shingle_hashes(buf, cfg.q, cfg.rc_canonical)
     if len(h):
         idx = np.arange(len(h))
@@ -143,11 +153,9 @@ def minhash_signatures(texts: list[bytes], cfg: BlockingConfig) -> np.ndarray:
     short = ~has.any(axis=1) & (lens > 0)
     if short.any():
         for i in np.nonzero(short)[0]:
-            hh = _shingle_hashes(
-                np.frombuffer(texts[i].ljust(cfg.q, b"\0"), dtype=np.uint8),
-                cfg.q,
-                cfg.rc_canonical,
-            )
+            row = np.zeros(max(cfg.q, int(lens[i])), dtype=np.uint8)
+            row[: lens[i]] = buf[starts[i] : starts[i + 1]]
+            hh = _shingle_hashes(row, cfg.q, cfg.rc_canonical)
             sig[i, :] = _splitmix64((hh[0] * cfg.mult + cfg.add) & _MASK)
     return sig
 
@@ -163,6 +171,26 @@ def band_keys(sig: np.ndarray, cfg: BlockingConfig) -> np.ndarray:
     return _splitmix64(key)
 
 
+def _string_buf_offsets(texts_col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string column -> (uint8 data view, int64 start offsets with
+    starts[0] == 0) straight off the Arrow buffers — the rolling hash reads
+    the column's own memory; no ``to_pylist`` row copies, no ``b"".join``."""
+    import pyarrow.compute as pc
+
+    arr = texts_col.combine_chunks() if isinstance(texts_col, pa.ChunkedArray) else texts_col
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.uint8), np.zeros(1, np.int64)
+    off_dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], off_dt, n + 1, offset=arr.offset * np.dtype(off_dt).itemsize)
+    starts = off.astype(np.int64) - int(off[0])
+    data = np.frombuffer(bufs[2], np.uint8, int(starts[-1]), offset=int(off[0]))
+    return data, starts
+
+
 def minhash_block_rows(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
     """map_batches body: docs batch -> exploded (block_key, doc_id) rows."""
     texts_col = batch.column(cfg.text_col)
@@ -170,10 +198,10 @@ def minhash_block_rows(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
         import pyarrow.compute as pc
 
         texts_col = pc.utf8_lower(texts_col)
-    texts = [t.encode() if t is not None else b"" for t in texts_col.to_pylist()]
-    sig = minhash_signatures(texts, cfg)
+    buf, starts = _string_buf_offsets(texts_col)
+    sig = minhash_signatures_buf(buf, starts, cfg)
     keys = band_keys(sig, cfg)  # (n, bands)
-    n = len(texts)
+    n = len(starts) - 1
     doc_ids = batch.column(cfg.id_col)
     rep = np.repeat(np.arange(n), cfg.bands)
     # int64 VIEW of the uint64 keys: values above 2^63 as uint64 overflow
