@@ -32,7 +32,14 @@ import numpy as np
 from sassy_ray.kernel.myers import _ALL_BYTES, _pad_texts
 from sassy_ray.kernel.profiles import Profile
 
-__all__ = ["PackedSuffixes", "prefilter_hits", "LANES4X15", "LANES2X31"]
+__all__ = [
+    "PackedSuffixes",
+    "prefilter_hits",
+    "LANES4X15",
+    "LANES2X31",
+    "PackedPairRows",
+    "packed_scan_minima",
+]
 
 _ONE = np.uint64(1)
 _U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -160,7 +167,8 @@ def prefilter_hits(
     score = packed.score_init[word_of].copy()
     K1 = np.uint64((k + 1)) * M1
     H = cfg.guard
-    hit = np.zeros(B, dtype=bool)
+    hitbits = np.zeros(B, dtype=np.uint64)  # per-LANE hit guard bits
+    _Z = np.uint64(0)
 
     codes = np.empty(B, np.uint8)
     Eq = np.empty(B, np.uint64)
@@ -172,7 +180,6 @@ def prefilter_hits(
     tb = np.empty(B, np.uint64)
     idx = np.empty(B, np.intp)
     sw = np.empty(B, np.uint64)
-    m1 = np.empty(B, dtype=bool)
     steps = int(n_arr.max())
     n_min = int(n_arr.min())
 
@@ -206,21 +213,302 @@ def prefilter_hits(
         np.bitwise_or(Mh, tb, out=Pv)
         np.bitwise_and(Pv, NGUARD, out=Pv)
         np.bitwise_and(Ph, Xv, out=Mv)
-        # SWAR "any lane <= k": (lane | 0x8000) - (k+1) clears bit15 iff <= k
+        # SWAR per-lane "<= k": (lane | 0x8000) - (k+1) clears bit15 iff <= k;
+        # accumulate the guard bits so each LANE keeps its own hit flag (a
+        # word-level any-lane test would flag all 4 packed patterns on one
+        # lane's hit — up to 4x false verifies downstream)
         np.bitwise_or(score, H, out=sw)
         np.subtract(sw, K1, out=sw)
         np.invert(sw, out=sw)
         np.bitwise_and(sw, H, out=sw)
-        np.not_equal(sw, 0, out=m1)
         if t >= n_min:
-            np.logical_and(m1, n_arr > t, out=m1)
-        np.logical_or(hit, m1, out=hit)
+            np.copyto(sw, _Z, where=n_arr <= t)
+        np.bitwise_or(hitbits, sw, out=hitbits)
 
-    # expand word-level hits to their lanes' patterns
-    hitWT = hit.reshape(W, T)
+    # expand per-lane hit bits to their patterns
+    hitWT = hitbits.reshape(W, T)
     for w in range(W):
         for lane in range(cfg.lanes):
             pi = packed.lane_pattern[w, lane]
             if pi >= 0:
-                hits[pi] |= hitWT[w]
+                gbit = np.uint64(1 << (lane * cfg.lane_bits + cfg.lane_bits - 1))
+                hits[pi] |= (hitWT[w] & gbit) != 0
     return hits
+
+
+# ---------------------------------------------------------------------------
+# transposed multi-pattern verify: packed full-pattern scan + fused walk
+# ---------------------------------------------------------------------------
+
+
+def _pattern_lane_cols(patterns: list[bytes], profile: Profile, cfg: LaneConfig):
+    """Per pattern, its lane-0 packed state: PEQ byte columns (256,) uint64
+    over ``data_bits`` rows (filler below, pattern top-aligned — identical
+    construction to ``PackedSuffixes``), Pv-init mask and init score.  When
+    ``len(p) <= data_bits`` the packed rows hold the WHOLE pattern, so lane
+    scores are the exact full-pattern semi-global costs."""
+    U = len(patterns)
+    DB = cfg.data_bits
+    peq0 = np.zeros((U, 256), dtype=np.uint64)
+    pv0 = np.empty(U, dtype=np.uint64)
+    s0 = np.empty(U, dtype=np.uint64)
+    mm = profile.match_matrix
+    for i, p in enumerate(patterns):
+        sl = min(DB, len(p))
+        suf = np.frombuffer(p[-sl:], dtype=np.uint8)
+        # filler rows below the pattern: always match (deltas provably 0)
+        if sl < DB:
+            peq0[i, :] |= np.uint64((1 << (DB - sl)) - 1)
+        for j in range(sl):
+            bit = np.uint64((DB - sl) + j)
+            match_bytes = _ALL_BYTES[mm[suf[j], _ALL_BYTES]]
+            peq0[i, match_bytes] |= _ONE << bit
+        pv0[i] = np.uint64((((1 << sl) - 1) << (DB - sl)))
+        s0[i] = np.uint64(sl)
+    return peq0, pv0, s0
+
+
+class PackedPairRows:
+    """Lane-packed (pattern-group, text) rows for the transposed
+    multi-pattern scan: each 64-bit row scans ONE text with up to
+    ``cfg.lanes`` patterns updated per char (the engine's take on sassy v2's
+    transposed verify, ref /root/reference/src/pattern_tiling/tqueries.rs:53-151
+    and backend.rs:110-127 — semantics only, this SWAR construction is
+    original).  Identical pattern groups are deduped into shared PEQ combos
+    (a full cartesian has only ceil(P/lanes) distinct combos regardless of
+    text count).
+
+    ``groups`` is a list of ``(text_idx, (pattern_idx, ...))`` with at most
+    ``cfg.lanes`` patterns per group; pattern indices refer to ``patterns``.
+    """
+
+    def __init__(
+        self,
+        patterns: list[bytes],
+        profile: Profile,
+        cfg: LaneConfig,
+        groups: list[tuple[int, tuple[int, ...]]],
+    ):
+        self.cfg = cfg
+        LANES, LB = cfg.lanes, cfg.lane_bits
+        R = len(groups)
+        self.text_of = np.fromiter((g[0] for g in groups), dtype=np.int64, count=R)
+        combo_of: dict[tuple[int, ...], int] = {}
+        combo_id = np.empty(R, dtype=np.intp)
+        for r, (_ti, pats) in enumerate(groups):
+            combo_id[r] = combo_of.setdefault(tuple(pats), len(combo_of))
+        self.combo_id = combo_id
+        C = len(combo_of)
+        combos = list(combo_of)
+
+        # per-pattern lane-0 columns, built once per unique pattern
+        used = sorted({pi for c in combos for pi in c})
+        uidx = {pi: j for j, pi in enumerate(used)}
+        peq0, pv0, s0 = _pattern_lane_cols([patterns[pi] for pi in used], profile, cfg)
+
+        self.lane_pattern = np.full((C, LANES), -1, dtype=np.int64)
+        self.peq = np.zeros((C, 256), dtype=np.uint64)
+        self.pv_init = np.zeros(C, dtype=np.uint64)
+        self.score_init = np.zeros(C, dtype=np.uint64)
+        fill = np.uint64((1 << cfg.data_bits) - 1)
+        for c, pats in enumerate(combos):
+            for l in range(LANES):
+                base = np.uint64(l * LB)
+                if l < len(pats):
+                    j = uidx[pats[l]]
+                    self.lane_pattern[c, l] = pats[l]
+                    self.peq[c] |= peq0[j] << base
+                    self.pv_init[c] |= pv0[j] << base
+                    self.score_init[c] += s0[j] << base
+                else:
+                    # empty lane: all-filler, pinned at an unreachable cost
+                    self.peq[c] |= fill << base
+                    self.score_init[c] += np.uint64(cfg.empty_cost) << base
+
+
+def packed_scan_minima(
+    packed: PackedPairRows, texts: list[bytes], k: int, all_minima: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Packed scan with the reference minima walk FUSED into the SWAR loop:
+    per step, the walk state (prev cost, weakly-decreasing flag, emit) lives
+    in the lanes' guard bits — one compare per word covers all lanes.
+
+    Bit-for-bit equivalent to running ``myers.batch_scan_minima`` on each
+    (pattern, text) row separately (pinned by the packed-equivalence fuzz
+    suite); element work is divided by the lane count instead.
+
+    Returns ``(pattern_idx, text_idx, end_pos, cost)`` arrays in walk order
+    (ascending end position per pair).
+    """
+    cfg = packed.cfg
+    LANES, LB = cfg.lanes, cfg.lane_bits
+    H, NGUARD, M1 = cfg.guard, cfg.nguard, cfg.m1
+    SHIFT_LAST = cfg.shift_last
+    data_mask = np.uint64((1 << (LB - 1)) - 1)
+    assert k + 1 < (1 << (LB - 1)), "k too large for lane width"
+    K1 = np.uint64(k + 1) * M1
+    BIGPACK = np.uint64(cfg.empty_cost) * M1
+
+    R = len(packed.text_of)
+    empty = (
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=np.int32),
+    )
+    if R == 0:
+        return empty
+    raw, n_all = _pad_texts(texts)
+    txtT = np.ascontiguousarray(raw.T)  # (n_max, T)
+    text_of = packed.text_of
+    n_arr = n_all[text_of]
+    combo_id = packed.combo_id
+    peq_flat = np.ascontiguousarray(packed.peq).reshape(-1)
+    base = combo_id * 256
+
+    Pv = packed.pv_init[combo_id].copy()
+    Mv = np.zeros(R, dtype=np.uint64)
+    score = packed.score_init[combo_id].copy()
+    prev = score.copy()
+    dec = np.full(R, H, dtype=np.uint64)  # walk starts weakly-decreasing
+
+    # sparse emit records: (row_idx array, emit guard bits, packed costs, pos)
+    records: list[tuple[np.ndarray, np.ndarray, np.ndarray, int]] = []
+    if all_minima:
+        le0 = np.bitwise_and(np.invert(np.bitwise_or(prev, H) - K1), H)
+        rows0 = np.nonzero(le0)[0]
+        if len(rows0):
+            records.append((rows0, le0[rows0], prev[rows0], 0))
+
+    codes = np.empty(R, np.uint8)
+    Eq = np.empty(R, np.uint64)
+    Xv = np.empty(R, np.uint64)
+    Xh = np.empty(R, np.uint64)
+    Ph = np.empty(R, np.uint64)
+    Mh = np.empty(R, np.uint64)
+    tA = np.empty(R, np.uint64)
+    tb = np.empty(R, np.uint64)
+    idx = np.empty(R, np.intp)
+    sw = np.empty(R, np.uint64)
+    ceff = np.empty(R, np.uint64)
+    ga = np.empty(R, np.uint64)
+    gb = np.empty(R, np.uint64)
+    emit = np.empty(R, np.uint64)
+    steps = int(n_arr.max())
+    n_min = int(n_arr.min())
+
+    for t in range(steps):
+        np.take(txtT[t], text_of, out=codes)
+        np.add(base, codes, out=idx)
+        np.take(peq_flat, idx, out=Eq)
+        np.bitwise_or(Eq, Mv, out=Xv)
+        np.bitwise_and(Eq, Pv, out=tA)
+        np.add(tA, Pv, out=tA)
+        np.bitwise_xor(tA, Pv, out=tA)
+        np.bitwise_or(tA, Eq, out=Xh)
+        np.bitwise_or(Xh, Pv, out=tb)
+        np.invert(tb, out=tb)
+        np.bitwise_or(Mv, tb, out=Ph)
+        np.bitwise_and(Pv, Xh, out=Mh)
+        # packed score update from the last data row of each lane
+        np.right_shift(Ph, SHIFT_LAST, out=sw)
+        np.bitwise_and(sw, M1, out=sw)
+        np.add(score, sw, out=score)
+        np.right_shift(Mh, SHIFT_LAST, out=sw)
+        np.bitwise_and(sw, M1, out=sw)
+        np.subtract(score, sw, out=score)
+        # lane isolation across the guard bits
+        np.bitwise_and(Ph, NGUARD, out=Ph)
+        np.bitwise_and(Mh, NGUARD, out=Mh)
+        np.left_shift(Ph, _ONE, out=Ph)
+        np.left_shift(Mh, _ONE, out=Mh)
+        np.bitwise_or(Xv, Ph, out=tb)
+        np.invert(tb, out=tb)
+        np.bitwise_or(Mh, tb, out=Pv)
+        np.bitwise_and(Pv, NGUARD, out=Pv)
+        np.bitwise_and(Ph, Xv, out=Mv)
+        # ---- fused walk at position p = t+1 (lanes in guard bits) ----
+        if t < n_min:
+            c = score
+        else:
+            np.copyto(ceff, score)
+            np.copyto(ceff, BIGPACK, where=n_arr <= t)  # p > n: rising wall
+            c = ceff
+        if all_minima:
+            # emit where c <= k (wall makes past-end lanes fail the test)
+            np.bitwise_or(c, H, out=sw)
+            np.subtract(sw, K1, out=sw)
+            np.invert(sw, out=sw)
+            np.bitwise_and(sw, H, out=emit)
+            rows = np.nonzero(emit)[0]
+            if len(rows):
+                records.append((rows, emit[rows], c[rows].copy(), t + 1))
+        else:
+            # ga = (prev|H) - c: guard set iff prev >= c;  gt = ~ga & H
+            np.bitwise_or(prev, H, out=sw)
+            np.subtract(sw, c, out=ga)
+            # gb = (prev|H) - K1: guard set iff prev > k;  le = ~gb & H
+            np.subtract(sw, K1, out=gb)
+            # emit = dec & gt & le = dec & ~(ga | gb) & H
+            np.bitwise_or(ga, gb, out=emit)
+            np.invert(emit, out=emit)
+            np.bitwise_and(emit, H, out=emit)
+            np.bitwise_and(emit, dec, out=emit)
+            rows = np.nonzero(emit)[0]
+            if len(rows):
+                records.append((rows, emit[rows], prev[rows].copy(), t))
+            # lt = ~((c|H) - prev) & H; eq = ~(lt | gt) & H = ~(lt | ~ga) & H
+            np.bitwise_or(c, H, out=sw)
+            np.subtract(sw, prev, out=sw)
+            np.invert(sw, out=sw)
+            np.bitwise_and(sw, H, out=sw)  # sw = lt
+            np.invert(ga, out=ga)
+            np.bitwise_or(sw, ga, out=ga)
+            np.invert(ga, out=ga)
+            np.bitwise_and(ga, H, out=ga)  # ga = eq
+            np.bitwise_and(dec, ga, out=dec)
+            np.bitwise_or(dec, sw, out=dec)
+        np.copyto(prev, c)
+
+    if not all_minima:
+        # final-position rule for rows whose text ends at the global last step
+        np.bitwise_or(prev, H, out=sw)
+        np.subtract(sw, K1, out=sw)
+        np.invert(sw, out=sw)
+        np.bitwise_and(sw, H, out=sw)
+        np.bitwise_and(sw, dec, out=sw)
+        np.copyto(sw, np.uint64(0), where=n_arr != steps)
+        rows = np.nonzero(sw)[0]
+        if len(rows):
+            records.append((rows, sw[rows], prev[rows].copy(), steps))
+
+    if not records:
+        return empty
+    # decode lane guard bits -> (pattern_idx, text_idx, pos, cost)
+    all_rows = np.concatenate([r for r, _, _, _ in records])
+    all_emit = np.concatenate([e for _, e, _, _ in records])
+    all_cost = np.concatenate([cw for _, _, cw, _ in records])
+    all_pos = np.concatenate(
+        [np.full(len(r), p, dtype=np.int64) for r, _, _, p in records]
+    )
+    lane_pat = packed.lane_pattern[packed.combo_id[all_rows]]  # (N, LANES)
+    out_pi, out_ti, out_pos, out_cost = [], [], [], []
+    for l in range(LANES):
+        gbit = np.uint64(1 << (l * LB + LB - 1))
+        sel = (all_emit & gbit) != 0
+        if not sel.any():
+            continue
+        out_pi.append(lane_pat[sel, l])
+        out_ti.append(packed.text_of[all_rows[sel]])
+        out_pos.append(all_pos[sel])
+        out_cost.append(
+            ((all_cost[sel] >> np.uint64(l * LB)) & data_mask).astype(np.int32)
+        )
+    pi = np.concatenate(out_pi)
+    ti = np.concatenate(out_ti)
+    pos = np.concatenate(out_pos)
+    cost = np.concatenate(out_cost)
+    # walk order per pair: records are step-ordered but lanes were decoded
+    # lane-major — restore (pair, pos) order with a stable sort
+    order = np.lexsort((pos, ti, pi))
+    return pi[order], ti[order], pos[order], cost[order]

@@ -35,6 +35,19 @@ DEFAULT_CHUNK_PAIRS = 2048
 PREFILTER_L2_MIN_HIT_FRAC = 0.25
 
 
+class _RemapOut:
+    """dict facade over the cartesian ``out`` that remaps sub-list pattern
+    indices back to original pattern indices."""
+
+    def __init__(self, out: dict, idxs: list[int]):
+        self.out = out
+        self.idxs = idxs
+
+    def setdefault(self, key, default):
+        pi, ti = key
+        return self.out.setdefault((self.idxs[pi], ti), default)
+
+
 class Searcher:
     def __init__(
         self,
@@ -102,6 +115,23 @@ class Searcher:
         cands: dict[int, list[tuple[int, int]]] = {}
         for i, p, c in zip(pi.tolist(), pp.tolist(), pc.tolist()):
             cands.setdefault(i, []).append((p, c))
+        return self._finalize(patterns, texts, k, cands, strand, filter_fn)
+
+    def _finalize(
+        self,
+        patterns: list[bytes],
+        texts: list[bytes],
+        k: int,
+        cands: dict[int, list[tuple[int, int]]],
+        strand: str | list[str],
+        filter_fn=None,
+    ) -> list[list[Match]]:
+        """Candidate ``(end_pos, cost)`` lists -> Match lists: predicate
+        filter, max-N screen, only_best, traceback.  Shared by the per-pair
+        scan and the transposed packed scan (both produce identical
+        candidate sets, so everything downstream is one code path)."""
+        B = len(patterns)
+        out: list[list[Match]] = [[] for _ in range(B)]
 
         def row_strand(i: int) -> str:
             return strand[i] if isinstance(strand, list) else strand
@@ -214,76 +244,20 @@ class Searcher:
     ) -> list[Match]:
         return self._pair_matches([_b(pattern)], [_b(text)], k, all_minima, filter_fn)[0]
 
-    def _cartesian_strand(
+    def _verify_pairs(
         self,
         patterns: list[bytes],
         texts: list[bytes],
+        pairs: list[tuple[int, int]],
         k: int,
         all_minima: bool,
         strand: str,
-        filter_fn=None,
-        chunk_pairs: int = DEFAULT_CHUNK_PAIRS,
-    ) -> dict[tuple[int, int], list[Match]]:
-        """One strand of the P x T cartesian search, suffix-prefiltered:
-        the packed 4-lane suffix scan (kernel/prefilter.py) flags which
-        (pattern, text) rows can possibly match; only those pay the full
-        kernel.  Exact — the suffix cost lower-bounds the full cost."""
-        P, T = len(patterns), len(texts)
-        out: dict[tuple[int, int], list[Match]] = {}
-        if P == 0 or T == 0:
-            return out
-        if self.alpha is None and P >= 2:
-            # hierarchical prefilter cascade (the reference's multi-level
-            # suffix filter, pattern_tiling/general.rs:59-102; level choice
-            # by the selectivity heuristic of its table at 294-313, keyed on
-            # k a priori — a suffix level whose length can't dominate k is
-            # skipped, it would pass everything):
-            #   level 1: packed SWAR word scan — 4x15-char lanes for small k,
-            #            2x31-char lanes for mid k;
-            #   level 2: 63-char single-limb per-pair screen, for patterns
-            #            whose full kernel is multi-limb (costs 1/L of the
-            #            full scan, exact lower bound like every level).
-            from sassy_ray.kernel.prefilter import (
-                LANES2X31,
-                LANES4X15,
-                PackedSuffixes,
-                prefilter_hits,
-            )
-
-            if k <= 3:
-                lvl1 = LANES4X15
-            elif k <= 10:
-                lvl1 = LANES2X31
-            else:
-                lvl1 = None
-            if lvl1 is not None:
-                packed = PackedSuffixes(patterns, self.profile, k, lvl1)
-                pairs = [
-                    (int(pi), int(ti)) for pi, ti in np.argwhere(prefilter_hits(packed, texts))
-                ]
-            else:
-                pairs = [(pi, ti) for pi in range(P) for ti in range(T)]
-            SUF2 = 63
-            if (
-                pairs
-                and k < SUF2 - 8
-                and max(len(p) for p in patterns) > 2 * SUF2
-                and (lvl1 is None or len(pairs) > PREFILTER_L2_MIN_HIT_FRAC * P * T)
-            ):
-                from sassy_ray.kernel.myers import batch_best_costs
-
-                kept: list[tuple[int, int]] = []
-                for s in range(0, len(pairs), 8192):
-                    chunk = pairs[s : s + 8192]
-                    suf = [
-                        patterns[pi][-SUF2:] if len(patterns[pi]) > SUF2 else patterns[pi]
-                        for pi, _ in chunk
-                    ]
-                    smin = batch_best_costs(suf, [texts[ti] for _, ti in chunk], self.profile, k)
-                    kept.extend(pr for pr, c in zip(chunk, smin) if c <= k)
-                pairs = kept
-        else:
-            pairs = [(pi, ti) for pi in range(P) for ti in range(T)]
+        filter_fn,
+        chunk_pairs: int,
+        out: dict[tuple[int, int], list[Match]],
+    ) -> None:
+        """Per-pair full-kernel verify (the untransposed path: multi-limb
+        patterns and degenerate len<=k patterns)."""
         for s in range(0, len(pairs), chunk_pairs):
             chunk = pairs[s : s + chunk_pairs]
             res = self._strand_matches(
@@ -297,7 +271,202 @@ class Searcher:
             for (pi, ti), ms in zip(chunk, res):
                 if ms:
                     out.setdefault((pi, ti), []).extend(ms)
+
+    def _packed_class(
+        self,
+        patterns: list[bytes],
+        texts: list[bytes],
+        idxs: list[int],
+        cfg,
+        k: int,
+        all_minima: bool,
+        strand: str,
+        filter_fn,
+        chunk_pairs: int,
+        out: dict[tuple[int, int], list[Match]],
+    ) -> None:
+        """Transposed multi-pattern scan for one lane-width class: every
+        pattern fits one SWAR lane, so the packed scan computes EXACT
+        full-pattern costs with the minima walk fused in — no per-pair
+        verify pass at all (sassy v2's transposed queries,
+        ref src/pattern_tiling/tqueries.rs:53-151 / backend.rs:110-127).
+
+        For the 16..31-char class at small k the 4x15 suffix prefilter is
+        still 2x cheaper per step than the 2x31 scan, so it runs first and
+        only surviving (pattern, text) pairs are packed."""
+        from sassy_ray.kernel.prefilter import (
+            LANES2X31,
+            LANES4X15,
+            PackedPairRows,
+            PackedSuffixes,
+            packed_scan_minima,
+            prefilter_hits,
+        )
+
+        sub = [patterns[i] for i in idxs]
+        Ps, T = len(sub), len(texts)
+        groups: list[tuple[int, tuple[int, ...]]] = []
+        if cfg is LANES2X31 and k <= 3:
+            packedf = PackedSuffixes(sub, self.profile, k, LANES4X15)
+            ti_arr, pi_arr = np.nonzero(prefilter_hits(packedf, texts).T)
+            bounds = np.searchsorted(ti_arr, np.arange(T + 1))
+            for ti in range(T):
+                lo, hi = int(bounds[ti]), int(bounds[ti + 1])
+                for s in range(lo, hi, cfg.lanes):
+                    groups.append((ti, tuple(int(x) for x in pi_arr[s : s + cfg.lanes])))
+        else:
+            word_groups = [
+                tuple(range(s, min(Ps, s + cfg.lanes))) for s in range(0, Ps, cfg.lanes)
+            ]
+            groups = [(ti, g) for ti in range(T) for g in word_groups]
+        if not groups:
+            return
+        packed = PackedPairRows(sub, self.profile, cfg, groups)
+        spi, sti, spp, spc = packed_scan_minima(packed, texts, k, all_minima)
+        if len(spi) == 0:
+            return
+        # split candidate runs per (pattern, text) pair (already lexsorted)
+        key = spi * T + sti
+        starts = np.nonzero(np.diff(key, prepend=key[0] - 1))[0]
+        ends = np.append(starts[1:], len(key))
+        pair_rows = [(int(spi[s]), int(sti[s])) for s in starts]
+        for s in range(0, len(pair_rows), chunk_pairs):
+            cpairs = pair_rows[s : s + chunk_pairs]
+            cands = {
+                r: list(zip(spp[a:b].tolist(), spc[a:b].tolist()))
+                for r, (a, b) in enumerate(zip(starts[s : s + chunk_pairs], ends[s : s + chunk_pairs]))
+            }
+            res = self._finalize(
+                [sub[pi] for pi, _ in cpairs],
+                [texts[ti] for _, ti in cpairs],
+                k,
+                cands,
+                strand,
+                filter_fn,
+            )
+            for (pi, ti), ms in zip(cpairs, res):
+                if ms:
+                    out.setdefault((idxs[pi], ti), []).extend(ms)
+
+    def _cartesian_strand(
+        self,
+        patterns: list[bytes],
+        texts: list[bytes],
+        k: int,
+        all_minima: bool,
+        strand: str,
+        filter_fn=None,
+        chunk_pairs: int = DEFAULT_CHUNK_PAIRS,
+    ) -> dict[tuple[int, int], list[Match]]:
+        """One strand of the P x T cartesian search, dispatched by pattern
+        length class:
+
+        - <= 15 chars: transposed packed 4x15 scan — exact costs + fused
+          walk in one pass (prefilter and verify collapse into one scan);
+        - 16..31 chars: transposed packed 2x31 scan (behind the 4x15 suffix
+          prefilter when k <= 3, where that filter is cheaper per step);
+        - > 31 chars (and degenerate len <= k): the hierarchical prefilter
+          cascade (suffix SWAR level 1, 63-char single-limb level 2) in
+          front of the per-pair multi-limb kernel.  All levels are exact —
+          a suffix cost lower-bounds the full cost."""
+        P, T = len(patterns), len(texts)
+        out: dict[tuple[int, int], list[Match]] = {}
+        if P == 0 or T == 0:
+            return out
+        if self.alpha is not None or P < 2:
+            pairs = [(pi, ti) for pi in range(P) for ti in range(T)]
+            self._verify_pairs(
+                patterns, texts, pairs, k, all_minima, strand, filter_fn, chunk_pairs, out
+            )
+            return out
+        from sassy_ray.kernel.prefilter import LANES2X31, LANES4X15
+
+        small = [i for i, p in enumerate(patterns) if k < len(p) <= 15]
+        mid = [i for i, p in enumerate(patterns) if max(15, k) < len(p) <= 31]
+        rest = [i for i, p in enumerate(patterns) if len(p) > 31 or len(p) <= k]
+        if small:
+            self._packed_class(
+                patterns, texts, small, LANES4X15, k, all_minima, strand,
+                filter_fn, chunk_pairs, out,
+            )
+        if mid:
+            self._packed_class(
+                patterns, texts, mid, LANES2X31, k, all_minima, strand,
+                filter_fn, chunk_pairs, out,
+            )
+        if rest:
+            self._cascade_pairs(
+                patterns, texts, rest, k, all_minima, strand, filter_fn, chunk_pairs, out
+            )
         return out
+
+    def _cascade_pairs(
+        self,
+        patterns: list[bytes],
+        texts: list[bytes],
+        idxs: list[int],
+        k: int,
+        all_minima: bool,
+        strand: str,
+        filter_fn,
+        chunk_pairs: int,
+        out: dict[tuple[int, int], list[Match]],
+    ) -> None:
+        """Hierarchical prefilter cascade (the reference's multi-level
+        suffix filter, pattern_tiling/general.rs:59-102; level choice by the
+        selectivity heuristic of its table at 294-313, keyed on k a priori —
+        a suffix level whose length can't dominate k is skipped, it would
+        pass everything):
+          level 1: packed SWAR word scan — 4x15-char lanes for small k,
+                   2x31-char lanes for mid k;
+          level 2: 63-char single-limb per-pair screen, for patterns
+                   whose full kernel is multi-limb (costs 1/L of the
+                   full scan, exact lower bound like every level)."""
+        from sassy_ray.kernel.prefilter import (
+            LANES2X31,
+            LANES4X15,
+            PackedSuffixes,
+            prefilter_hits,
+        )
+
+        sub = [patterns[i] for i in idxs]
+        Ps, T = len(sub), len(texts)
+        if k <= 3:
+            lvl1 = LANES4X15
+        elif k <= 10:
+            lvl1 = LANES2X31
+        else:
+            lvl1 = None
+        if lvl1 is not None:
+            packed = PackedSuffixes(sub, self.profile, k, lvl1)
+            pairs = [
+                (int(pi), int(ti)) for pi, ti in np.argwhere(prefilter_hits(packed, texts))
+            ]
+        else:
+            pairs = [(pi, ti) for pi in range(Ps) for ti in range(T)]
+        SUF2 = 63
+        if (
+            pairs
+            and k < SUF2 - 8
+            and max(len(p) for p in sub) > 2 * SUF2
+            and (lvl1 is None or len(pairs) > PREFILTER_L2_MIN_HIT_FRAC * Ps * T)
+        ):
+            from sassy_ray.kernel.myers import batch_best_costs
+
+            kept: list[tuple[int, int]] = []
+            for s in range(0, len(pairs), 8192):
+                chunk = pairs[s : s + 8192]
+                suf = [
+                    sub[pi][-SUF2:] if len(sub[pi]) > SUF2 else sub[pi]
+                    for pi, _ in chunk
+                ]
+                smin = batch_best_costs(suf, [texts[ti] for _, ti in chunk], self.profile, k)
+                kept.extend(pr for pr, c in zip(chunk, smin) if c <= k)
+            pairs = kept
+        self._verify_pairs(
+            sub, texts, pairs, k, all_minima, strand, filter_fn, chunk_pairs,
+            _RemapOut(out, idxs),
+        )
 
     def _search_cartesian(
         self,

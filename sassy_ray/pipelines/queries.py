@@ -461,32 +461,20 @@ class _SearchActor:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        texts = [x.encode() for x in t.column("text").to_pylist()]
-        rows = {
-            "doc_id": [],
-            "pattern_idx": [],
-            "text_start": [],
-            "text_end": [],
-            "cost": [],
-            "cigar": [],
-        }
+        # binary cast hands the kernel bytes without a per-row encode pass;
+        # match fields are emitted columnar (one array build per field +
+        # vectorized id gather) instead of a per-match append loop
+        texts = t.column("text").cast(pa.binary()).to_pylist()
         ms = self.searcher.search_many(self.patterns, texts, self.k)
-        for m in ms:
-            rows["doc_id"].append(ids[m.text_idx])
-            rows["pattern_idx"].append(m.pattern_idx)
-            rows["text_start"].append(m.text_start)
-            rows["text_end"].append(m.text_end)
-            rows["cost"].append(m.cost)
-            rows["cigar"].append(m.cigar)
+        text_idx = pa.array([m.text_idx for m in ms], pa.int64())
         return pa.table(
             {
-                "doc_id": pa.array(rows["doc_id"], pa.int64()),
-                "pattern_idx": pa.array(rows["pattern_idx"], pa.int64()),
-                "text_start": pa.array(rows["text_start"], pa.int64()),
-                "text_end": pa.array(rows["text_end"], pa.int64()),
-                "cost": pa.array(rows["cost"], pa.int32()),
-                "cigar": pa.array(rows["cigar"], pa.string()),
+                "doc_id": pc.take(t.column("doc_id").combine_chunks(), text_idx),
+                "pattern_idx": pa.array([m.pattern_idx for m in ms], pa.int64()),
+                "text_start": pa.array([m.text_start for m in ms], pa.int64()),
+                "text_end": pa.array([m.text_end for m in ms], pa.int64()),
+                "cost": pa.array([m.cost for m in ms], pa.int32()),
+                "cigar": pa.array([m.cigar for m in ms], pa.string()),
             }
         )
 

@@ -1,0 +1,154 @@
+"""Transposed packed multi-pattern scan: equivalence fuzz vs the per-pair
+kernel (the engine's mirror of the reference's v1-vs-v2 equivalence tests,
+/root/reference/src/pattern_tiling/search.rs:475-521 — same strategy, new
+implementation).
+
+Two layers:
+- kernel level: ``packed_scan_minima`` must be bit-identical to running
+  ``batch_scan_minima`` per (pattern, text) row;
+- surface level: ``Searcher.search_many`` (which dispatches by pattern
+  length class: 4x15 / 2x31 transposed scans + the multi-limb cascade)
+  must equal the per-pair ``search()`` union across mixed-length pattern
+  sets, strands, and builder flags.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from sassy_ray.kernel.myers import batch_scan_minima
+from sassy_ray.kernel.prefilter import (
+    LANES2X31,
+    LANES4X15,
+    PackedPairRows,
+    packed_scan_minima,
+)
+from sassy_ray.kernel.profiles import get_profile
+from sassy_ray.kernel.search import Searcher
+from sassy_ray.kernel.types import UNSET
+
+
+def mk(rng: random.Random, n: int, alpha: bytes = b"ACGT") -> bytes:
+    return bytes(rng.choice(alpha) for _ in range(n))
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_packed_scan_matches_per_pair_kernel(seed):
+    rng = random.Random(seed)
+    prof = get_profile("dna")
+    for trial in range(120):
+        cfg = LANES4X15 if trial % 2 == 0 else LANES2X31
+        P = rng.randint(1, 9)
+        T = rng.randint(1, 5)
+        k = rng.randint(0, 5)
+        pats = [mk(rng, rng.randint(k + 1, cfg.data_bits)) for _ in range(P)]
+        texts = [mk(rng, rng.randint(0, 70)) for _ in range(T)]
+        all_minima = trial % 3 == 0
+        rows_p = [pats[pi] for pi in range(P) for _ in range(T)]
+        rows_t = [texts[ti] for _ in range(P) for ti in range(T)]
+        bi, bp, bc = batch_scan_minima(rows_p, rows_t, prof, k, all_minima)
+        ref = sorted(
+            (int(i) // T, int(i) % T, int(p), int(c)) for i, p, c in zip(bi, bp, bc)
+        )
+        groups = [
+            (ti, tuple(range(s, min(P, s + cfg.lanes))))
+            for ti in range(T)
+            for s in range(0, P, cfg.lanes)
+        ]
+        packed = PackedPairRows(pats, prof, cfg, groups)
+        gi, gt, gp, gc = packed_scan_minima(packed, texts, k, all_minima)
+        got = sorted(
+            (int(a), int(b), int(p), int(c)) for a, b, p, c in zip(gi, gt, gp, gc)
+        )
+        assert ref == got, f"trial {trial}: P={P} T={T} k={k} all_minima={all_minima}"
+
+
+def _match_key(m):
+    return (
+        m.text_start,
+        m.text_end,
+        m.pattern_start,
+        m.pattern_end,
+        m.cost,
+        m.strand,
+        m.cigar if m.text_start != UNSET else None,
+    )
+
+
+@pytest.mark.parametrize(
+    "alphabet,rc", [("dna", True), ("dna", False), ("ascii_ci", False)]
+)
+def test_search_many_class_dispatch_equivalence(alphabet, rc):
+    """search_many (length-class dispatch incl. packed transposed scans)
+    equals the per-pair search() union on mixed-length pattern sets."""
+    rng = random.Random(hash((alphabet, rc)) & 0xFFFF)
+    alpha = b"ACGT" if alphabet == "dna" else b"abcdXY "
+    for trial in range(25):
+        k = rng.randint(0, 4)
+        # force all three classes: small (<=15), mid (16..31), rest (>31)
+        lens = [rng.randint(k + 1, 15), rng.randint(16, 31), rng.randint(32, 80)]
+        lens += [rng.choice([7, 12, 20, 28, 40]) for _ in range(rng.randint(0, 4))]
+        pats = [mk(rng, n, alpha) for n in lens]
+        texts = [mk(rng, rng.randint(0, 120), alpha) for _ in range(rng.randint(1, 5))]
+        s = Searcher(alphabet, rc=rc)
+        many = {}
+        for m in s.search_many(pats, texts, k):
+            many.setdefault((m.pattern_idx, m.text_idx), []).append(_match_key(m))
+        ref = {}
+        for pi, p in enumerate(pats):
+            for ti, t in enumerate(texts):
+                ms = [_match_key(m) for m in s.search(p, t, k)]
+                if ms:
+                    ref[(pi, ti)] = ms
+        assert {k_: sorted(v) for k_, v in many.items()} == {
+            k_: sorted(v) for k_, v in ref.items()
+        }, f"trial {trial} k={k} lens={lens}"
+
+
+def test_search_many_flags_equivalence():
+    """only_best / without_trace / all-minima grep path stay equivalent
+    through the packed dispatch."""
+    rng = random.Random(99)
+    for flags in ({"only_best_match": True}, {"without_trace": True}, {}):
+        for trial in range(10):
+            k = rng.randint(0, 3)
+            pats = [mk(rng, rng.randint(k + 1, 31)) for _ in range(5)]
+            texts = [mk(rng, rng.randint(10, 90)) for _ in range(3)]
+            s = Searcher("dna", rc=True, **flags)
+            many = {}
+            for m in s.search_many(pats, texts, k):
+                many.setdefault((m.pattern_idx, m.text_idx), []).append(_match_key(m))
+            ref = {}
+            for pi, p in enumerate(pats):
+                for ti, t in enumerate(texts):
+                    ms = [_match_key(m) for m in s.search(p, t, k)]
+                    if ms:
+                        ref[(pi, ti)] = ms
+            assert {a: sorted(b) for a, b in many.items()} == {
+                a: sorted(b) for a, b in ref.items()
+            }, f"flags={flags} trial={trial}"
+
+
+def test_packed_degenerate_and_empty():
+    """len(p) <= k patterns route through the per-pair path; empty texts and
+    empty pattern lists don't crash the packed dispatch."""
+    s = Searcher("dna", rc=False)
+    pats = [b"AC", b"ACGTACGTACGT"]  # len 2 <= k=2 -> degenerate class
+    texts = [b"", b"ACGTACGTACGTACG"]
+    many = {}
+    for m in s.search_many(pats, texts, 2):
+        many.setdefault((m.pattern_idx, m.text_idx), []).append(_match_key(m))
+    ref = {}
+    for pi, p in enumerate(pats):
+        for ti, t in enumerate(texts):
+            ms = [_match_key(m) for m in s.search(p, t, 2)]
+            if ms:
+                ref[(pi, ti)] = ms
+    assert {a: sorted(b) for a, b in many.items()} == {
+        a: sorted(b) for a, b in ref.items()
+    }
+    assert s.search_many([], texts, 1) == []
+    assert s.search_many(pats, [], 1) == []
