@@ -599,8 +599,15 @@ class CachedRev:
 # texts longer than this are split into overlapping chunks scored as batch
 # rows — the batch axis replaces sassy v1's SIMD lanes; overlap = m+k so
 # every owned end position has full alignment context, dedup = disjoint
-# ownership of end positions (src/search.rs:1016-1049,1201-1240 semantics)
+# ownership of end positions (src/search.rs:1016-1049,1201-1240 semantics).
+# CHUNK_LEN gates WHICH texts are worth chunking; the internal chunk sizes
+# below are smaller — per-step NumPy dispatch is the fixed cost, so fewer
+# steps x more rows wins until cache pressure (measured on 16x100kb DNA,
+# 32x23bp k=3: 512 = 74.5 MB/s vs 2048 = 57.8 multi; 1024 = 13.8 vs 2048 =
+# 11.6 single-pattern)
 CHUNK_LEN = 2048
+SCAN_CHUNK_LEN = 1024
+MULTI_CHUNK_LEN = 512
 
 
 def _build_chunk_rows(texts: list[bytes], overlap: int, chunk_len: int):
@@ -653,7 +660,7 @@ def chunked_search_multi(
     patterns: list[bytes],
     texts: list[bytes],
     k: int,
-    chunk_len: int = CHUNK_LEN,
+    chunk_len: int = MULTI_CHUNK_LEN,
 ) -> list[list[list[Match]]]:
     """Multi-pattern chunked scan: ONE set of chunk rows per strand, the
     packed suffix prefilter flags (pattern, chunk) rows, and only survivors
@@ -727,7 +734,7 @@ def _only_best_per_strand(ms: list[Match], n: int) -> list[Match]:
 
 
 def chunked_search(
-    searcher: Searcher, pattern: bytes, texts: list[bytes], k: int, chunk_len: int = CHUNK_LEN
+    searcher: Searcher, pattern: bytes, texts: list[bytes], k: int, chunk_len: int = SCAN_CHUNK_LEN
 ) -> list[list[Match]]:
     """Per text, local-minima matches of ``pattern``; long texts are scored
     as many overlapping chunk rows in ONE kernel batch (10-20x faster than

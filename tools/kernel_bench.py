@@ -61,6 +61,35 @@ def bench_multi(n_texts=16, text_len=100_000, n_pats=32, m=23, k=3, reps=3):
           f"{total/best/1e6:.1f} MB/s/core pattern-scan ({out.num_rows} matches)")
 
 
+def bench_demux(n_reads=2000, read_len=400, n_bars=96, m=24, k=3, reps=3):
+    """Barcode-demux shape (the reference's flagship v2 workload:
+    96 x 24bp barcodes over short reads, k=3 — nanopore_results.csv).
+    Short texts, many patterns: the transposed packed path's home turf."""
+    from sassy_ray.kernel.search import Searcher
+
+    rng = np.random.default_rng(5)
+    reads = [mk_dna(read_len, 700 + i) for i in range(n_reads)]
+    bars = [mk_dna(m, 800 + i) for i in range(n_bars)]
+    # plant each barcode in ~2 reads so the match path is exercised
+    planted = []
+    for bi, b in enumerate(bars):
+        for r in rng.choice(n_reads, size=2, replace=False):
+            off = int(rng.integers(0, read_len - m))
+            reads[r] = reads[r][:off] + b + reads[r][off + m :]
+    s = Searcher("dna", rc=True)
+    s.search_many(bars, reads[:64], k)  # warm
+    best = 1e9
+    nm = 0
+    for _ in range(reps):
+        t0 = time.time()
+        ms = s.search_many(bars, reads, k)
+        best = min(best, time.time() - t0)
+        nm = len(ms)
+    total = n_reads * read_len * n_bars
+    print(f"demux: {n_bars} bars x {n_reads} reads ({read_len}bp, k={k}) in {best:.2f}s = "
+          f"{total/best/1e6:.1f} MB/s/core pattern-scan ({nm} matches)")
+
+
 def bench_pairs(n_pairs=4096, tlen=300, k=17, reps=3, label="pairs"):
     from sassy_ray.kernel.myers import batch_best_costs
     from sassy_ray.kernel.profiles import get_profile
@@ -87,6 +116,8 @@ if __name__ == "__main__":
         bench_scan()
     if which in ("multi", "all"):
         bench_multi()
+    if which in ("demux", "all"):
+        bench_demux()
     if which in ("pairs", "all"):
         bench_pairs()
     if which in ("pairs_long", "all"):
