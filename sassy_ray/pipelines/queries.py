@@ -1361,6 +1361,67 @@ SELECT * FROM read_parquet('{_ORACLE_EXPORT_DIR}/crispr_matches.parquet')
 """
 
 
+def barcode_demux(sf_dir: str):
+    """Barcode demultiplex — the reference's flagship v2 eval shape (96x24bp
+    barcodes vs Nanopore reads at k=3, evals/src/sassy2/nanopore_results.csv;
+    search semantics per (barcode, read) = Searcher::search).  Each read is
+    assigned to its best barcode under the total order (cost, start, barcode,
+    strand); unassigned reads are absent.  Oracle: ALL (barcode, read)
+    matches recomputed by the pure-DP OracleSearcher and exported; the SQL
+    twin independently performs the argmin with a window function."""
+    from sassy_ray.pipelines.demux import DemuxConfig, run_demux
+    from sassy_ray.sources.synth import barcoded_reads
+
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(_path(sf_dir, "documents")).num_rows
+    reads, barcodes, _truth = barcoded_reads(n_reads=max(100, n), seed=777)
+    cfg = DemuxConfig(barcodes, k=3)
+    if reads.num_rows <= _ORACLE_EXPORT_MAX_DOCS:
+        from sassy_ray.kernel.oracle import OracleSearcher
+
+        osr = OracleSearcher("dna", rc=True)
+        cols: dict[str, list] = {c: [] for c in ("barcode", "read_id", "cost", "strand", "start", "end")}
+        ids = reads.column("read_id").to_pylist()
+        texts = [t.encode() for t in reads.column("text").to_pylist()]
+        for rid, text in zip(ids, texts):
+            for bid, bseq in barcodes:
+                for m in osr.search(bseq, text, cfg.k):
+                    cols["barcode"].append(bid)
+                    cols["read_id"].append(rid)
+                    cols["cost"].append(m.cost)
+                    cols["strand"].append(m.strand)
+                    cols["start"].append(m.text_start)
+                    cols["end"].append(m.text_end)
+        _oracle_export(
+            "barcode_demux_matches",
+            pa.table(
+                {
+                    "barcode": pa.array(cols["barcode"], pa.string()),
+                    "read_id": pa.array(cols["read_id"], pa.string()),
+                    "cost": pa.array(cols["cost"], pa.int32()),
+                    "strand": pa.array(cols["strand"], pa.string()),
+                    "start": pa.array(cols["start"], pa.int64()),
+                    "end": pa.array(cols["end"], pa.int64()),
+                }
+            ),
+        )
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    ds = _rd().from_arrow(reads).repartition(max(2, cpus))
+    return run_demux(ds, cfg)
+
+
+BARCODE_DEMUX_SQL = f"""
+SELECT read_id, barcode, cost, strand, start, "end"
+FROM read_parquet('{_ORACLE_EXPORT_DIR}/barcode_demux_matches.parquet')
+QUALIFY row_number() OVER (
+  PARTITION BY read_id ORDER BY cost, start, barcode, strand) = 1
+ORDER BY read_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis / multimodal / ANN extensions
 # ---------------------------------------------------------------------------
@@ -1923,6 +1984,7 @@ QUERIES.update(
         "grep_filter": grep_filter,
         "grep_cost_histogram": grep_cost_histogram,
         "crispr_offtarget": crispr_offtarget,
+        "barcode_demux": barcode_demux,
         "lang_id": lang_id,
         "quality_scores": quality_scores,
         "token_counts": token_counts,
@@ -1945,6 +2007,7 @@ ORACLE_SQL.update(
         "grep_filter": GREP_FILTER_SQL,
         "grep_cost_histogram": GREP_COST_HISTOGRAM_SQL,
         "crispr_offtarget": CRISPR_OFFTARGET_SQL,
+        "barcode_demux": BARCODE_DEMUX_SQL,
         "token_counts": TOKEN_COUNTS_SQL,
         "lang_id": LANG_ID_SQL,
         "quality_scores": QUALITY_SCORES_SQL,

@@ -27,7 +27,14 @@ import random
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["SPANS_TYPE", "DOCS_SCHEMA", "interleave_flat_documents", "dna_corpus", "truth_pairs"]
+__all__ = [
+    "SPANS_TYPE",
+    "DOCS_SCHEMA",
+    "interleave_flat_documents",
+    "dna_corpus",
+    "barcoded_reads",
+    "truth_pairs",
+]
 
 SPANS_TYPE = pa.list_(
     pa.struct(
@@ -175,6 +182,64 @@ def dna_corpus(
         rows.extend(r)
         truth.extend(tr)
     return _to_tables(rows, truth)
+
+
+def barcoded_reads(
+    n_reads: int = 500,
+    n_barcodes: int = 24,
+    bc_len: int = 24,
+    seed: int = 777,
+    min_len: int = 120,
+    max_len: int = 400,
+    max_edits: int = 3,
+    rc_prob: float = 0.3,
+    unbarcoded_prob: float = 0.1,
+) -> tuple[pa.Table, list[tuple[str, bytes]], pa.Table]:
+    """Deterministic nanopore-demux-shaped corpus (the reference's flagship
+    v2 eval: barcodes planted near read ends, evals nanopore_results.csv).
+
+    Each read is random DNA with (prob 1-unbarcoded_prob) ONE barcode planted
+    with <= max_edits seeded edits: forward near the read start (0-8 adapter
+    chars before it) or, with ``rc_prob``, reverse-complemented near the read
+    end.  Returns (reads, barcodes, truth): reads = (read_id, text); barcodes
+    = [(bc_id, seq)]; truth = (read_id, bc_id|'', strand) of the plant.
+    Every read reproducible from (seed, read_id) alone (shardable at scale).
+    """
+    barcodes: list[tuple[str, bytes]] = []
+    for b in range(n_barcodes):
+        rng = _doc_rng(seed, f"bc-{b:03d}")
+        seq = "".join(rng.choice(DNA) for _ in range(bc_len))
+        barcodes.append((f"bc-{b:03d}", seq.encode()))
+    read_ids, texts, t_bc, t_strand = [], [], [], []
+    for i in range(n_reads):
+        rid = f"read-{i:08d}"
+        rng = _doc_rng(seed, rid)
+        body = "".join(rng.choice(DNA) for _ in range(rng.randint(min_len, max_len)))
+        bc_id, strand = "", ""
+        if rng.random() >= unbarcoded_prob:
+            bi = rng.randrange(n_barcodes)
+            bc_id = barcodes[bi][0]
+            planted = _edit(rng, barcodes[bi][1].decode(), DNA, rng.randint(0, max_edits))
+            adapter = "".join(rng.choice(DNA) for _ in range(rng.randint(0, 8)))
+            if rng.random() < rc_prob:
+                strand = "-"
+                body = body + planted.translate(_RC)[::-1] + adapter
+            else:
+                strand = "+"
+                body = adapter + planted + body
+        read_ids.append(rid)
+        texts.append(body)
+        t_bc.append(bc_id)
+        t_strand.append(strand)
+    reads = pa.table({"read_id": pa.array(read_ids), "text": pa.array(texts)})
+    truth = pa.table(
+        {
+            "read_id": pa.array(read_ids),
+            "bc_id": pa.array(t_bc),
+            "strand": pa.array(t_strand),
+        }
+    )
+    return reads, barcodes, truth
 
 
 def truth_pairs(truth: pa.Table) -> set[tuple[str, str]]:
