@@ -176,12 +176,24 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
         raise ValueError(f"unknown text_mode {cfg.text_mode!r}")
 
     def _score():
+        # adaptive batch size: cfg.score_batch_size is the dispatch-amortizing
+        # ceiling, but when the (already materialized) pair count is small
+        # enough that it yields under 2 batches per CPU the stage tail-lags —
+        # pack at least 2 even waves instead.  2048 floor: kernel dispatch
+        # stops amortizing below that (CLAUDE.md measured economics).
+        bs = cfg.score_batch_size
+        try:
+            n_pairs = pairs_ds.count()
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            bs = max(2048, min(bs, -(-n_pairs // (2 * max(1, cpus)))))
+        except Exception:
+            pass
         if cfg.score_mode == "actors":
             return join_input.map_batches(
                 PairScorer,
                 fn_constructor_kwargs=scorer_kwargs,
                 batch_format="pyarrow",
-                batch_size=cfg.score_batch_size,
+                batch_size=bs,
                 concurrency=cfg.score_concurrency,
             )
         # stateless tasks in warm workers: same kernel, no actor spin-up;
@@ -192,7 +204,7 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
             score_pairs_batch,
             fn_kwargs=scorer_kwargs,
             batch_format="pyarrow",
-            batch_size=cfg.score_batch_size,
+            batch_size=bs,
         )
 
     ck = _ckpt(checkpoint_dir, "scored", fp)
