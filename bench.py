@@ -173,7 +173,14 @@ def run_bench() -> dict:
     if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         from sassy_ray.pipelines import queries as Q
 
-        for name in ("q1_pricing_summary", "hash_join", "events_window", "ann_topk", "search_approx"):
+        for name in (
+            "q1_pricing_summary",
+            "hash_join",
+            "events_window",
+            "ann_topk",
+            "search_approx",
+            "barcode_demux",
+        ):
             # min-of-2 per query: this box's run-to-run noise is one-sided
             # (hypervisor DRAM neighbors), so the min of identical reps is
             # the least-interference estimate (the repo's standard protocol).
