@@ -68,7 +68,7 @@ def demux_batch(
     if searcher is None:
         searcher = cfg.make_searcher()
         _SEARCHER_CACHE[key] = searcher
-    seqs = batch.column(text_col).cast(pa.binary()).to_pylist()
+    seqs = [t or b"" for t in batch.column(text_col).cast(pa.binary()).to_pylist()]
     ms = searcher.search_many([s for _, s in cfg.barcodes], seqs, cfg.k)
     if not ms:
         return DEMUX_SCHEMA.empty_table()
