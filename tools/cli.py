@@ -4,6 +4,7 @@ surface plus the ER pipeline, on Ray Data.
     python tools/cli.py grep  -p ATCG -k 1 --alphabet dna input.fa -o /tmp/out
     python tools/cli.py grep  -p ATCG -k 1 --filter --invert input.fa -o /tmp/out
     python tools/cli.py crispr --guides guides.txt -k 1 --pam-length 3 input.fa -o /tmp/out
+    python tools/cli.py demux --barcodes bcs.fa -k 3 reads.fastq.gz -o /tmp/out
     python tools/cli.py er    --docs docs.parquet --out /tmp/er --checkpoint /tmp/er_ck
 
 Inputs: FASTA/FASTQ (.fa/.fasta/.fq/.fastq[.gz]) or parquet with
@@ -135,6 +136,35 @@ def cmd_crispr(args) -> None:
     print(f"[MATCHES] Found {n} matches -> {args.out}/matches")
 
 
+def cmd_demux(args) -> None:
+    _session(args.threads)
+    from sassy_ray.pipelines.demux import DemuxConfig, run_demux
+
+    low = args.barcodes.lower()
+    if any(low.endswith(e) for e in (".fa", ".fasta", ".fa.gz", ".fasta.gz")):
+        from sassy_ray.sources.fasta import parse_fasta_bytes
+
+        with open(args.barcodes, "rb") as f:
+            t = parse_fasta_bytes(f.read())
+        barcodes = [
+            (i, s.encode()) for i, s in zip(t.column("id").to_pylist(), t.column("seq").to_pylist())
+        ]
+    else:
+        with open(args.barcodes) as f:
+            barcodes = [
+                (f"bc-{i:03d}", line.strip().encode())
+                for i, line in enumerate(x for x in f)
+                if line.strip()
+            ]
+    cfg = DemuxConfig(barcodes, k=args.k, alphabet=args.alphabet, rc=not args.no_rc)
+    reads = _read_input(args.input)
+    out = run_demux(reads, cfg, id_col="doc_id")
+    os.makedirs(args.out, exist_ok=True)
+    dest = os.path.join(args.out, "assignments")
+    out.write_csv(dest)
+    print(f"per-read best-barcode assignments -> {dest}")
+
+
 def cmd_er(args) -> None:
     _session(args.threads)
     import ray.data as rd
@@ -198,6 +228,15 @@ def main() -> None:
     c.add_argument("--no-rc", action="store_true")
     c.add_argument("-o", "--out", required=True)
     c.set_defaults(fn=cmd_crispr)
+
+    d = sub.add_parser("demux", help="barcode demultiplex (per-read best assignment)")
+    d.add_argument("--barcodes", required=True, help="FASTA or one-seq-per-line list")
+    d.add_argument("-k", type=int, default=3)
+    d.add_argument("--alphabet", default="dna", choices=["dna", "iupac", "ascii"])
+    d.add_argument("--no-rc", action="store_true")
+    d.add_argument("input")
+    d.add_argument("-o", "--out", required=True)
+    d.set_defaults(fn=cmd_demux)
 
     e = sub.add_parser("er", help="entity-resolution pipeline over interleaved docs")
     e.add_argument("--docs", required=True)
