@@ -205,11 +205,19 @@ class PairScorer:
         return self.docs.take_arrow(batch.column(id_col))
 
     @staticmethod
-    def _length_chunks(tlens, order, ratio: float = 1.3, min_chunk: int = 1024):
+    def _length_chunks(
+        tlens, order, ratio: float = 1.3, min_chunk: int = 1024, max_chunk: int | None = None
+    ):
         """Split ``order`` (indices pre-sorted by ascending text length) into
         chunks whose max/min length ratio stays below ``ratio`` — kernel cost
         is B x max(text len) per call, so a lone long text must not make the
-        whole batch pay its steps.  ``min_chunk`` bounds dispatch overhead."""
+        whole batch pay its steps.  ``min_chunk`` bounds dispatch overhead;
+        ``max_chunk`` bounds the kernel working set (L limbs x B x ~8 uint64
+        state arrays re-scanned every text char: at B=8192 x 5 limbs that is
+        ~2.6 MB — out of L2 and streamed from DRAM per step.  Measured
+        single-core on 300-ch/k=17 pairs: B=1024-2048 is 1.5-2.1x faster than
+        B=8192-16384, and the cache-resident set also stops 30 concurrent
+        scorer processes fighting for this node's memory bandwidth)."""
         chunks = []
         i, nt = 0, len(order)
         while i < nt:
@@ -217,6 +225,8 @@ class PairScorer:
             j = min(i + min_chunk, nt)
             while j < nt and tlens[order[j]] <= lo * ratio:
                 j += 1
+            if max_chunk is not None:
+                j = min(j, i + max_chunk)
             chunks.append(order[i:j])
             i = j
         return chunks
@@ -308,7 +318,11 @@ class PairScorer:
             j = i
             while j < nt and limbs[order[j]] == L0:
                 j += 1
-            for idx in self._length_chunks(tlens, order[i:j]):
+            # max_chunk 2048: full-kernel state must stay cache-resident
+            # (see _length_chunks docstring); the suffix screen above runs
+            # uncapped — its single-limb state is ~64 B/row, L2-resident at
+            # any batch width
+            for idx in self._length_chunks(tlens, order[i:j], max_chunk=2048):
                 take = pa.array(idx)
                 sub_p = pats_arr.take(take)
                 sub_t = txts_arr.take(take)
