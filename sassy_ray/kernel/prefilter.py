@@ -249,6 +249,16 @@ def _pattern_lane_cols(patterns: list[bytes], profile: Profile, cfg: LaneConfig)
     scores are the exact full-pattern semi-global costs."""
     U = len(patterns)
     DB = cfg.data_bits
+    # PackedPairRows/packed_scan_minima advertise EXACT full-pattern costs;
+    # a pattern longer than the lane would silently truncate to its suffix
+    # (a lower bound, not the cost) — fail loudly instead.  Suffix-filter
+    # packing (PackedSuffixes) has its own construction and never gets here.
+    too_long = [len(p) for p in patterns if len(p) > DB]
+    if too_long:
+        raise ValueError(
+            f"pattern length {max(too_long)} exceeds lane data_bits={DB}; "
+            "packed lane costs would be suffix lower bounds, not exact"
+        )
     peq0 = np.zeros((U, 256), dtype=np.uint64)
     pv0 = np.empty(U, dtype=np.uint64)
     s0 = np.empty(U, dtype=np.uint64)

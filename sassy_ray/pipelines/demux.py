@@ -47,6 +47,13 @@ class DemuxConfig:
         self.barcodes = [
             (bid, s if isinstance(s, bytes) else s.encode()) for bid, s in barcodes
         ]
+        # duplicate ids would make the per-read argmin's barcode-rank key
+        # ambiguous (rank via double-argsort assumes unique ids) and the SQL
+        # oracle's ORDER BY nondeterministic — reject them loudly
+        ids = [bid for bid, _ in self.barcodes]
+        if len(set(ids)) != len(ids):
+            dup = sorted({b for b in ids if ids.count(b) > 1})
+            raise ValueError(f"Duplicate barcode ids: {dup}")
         self.k = k
         self.alphabet = alphabet
         self.rc = rc
@@ -79,12 +86,14 @@ def demux_batch(
     start = np.fromiter((m.text_start for m in ms), np.int64, n)
     end = np.fromiter((m.text_end for m in ms), np.int64, n)
     strand = np.fromiter((0 if m.strand == "+" else 1 for m in ms), np.int64, n)
-    # per-read argmin under the total order (cost, start, barcode, strand):
-    # the barcode key is the LEXICOGRAPHIC rank of the barcode id (not the
-    # pattern index — config order is not semantic); lexsort keys listed
-    # least-significant first, primary key (text) last
+    # per-read argmin under the total order (cost, start, barcode, strand,
+    # end): the barcode key is the LEXICOGRAPHIC rank of the barcode id (not
+    # the pattern index — config order is not semantic); end is the final
+    # tie-breaker so a same-(cost,start,barcode,strand) tie resolves
+    # deterministically on both the engine and SQL sides; lexsort keys
+    # listed least-significant first, primary key (text) last
     bc_rank = np.argsort(np.argsort(np.array([bid for bid, _ in cfg.barcodes])))
-    order = np.lexsort((strand, bc_rank[pat_idx], start, cost, text_idx))
+    order = np.lexsort((end, strand, bc_rank[pat_idx], start, cost, text_idx))
     first = np.ones(n, dtype=bool)
     first[1:] = text_idx[order][1:] != text_idx[order][:-1]
     best = order[first]

@@ -184,8 +184,15 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
         bs = cfg.score_batch_size
         try:
             n_pairs = pairs_ds.count()
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-            bs = max(2048, min(bs, -(-n_pairs // (2 * max(1, cpus)))))
+            workers = int(ray.cluster_resources().get("CPU", 8))
+            if cfg.score_mode == "actors":
+                # the actor pool is capped at score_concurrency — sizing
+                # waves by total CPUs would undersize batches (more, smaller
+                # waves than the pool can overlap)
+                conc = cfg.score_concurrency
+                cap = max(conc) if isinstance(conc, tuple) else conc
+                workers = min(workers, int(cap))
+            bs = max(2048, min(bs, -(-n_pairs // (2 * max(1, workers)))))
         except Exception:
             pass
         if cfg.score_mode == "actors":

@@ -151,10 +151,11 @@ def cmd_demux(args) -> None:
         ]
     else:
         with open(args.barcodes) as f:
+            # enumerate only non-empty stripped lines: blank/whitespace lines
+            # must not create gaps or shifts in the generated bc-NNN ids
             barcodes = [
-                (f"bc-{i:03d}", line.strip().encode())
-                for i, line in enumerate(x for x in f)
-                if line.strip()
+                (f"bc-{i:03d}", line.encode())
+                for i, line in enumerate(l for l in (x.strip() for x in f) if l)
             ]
     cfg = DemuxConfig(barcodes, k=args.k, alphabet=args.alphabet, rc=not args.no_rc)
     reads = _read_input(args.input)
