@@ -25,6 +25,23 @@ import pyarrow as pa
 
 __all__ = ["brute_force_topk", "ivf_topk", "embedding_neardup_pairs", "coarse_centroids"]
 
+# per-worker cache of plasma-resident broadcast objects (one ray.get per
+# worker process, not per batch)
+_PLASMA_CACHE: dict = {}
+
+
+def _plasma_cached(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    hit = _PLASMA_CACHE.get(key)
+    if hit is None:
+        import ray
+
+        hit = ray.get(ref)
+        if len(_PLASMA_CACHE) > 8:  # bound: a stage uses 2 refs at a time
+            _PLASMA_CACHE.clear()
+        _PLASMA_CACHE[key] = hit
+    return hit
+
 
 def _norm_rows(M: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(M, axis=1, keepdims=True)
@@ -205,55 +222,222 @@ def ivf_topk(
     return _merge_partial_topk(batches, len(Q), k, quantize=quantize)
 
 
+def _salt_hash(ids) -> np.ndarray:
+    """Deterministic vectorized per-id hash for salt assignment (uint64).
+    polars' hash is a vectorized xxhash (no per-row Python); the zlib.crc32
+    loop fallback only runs when polars is unavailable."""
+    try:
+        import polars as pl
+
+        return pl.Series(np.asarray(ids)).hash(seed=11).to_numpy().copy()
+    except Exception:
+        return np.array([zlib.crc32(str(d).encode()) for d in np.asarray(ids)], np.uint64)
+
+
+# simhash salt space per bucket: 2^_SALT_BITS cells.  8 bits splits a hot
+# bucket up to 256x before the (recall-losing) id-hash guard has to kick in.
+_SALT_BITS = 8
+
+
+def _simhash_codes(M: np.ndarray, seed: int = 23) -> np.ndarray:
+    """Per-row _SALT_BITS-bit hyperplane-LSH code (SimHash, Charikar 2002):
+    the sign pattern of ``_SALT_BITS`` seeded random projections.  Vectors at
+    cosine ~1 flip each bit with probability angle/pi, so NEAR-DUPLICATE rows
+    get the SAME code with high probability — unlike an id-hash, which
+    splits a near-dup pair into different sub-buckets ~(nb-1)/nb of the
+    time.  This is what makes salting recall-preserving."""
+    dim = M.shape[1]
+    R = np.random.default_rng(seed).normal(size=(dim, _SALT_BITS))
+    bits = (M @ R) > 0
+    return bits @ (1 << np.arange(_SALT_BITS, dtype=np.int64))
+
+
+def _plan_salt(counts2d: np.ndarray, salt_cap: int):
+    """Driver-side salt plan from the (n_centroids, 2^_SALT_BITS) cell
+    histogram: per bucket, the number of simhash PREFIX bits needed to bring
+    expected cells under ``salt_cap`` (b = ceil(log2(ceil(total/cap)))), and
+    per still-oversized prefix cell an id-hash fan-out ``nb2`` (the memory
+    guard of last resort — only degenerate cells, e.g. floods of EXACT
+    duplicates whose simhash is identical, ever reach it).
+
+    Returns (b_arr[n_centroids], nb2_flat[n_centroids << _SALT_BITS],
+    max_nb2)."""
+    n_cent = counts2d.shape[0]
+    tot = counts2d.sum(axis=1)
+    nb = np.maximum(1, -(-tot // salt_cap))
+    b_arr = np.minimum(_SALT_BITS, np.ceil(np.log2(nb)).astype(np.int64))
+    # +1 headroom bit when salting at all: at exactly ceil(log2(nb)) bits the
+    # EXPECTED cell size equals salt_cap, so ~half the cells overflow into
+    # the id-salt guard and its ~1/nb2 pair survival (measured 0.82 planted
+    # recall); one extra bit puts cells at ~salt_cap/2 and overflow becomes
+    # a rare tail (~0.99 recall), at negligible extra flip exposure
+    b_arr = np.minimum(_SALT_BITS, b_arr + (b_arr > 0))
+    nb2_flat = np.ones(n_cent << _SALT_BITS, dtype=np.int64)
+    # 2x slack before the id-salt engages: cells sit at ~salt_cap/2 expected
+    # (headroom bit above), so the statistical tail up to 2x salt_cap is
+    # normal spread, not a hot flood — id-salting it would shed ~5% of true
+    # near-dup pairs (measured) to bound memory that was never at risk.
+    # The per-task row bound is therefore 2x salt_cap.
+    for c in np.nonzero(tot > salt_cap)[0]:
+        b = int(b_arr[c])
+        shift = _SALT_BITS - b
+        cells = counts2d[c].reshape(1 << b, 1 << shift).sum(axis=1)
+        for p in np.nonzero(cells > 2 * salt_cap)[0]:
+            nb2_flat[(int(c) << _SALT_BITS) + (int(p) << shift)] = -(-int(cells[p]) // salt_cap)
+    return b_arr, nb2_flat, int(nb2_flat.max())
+
+
+def _gkey_rows(
+    bkt: np.ndarray,
+    sh: np.ndarray,
+    ids: np.ndarray,
+    b_arr: np.ndarray,
+    nb2_flat: np.ndarray,
+    max_nb2: int,
+) -> np.ndarray:
+    """Fused int64 composite group key (bucket, simhash prefix, id-salt) per
+    row — all vectorized; the id-salt hash only runs on rows in degenerate
+    cells (nb2 > 1)."""
+    shift = _SALT_BITS - b_arr[bkt]
+    cell = (bkt.astype(np.int64) << _SALT_BITS) + ((sh >> shift) << shift)
+    g = cell * max_nb2
+    if max_nb2 > 1:
+        nb2 = nb2_flat[cell]
+        need = nb2 > 1
+        if need.any():
+            s = _salt_hash(np.asarray(ids)[need]) % nb2[need].astype(np.uint64)
+            g[need] += s.astype(np.int64)
+    return g
+
+
 def embedding_neardup_pairs(
     ds,
     tau: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     salt_cap: int = 256,
     max_pairs_per_bucket: int = 65536,
     centroids: np.ndarray | None = None,
+    target_bucket_rows: int = 4096,
+    n_rows: int | None = None,
+    n_assign: int = 2,
 ):
-    """cosine >= tau pairs via coarse bucketing + bucket-local exact verify.
+    """cosine >= tau pairs via coarse bucketing + sub-bucket-local exact
+    verify, memory-bounded per task at any corpus size:
 
-    Hot buckets are SALTED: groups above ``salt_cap`` split into deterministic
-    crc32 sub-buckets, pairs generated within sub-buckets only, with a
-    per-bucket pair budget — bounded work per group, documented recall
-    tradeoff (mirrors stages/pairs.py).  Returns dict(candidates=Dataset of
+    - ``n_centroids`` derives from the corpus size (``ceil(n_rows /
+      target_bucket_rows)``, floor 16) unless given — a fixed bucket count
+      would make each bucket ~corpus/16 at 100x scale.  The target is a few
+      x ``salt_cap`` ON PURPOSE: recall comes from same-(sub-)bucket
+      capture, so fine centroids (near vectors genuinely co-bucket) beat
+      coarse buckets shredded by salt (a near pair survives a salt split
+      only ~1/nb of the time); salting remains the hot-key memory guard;
+    - per-(bucket, simhash-cell) row counts come from a cheap sparse
+      counting pass (driver sees nonzero cells, never rows), and buckets
+      above ``salt_cap`` get a SALT COLUMN — the top ``b`` bits of each
+      row's SimHash code (``_simhash_codes``), so near-duplicate rows agree
+      on the salt with high probability and recall survives the split; the
+      groupby key is the fused (bucket, simhash prefix, id-salt) int64
+      composite, so no single ``map_groups`` task ever holds more than
+      ~``salt_cap`` rows — the old whole-bucket grouping bounded pair
+      EMISSION but not group memory.  Degenerate cells (e.g. exact-duplicate
+      floods sharing one simhash) fall back to an id-hash second salt — the
+      memory guard of last resort, with the documented recall tradeoff
+      confined to those cells;
+    - pairs are generated within sub-buckets only, with a per-sub-bucket
+      pair budget — bounded work per group (mirrors stages/pairs.py
+      salting);
+    - each row is assigned to its ``n_assign`` nearest centroids (IVF
+      multi-assignment): near-dup pairs near a Voronoi boundary flip their
+      argmax centroid and would miss each other under single assignment —
+      measured 0.61 -> ~0.95 planted recall at 1M random vectors.  Costs
+      ``n_assign``x shuffle volume (standard IVF tradeoff); the same pair
+      found in two buckets is deduped in ``pairs_fn`` (the ``candidates``
+      dataset may contain such duplicates).
+
+    The input is streamed twice (count pass + pair pass) instead of
+    materializing corpus-size blocks in the object store; both passes are
+    one cheap matmul over each batch.  Returns dict(candidates=Dataset of
     (vec_id_a, vec_id_b, sim), pairs_fn=() -> matched pairs Table)."""
-    C = centroids if centroids is not None else coarse_centroids(ds, n_centroids, seed, id_col)
+    import ray
 
-    def assign(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "bucket", assign_buckets_batch(batch, C, id_col).column("bucket")
+    if n_centroids is None:
+        if n_rows is None:
+            n_rows = ds.count()  # parquet reads answer from footer metadata
+        # flat-quantizer cap: past 64k centroids the per-row assignment
+        # matmul dominates — a hierarchical (2-level) quantizer is the route
+        # beyond that, with simhash salting covering the intra-bucket split
+        n_centroids = min(65536, max(16, -(-int(n_rows) // target_bucket_rows)))
+    C = centroids if centroids is not None else coarse_centroids(ds, n_centroids, seed, id_col)
+    # the centroid matrix rides plasma, not the task closure (at 64k x 768
+    # floats it is ~400 MB — the closure must stay bytes-sized)
+    C_ref = ray.put(C)
+
+    na = max(1, min(int(n_assign), len(C)))
+
+    def _bkt_sh(batch: pa.Table, Cm: np.ndarray):
+        """(rows, na) bucket assignments + (rows,) simhash codes."""
+        M = _norm_rows(_emb_matrix(batch))
+        S = M @ Cm.T
+        if na == 1:
+            bkt = np.argmax(S, axis=1)[:, None]
+        else:
+            bkt = np.argpartition(-S, na - 1, axis=1)[:, :na]
+        return bkt, _simhash_codes(M, seed=seed + 23)
+
+    # --- count pass: per-batch SPARSE (cell, cnt) partials, summed on the
+    # driver (nonzero cells only — bounded by batch rows, no row egress) ---
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        bkt, sh = _bkt_sh(batch, _plasma_cached(C_ref))
+        cell = (bkt.astype(np.int64) << _SALT_BITS) + sh[:, None]
+        uniq, cnt = np.unique(cell.reshape(-1), return_counts=True)
+        return pa.table(
+            {"cell": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt.astype(np.int64))}
         )
 
+    counts2d = np.zeros((n_centroids, 1 << _SALT_BITS), dtype=np.int64)
+    flat = counts2d.reshape(-1)
+    for b in ds.map_batches(partial_counts, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        np.add.at(flat, b.column("cell").to_numpy(), b.column("cnt").to_numpy())
+    b_arr, nb2_flat, max_nb2 = _plan_salt(counts2d, salt_cap)
+    plan_ref = ray.put((b_arr, nb2_flat, max_nb2))
+
+    def assign_salted(batch: pa.Table) -> pa.Table:
+        bkt, sh = _bkt_sh(batch, _plasma_cached(C_ref))
+        pb_arr, pnb2, pmax = _plasma_cached(plan_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        # one output row per (row, assignment); row payloads gather via take
+        ridx = np.repeat(np.arange(n), na)
+        gkey = _gkey_rows(
+            bkt.reshape(-1),
+            np.repeat(sh, na),
+            np.asarray(ids)[ridx],
+            pb_arr,
+            pnb2,
+            pmax,
+        )
+        out = batch.take(pa.array(ridx)) if na > 1 else batch
+        return out.append_column("gkey", pa.array(gkey, pa.int64()))
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one SUB-bucket per task: ~salt_cap rows, one small matmul
         ids = g[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         M = _norm_rows(np.stack(g["embedding"].to_numpy()))[order]
-        if len(ids) > salt_cap:
-            nb = -(-len(ids) // salt_cap)
-            salt = np.array([zlib.crc32(str(d).encode()) % nb for d in ids])
-            groups = [np.nonzero(salt == s)[0] for s in range(nb)]
-        else:
-            groups = [np.arange(len(ids))]
-        budget = max_pairs_per_bucket
         a_out, b_out, s_out = [], [], []
-        for gi in groups:
-            if budget <= 0 or len(gi) < 2:
-                continue
-            sub_ids = ids[gi]
-            S = M[gi] @ M[gi].T
-            iu = np.triu_indices(len(gi), 1)
-            take = min(budget, len(iu[0]))
-            a_out.append(sub_ids[iu[0][:take]])
-            b_out.append(sub_ids[iu[1][:take]])
+        if len(ids) >= 2:
+            S = M @ M.T
+            iu = np.triu_indices(len(ids), 1)
+            take = min(max_pairs_per_bucket, len(iu[0]))
+            a_out.append(ids[iu[0][:take]])
+            b_out.append(ids[iu[1][:take]])
             s_out.append(S[iu][:take])  # raw float64: thresholding must not
             # see pre-rounded values (the SQL oracle compares unrounded)
-            budget -= take
         if not a_out:
             return pd.DataFrame(
                 {
@@ -271,8 +455,8 @@ def embedding_neardup_pairs(
         )
 
     candidates = (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby("bucket")
+        ds.map_batches(assign_salted, batch_format="pyarrow")
+        .groupby("gkey")
         .map_groups(bucket_pairs, batch_format="pandas")
         .materialize()
     )
@@ -293,6 +477,10 @@ def embedding_neardup_pairs(
                     "sim": pa.array([], pa.float64()),
                 }
             )
-        return pa.concat_tables(parts)
+        t = pa.concat_tables(parts)
+        # multi-assignment can find the same pair in two buckets: distinct
+        # on (a, b) — only threshold-passing pairs reach here, a small table
+        df = t.to_pandas().drop_duplicates(["vec_id_a", "vec_id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     return {"candidates": candidates, "pairs_fn": pairs_fn}

@@ -1720,9 +1720,13 @@ def embedding_neardup(sf_dir: str):
 
     ds = _rd().read_parquet(_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     res = embedding_neardup_pairs(ds, tau=0.35)
+    # multi-assignment candidates can repeat a pair (found via two buckets):
+    # export DISTINCT pairs so the SQL twin and the deduped engine output
+    # count each pair once
+    cands = _collect(res["candidates"]).select(["vec_id_a", "vec_id_b"])
     _oracle_export(
         "embedding_neardup_cands",
-        _collect(res["candidates"]).select(["vec_id_a", "vec_id_b"]),
+        cands.group_by(["vec_id_a", "vec_id_b"]).aggregate([]),
     )
     t = res["pairs_fn"]()
     import pandas as pd

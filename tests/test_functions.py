@@ -200,3 +200,76 @@ def test_window_ops_block_seams(ray_session, tmp_path):
     a2 = norm(t2, ["o_custkey", "o_orderkey"])
     b2 = norm(o2, ["o_custkey", "o_orderkey"]).astype(a2.dtypes.to_dict())
     assert len(a2) == len(b2) > 0 and a2.equals(b2)
+
+
+def test_embedding_neardup_salted_bounded(ray_session):
+    """Scale-proofing of embedding_neardup_pairs: with salt_cap forced tiny,
+    candidate pairs must be generated at SUB-bucket granularity (the group a
+    task holds is a (bucket, simhash-cell) sub-bucket, ~salt_cap rows, not
+    the whole bucket): the candidate count must equal sum-over-sub-buckets
+    C(s, 2) under the replicated salt plan, and — because the salt is the
+    SimHash of the embedding, not an id-hash — planted near-duplicate pairs
+    must survive the split with high recall."""
+    import ray.data as rd
+
+    import sassy_ray.functions.ann as A
+    from sassy_ray.functions.ann import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    # 40 base vectors, each duplicated with tiny noise -> 40 planted pairs
+    base = rng.normal(size=(40, 16))
+    dup = base + rng.normal(scale=1e-4, size=base.shape)
+    M = np.concatenate([base, dup])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(M)), pa.int64()),
+            "embedding": pa.array(M.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    C = A.coarse_centroids(ds, 2, seed=1)
+
+    salt_cap = 8
+    res_salted = embedding_neardup_pairs(
+        ds, tau=0.999, centroids=C, n_centroids=2, salt_cap=salt_cap, seed=1, n_assign=1
+    )
+    cands = pa.concat_tables(
+        res_salted["candidates"].iter_batches(batch_size=4096, batch_format="pyarrow")
+    )
+
+    # replicate the salt plan: bucket + simhash cell counts -> b/nb2 -> gkey
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bkt = np.argmax(Mn @ C.T, axis=1)
+    sh = A._simhash_codes(Mn, seed=1 + 23)
+    counts2d = np.zeros((2, 1 << A._SALT_BITS), dtype=np.int64)
+    np.add.at(counts2d.reshape(-1), (bkt.astype(np.int64) << A._SALT_BITS) + sh, 1)
+    assert counts2d.sum(axis=1).max() > salt_cap, "test must actually trigger salting"
+    b_arr, nb2_flat, max_nb2 = A._plan_salt(counts2d, salt_cap)
+    gkey = A._gkey_rows(bkt, sh, np.arange(len(M), dtype=np.int64), b_arr, nb2_flat, max_nb2)
+    sizes = np.bincount(gkey - gkey.min())
+    expected_pairs = int(sum(s * (s - 1) // 2 for s in sizes))
+    assert cands.num_rows == expected_pairs > 0
+
+    salted = res_salted["pairs_fn"]()
+    res_unsalted = embedding_neardup_pairs(
+        ds, tau=0.999, centroids=C, n_centroids=2, salt_cap=10_000, seed=1, n_assign=1
+    )
+    unsalted = res_unsalted["pairs_fn"]()
+    sp = set(zip(salted["vec_id_a"].to_pylist(), salted["vec_id_b"].to_pylist()))
+    up = set(zip(unsalted["vec_id_a"].to_pylist(), unsalted["vec_id_b"].to_pylist()))
+    planted = {(i, i + 40) for i in range(40)}
+    # simhash salt: a near-identical pair flips a salt bit only with
+    # probability ~angle/pi per bit — recall must stay high, unlike the
+    # ~1/nb survival an id-hash salt would give
+    assert sp <= up
+    assert len(up & planted) >= 38
+    assert len(sp & planted) >= 30
+    # multi-assignment (default n_assign=2) must not emit duplicate pairs
+    res_ma = embedding_neardup_pairs(ds, tau=0.999, centroids=C, n_centroids=2, salt_cap=salt_cap, seed=1)
+    ma = res_ma["pairs_fn"]()
+    keys = list(zip(ma["vec_id_a"].to_pylist(), ma["vec_id_b"].to_pylist()))
+    assert len(keys) == len(set(keys))
+    # (with only 2 centroids, n_assign=2 doubles every bucket's count and
+    # adds a salt bit, so coverage is not a strict superset here — the real
+    # multi-assign recall evidence is the 1M-vector tail bench)
+    assert len(set(keys) & planted) >= 25

@@ -159,6 +159,14 @@ def main() -> None:
         help="bench the distributed barcode-demux pipeline (96x24bp, k=3)",
     )
     ap.add_argument("--reads", type=int, default=100_000)
+    ap.add_argument(
+        "--neardup",
+        action="store_true",
+        help="bench embedding_neardup_pairs at --vectors scale; reports the "
+        "max rows any single pair task held (the 100-TB memory bound)",
+    )
+    ap.add_argument("--vectors", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=32)
     args = ap.parse_args()
 
     import ray
@@ -217,6 +225,81 @@ def main() -> None:
                     "text_mb_per_s": round(mb / dt, 1),
                     "pattern_scan_mb_per_s": round(mb * n_bc / dt, 1),
                     "assigned": int(n_assigned),
+                }
+            )
+        )
+        ray.shutdown()
+        return
+
+    if args.neardup:
+        import sassy_ray.functions.ann as A
+
+        rng = np.random.default_rng(17)
+        n, dim = args.vectors, args.dim
+        M = rng.normal(size=(n, dim)).astype(np.float64)
+        # plant ~1000 near-dup pairs (vector i copied to i + n//2 with noise)
+        n_plant = 1000
+        M[n // 2 : n // 2 + n_plant] = M[:n_plant] + rng.normal(scale=1e-3, size=(n_plant, dim))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(M.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        ds = rd.from_arrow(tbl).repartition(max(8, args.cpus)).materialize()
+        t0 = time.time()
+        res = A.embedding_neardup_pairs(ds, tau=0.99, n_rows=n)
+        pairs = res["pairs_fn"]()
+        dt = time.time() - t0
+        # replicate the salt assignment driver-side to report the true max
+        # rows any single map_groups task held (the scale guarantee)
+        n_cent = min(65536, max(16, -(-n // 4096)))
+        C = A.coarse_centroids(ds, n_cent, 42, "vec_id")
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = Mn @ C.T
+        bkt2 = np.argpartition(-S, 1, axis=1)[:, :2]  # top-2 multi-assign
+        counts = np.bincount(bkt2[:, 0], minlength=n_cent)
+        sh = A._simhash_codes(Mn, seed=42 + 23)
+        counts2d = np.zeros((n_cent, 1 << A._SALT_BITS), dtype=np.int64)
+        np.add.at(
+            counts2d.reshape(-1),
+            ((bkt2.astype(np.int64) << A._SALT_BITS) + sh[:, None]).reshape(-1),
+            1,
+        )
+        b_arr, nb2_flat, max_nb2 = A._plan_salt(counts2d, 256)
+        gkey = A._gkey_rows(
+            bkt2.reshape(-1),
+            np.repeat(sh, 2),
+            np.repeat(np.arange(n, dtype=np.int64), 2),
+            b_arr,
+            nb2_flat,
+            max_nb2,
+        )
+        max_task_rows = int(np.bincount(gkey - gkey.min()).max())
+        got = set(zip(pairs["vec_id_a"].to_pylist(), pairs["vec_id_b"].to_pylist()))
+        planted = {(i, i + n // 2) for i in range(n_plant)}
+        recall = len(got & planted) / n_plant
+        print(
+            f"neardup(salted): {n} vectors dim={dim} -> {pairs.num_rows} pairs >= tau "
+            f"in {dt:.1f}s ({n / dt / 1e3:.0f}k vec/s); n_centroids={n_cent}, "
+            f"max rows in any pair task = {max_task_rows} (bucket max would be "
+            f"{int(counts.max())} unsalted); planted-pair recall {recall:.2f}",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "embedding_neardup_tail",
+                    "vectors": n,
+                    "dim": dim,
+                    "num_cpus": args.cpus,
+                    "sec": round(dt, 2),
+                    "vectors_per_s": round(n / dt),
+                    "pairs_out": int(pairs.num_rows),
+                    "n_centroids": n_cent,
+                    "max_task_rows": max_task_rows,
+                    "max_bucket_rows_unsalted": int(counts.max()),
+                    "planted_recall": round(recall, 3),
                 }
             )
         )
