@@ -65,13 +65,69 @@ def _pack_bits_u64(bits: np.ndarray) -> np.ndarray:
     return packed.view(np.uint64)
 
 
+class TextRows:
+    """A column of texts held as ONE padded uint8 matrix + lengths.
+
+    Built zero-copy-style from an Arrow string/binary array (one vectorized
+    scatter off the offsets/data buffers — no to_pylist round-trip) and fed
+    straight into the kernels (``_pad_texts`` recognizes it and returns the
+    matrix as-is).  Behaves like a read-only ``list[bytes]`` everywhere the
+    search paths index individual texts (traceback windows, n-filters) —
+    only those rows ever materialize Python bytes.  RC passes use
+    ``reversed()``: one vectorized take_along_axis gather instead of a
+    per-row Python ``t[::-1]`` pass over the whole batch."""
+
+    __slots__ = ("mat", "lens")
+
+    def __init__(self, mat: np.ndarray, lens: np.ndarray):
+        self.mat = mat
+        self.lens = np.asarray(lens, dtype=np.int64)
+
+    @classmethod
+    def from_any(cls, rows) -> "TextRows":
+        if isinstance(rows, cls):
+            return rows
+        mat, lens = _rows_matrix(rows)
+        return cls(mat, lens)
+
+    def __len__(self) -> int:
+        return len(self.lens)
+
+    def __getitem__(self, i: int) -> bytes:
+        return self.mat[i, : self.lens[i]].tobytes()
+
+    def __iter__(self):
+        return (self[i] for i in range(len(self)))
+
+    def reversed(self) -> "TextRows":
+        n, w = self.mat.shape
+        idx = self.lens[:, None] - 1 - np.arange(w, dtype=np.int64)[None, :]
+        np.maximum(idx, 0, out=idx)
+        rev = np.take_along_axis(self.mat, idx, axis=1)
+        rev[np.arange(w)[None, :] >= self.lens[:, None]] = 0
+        return TextRows(rev, self.lens)
+
+    def take(self, idx) -> "TextRows":
+        idx = np.asarray(idx, dtype=np.int64)
+        lens = self.lens[idx]
+        w = max(1, int(lens.max()) if len(lens) else 1)
+        return TextRows(np.ascontiguousarray(self.mat[idx, :w]), lens)
+
+
 def _rows_matrix(rows, min_width: int = 1) -> tuple[np.ndarray, np.ndarray]:
     """Rows of bytes -> (padded uint8 matrix, lengths).
 
-    Accepts a list[bytes] OR an Arrow string/binary array — the Arrow path
-    builds the matrix with ONE vectorized scatter from the array's
-    offsets+data buffers (zero per-row Python), which is how the scorer
-    stages feed batches in without a to_pylist round-trip."""
+    Accepts a list[bytes], a ``TextRows`` (returned as-is), OR an Arrow
+    string/binary array — the Arrow path builds the matrix with ONE
+    vectorized scatter from the array's offsets+data buffers (zero per-row
+    Python), which is how the scorer stages feed batches in without a
+    to_pylist round-trip."""
+    if isinstance(rows, TextRows):
+        if rows.mat.shape[1] < min_width:
+            mat = np.zeros((len(rows.lens), min_width), dtype=np.uint8)
+            mat[:, : rows.mat.shape[1]] = rows.mat
+            return mat, rows.lens
+        return rows.mat, rows.lens
     try:
         import pyarrow as pa
 
@@ -113,6 +169,8 @@ def _rows_matrix(rows, min_width: int = 1) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _max_len(rows) -> int:
+    if isinstance(rows, TextRows):
+        return int(rows.lens.max()) if len(rows.lens) else 0
     try:
         import pyarrow as pa
 

@@ -43,6 +43,34 @@ __all__ = [
 
 _ONE = np.uint64(1)
 _U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+# row-axis chunk for the packed scans: ~13 uint64 state/temp arrays per row
+# (~104 B) must stay L2-resident; 8192 rows ~ 850 KB (see prefilter_hits)
+_PREFILTER_ROW_CHUNK = 8192
+
+# per-process cache of TEXT-INDEPENDENT packed pattern state (suffix words,
+# per-pattern lane columns).  A scan stage calls search_many once per Ray
+# batch with the SAME pattern set every time (demux: 96 barcodes x 2 strands
+# x thousands of batches); rebuilding the packed words per batch was ~40% of
+# a 256-read batch's wall time.  Keyed by the pattern bytes themselves —
+# correctness never depends on the cache.
+_PACK_CACHE: dict = {}
+_PACK_CACHE_MAX = 64
+
+
+def _pack_cached(key, build):
+    hit = _PACK_CACHE.get(key)
+    if hit is None:
+        hit = build()
+        if len(_PACK_CACHE) >= _PACK_CACHE_MAX:
+            _PACK_CACHE.clear()
+        _PACK_CACHE[key] = hit
+    return hit
+
+
+def get_packed_suffixes(patterns: list[bytes], profile, k: int, cfg) -> "PackedSuffixes":
+    """Cached ``PackedSuffixes`` constructor (see ``_PACK_CACHE``)."""
+    key = ("suf", profile.name, k, cfg.lanes, cfg.lane_bits, tuple(patterns))
+    return _pack_cached(key, lambda: PackedSuffixes(patterns, profile, k, cfg))
 
 
 class LaneConfig:
@@ -154,76 +182,91 @@ def prefilter_hits(
     B = W * T
     word_of = np.repeat(np.arange(W), T)          # row -> word
     text_of = np.tile(np.arange(T), W)            # row -> text
-    n_arr = n_arr_t[text_of]
+    n_all = n_arr_t[text_of]
     peq_flat = np.ascontiguousarray(packed.peq).reshape(-1)  # (W*256,)
-    base = word_of * 256
+    base_all = word_of * 256
 
     cfg = packed.cfg
     NGUARD = cfg.nguard
     SHIFT_LAST = cfg.shift_last
     M1 = cfg.m1
-    Pv = packed.pv_init[word_of].copy()
-    Mv = np.zeros(B, dtype=np.uint64)
-    score = packed.score_init[word_of].copy()
     K1 = np.uint64((k + 1)) * M1
     H = cfg.guard
     hitbits = np.zeros(B, dtype=np.uint64)  # per-LANE hit guard bits
     _Z = np.uint64(0)
 
-    codes = np.empty(B, np.uint8)
-    Eq = np.empty(B, np.uint64)
-    Xv = np.empty(B, np.uint64)
-    Xh = np.empty(B, np.uint64)
-    Ph = np.empty(B, np.uint64)
-    Mh = np.empty(B, np.uint64)
-    tA = np.empty(B, np.uint64)
-    tb = np.empty(B, np.uint64)
-    idx = np.empty(B, np.intp)
-    sw = np.empty(B, np.uint64)
-    steps = int(n_arr.max())
-    n_min = int(n_arr.min())
+    # row-axis chunking: the ~13 per-row uint64 state/temp arrays are ~104
+    # B/row — at B in the tens of thousands (a 96-pattern x 2048-text demux
+    # batch is 49k rows) the working set leaves L2 and every one of the ~27
+    # ops/step streams from DRAM.  8192 rows ~ 850 KB stays resident
+    # (measured 1.9x on the demux scan); same economics as the scorer's
+    # 2048-row full-kernel cap (CLAUDE.md).
+    CHUNK = _PREFILTER_ROW_CHUNK
+    for c0 in range(0, B, CHUNK):
+        c1 = min(B, c0 + CHUNK)
+        Bc = c1 - c0
+        text_of_c = text_of[c0:c1]
+        base = base_all[c0:c1]
+        n_arr = n_all[c0:c1]
+        Pv = packed.pv_init[word_of[c0:c1]].copy()
+        Mv = np.zeros(Bc, dtype=np.uint64)
+        score = packed.score_init[word_of[c0:c1]].copy()
+        hb = hitbits[c0:c1]
 
-    for t in range(steps):
-        np.take(txtT[t], text_of, out=codes)
-        np.add(base, codes, out=idx)
-        np.take(peq_flat, idx, out=Eq)
-        np.bitwise_or(Eq, Mv, out=Xv)
-        np.bitwise_and(Eq, Pv, out=tA)
-        np.add(tA, Pv, out=tA)
-        np.bitwise_xor(tA, Pv, out=tA)
-        np.bitwise_or(tA, Eq, out=Xh)
-        np.bitwise_or(Xh, Pv, out=tb)
-        np.invert(tb, out=tb)
-        np.bitwise_or(Mv, tb, out=Ph)
-        np.bitwise_and(Pv, Xh, out=Mh)
-        # packed 4x16 score update from the last data row of each lane
-        np.right_shift(Ph, SHIFT_LAST, out=sw)
-        np.bitwise_and(sw, M1, out=sw)
-        np.add(score, sw, out=score)
-        np.right_shift(Mh, SHIFT_LAST, out=sw)
-        np.bitwise_and(sw, M1, out=sw)
-        np.subtract(score, sw, out=score)
-        # lane isolation: no horizontal signal crosses a guard bit
-        np.bitwise_and(Ph, NGUARD, out=Ph)
-        np.bitwise_and(Mh, NGUARD, out=Mh)
-        np.left_shift(Ph, _ONE, out=Ph)
-        np.left_shift(Mh, _ONE, out=Mh)
-        np.bitwise_or(Xv, Ph, out=tb)
-        np.invert(tb, out=tb)
-        np.bitwise_or(Mh, tb, out=Pv)
-        np.bitwise_and(Pv, NGUARD, out=Pv)
-        np.bitwise_and(Ph, Xv, out=Mv)
-        # SWAR per-lane "<= k": (lane | 0x8000) - (k+1) clears bit15 iff <= k;
-        # accumulate the guard bits so each LANE keeps its own hit flag (a
-        # word-level any-lane test would flag all 4 packed patterns on one
-        # lane's hit — up to 4x false verifies downstream)
-        np.bitwise_or(score, H, out=sw)
-        np.subtract(sw, K1, out=sw)
-        np.invert(sw, out=sw)
-        np.bitwise_and(sw, H, out=sw)
-        if t >= n_min:
-            np.copyto(sw, _Z, where=n_arr <= t)
-        np.bitwise_or(hitbits, sw, out=hitbits)
+        codes = np.empty(Bc, np.uint8)
+        Eq = np.empty(Bc, np.uint64)
+        Xv = np.empty(Bc, np.uint64)
+        Xh = np.empty(Bc, np.uint64)
+        Ph = np.empty(Bc, np.uint64)
+        Mh = np.empty(Bc, np.uint64)
+        tA = np.empty(Bc, np.uint64)
+        tb = np.empty(Bc, np.uint64)
+        idx = np.empty(Bc, np.intp)
+        sw = np.empty(Bc, np.uint64)
+        steps = int(n_arr.max())
+        n_min = int(n_arr.min())
+
+        for t in range(steps):
+            np.take(txtT[t], text_of_c, out=codes)
+            np.add(base, codes, out=idx)
+            np.take(peq_flat, idx, out=Eq)
+            np.bitwise_or(Eq, Mv, out=Xv)
+            np.bitwise_and(Eq, Pv, out=tA)
+            np.add(tA, Pv, out=tA)
+            np.bitwise_xor(tA, Pv, out=tA)
+            np.bitwise_or(tA, Eq, out=Xh)
+            np.bitwise_or(Xh, Pv, out=tb)
+            np.invert(tb, out=tb)
+            np.bitwise_or(Mv, tb, out=Ph)
+            np.bitwise_and(Pv, Xh, out=Mh)
+            # packed 4x16 score update from the last data row of each lane
+            np.right_shift(Ph, SHIFT_LAST, out=sw)
+            np.bitwise_and(sw, M1, out=sw)
+            np.add(score, sw, out=score)
+            np.right_shift(Mh, SHIFT_LAST, out=sw)
+            np.bitwise_and(sw, M1, out=sw)
+            np.subtract(score, sw, out=score)
+            # lane isolation: no horizontal signal crosses a guard bit
+            np.bitwise_and(Ph, NGUARD, out=Ph)
+            np.bitwise_and(Mh, NGUARD, out=Mh)
+            np.left_shift(Ph, _ONE, out=Ph)
+            np.left_shift(Mh, _ONE, out=Mh)
+            np.bitwise_or(Xv, Ph, out=tb)
+            np.invert(tb, out=tb)
+            np.bitwise_or(Mh, tb, out=Pv)
+            np.bitwise_and(Pv, NGUARD, out=Pv)
+            np.bitwise_and(Ph, Xv, out=Mv)
+            # SWAR per-lane "<= k": (lane | 0x8000) - (k+1) clears bit15 iff
+            # <= k; accumulate the guard bits so each LANE keeps its own hit
+            # flag (a word-level any-lane test would flag all 4 packed
+            # patterns on one lane's hit — up to 4x false verifies downstream)
+            np.bitwise_or(score, H, out=sw)
+            np.subtract(sw, K1, out=sw)
+            np.invert(sw, out=sw)
+            np.bitwise_and(sw, H, out=sw)
+            if t >= n_min:
+                np.copyto(sw, _Z, where=n_arr <= t)
+            np.bitwise_or(hb, sw, out=hb)
 
     # expand per-lane hit bits to their patterns
     hitWT = hitbits.reshape(W, T)
@@ -311,10 +354,15 @@ class PackedPairRows:
         C = len(combo_of)
         combos = list(combo_of)
 
-        # per-pattern lane-0 columns, built once per unique pattern
+        # per-pattern lane-0 columns, built once per unique pattern and
+        # cached per process (text-independent; see _PACK_CACHE)
         used = sorted({pi for c in combos for pi in c})
         uidx = {pi: j for j, pi in enumerate(used)}
-        peq0, pv0, s0 = _pattern_lane_cols([patterns[pi] for pi in used], profile, cfg)
+        upats = [patterns[pi] for pi in used]
+        peq0, pv0, s0 = _pack_cached(
+            ("lanecols", profile.name, cfg.lanes, cfg.lane_bits, tuple(upats)),
+            lambda: _pattern_lane_cols(upats, profile, cfg),
+        )
 
         self.lane_pattern = np.full((C, LANES), -1, dtype=np.int64)
         self.peq = np.zeros((C, 256), dtype=np.uint64)
@@ -351,13 +399,7 @@ def packed_scan_minima(
     (ascending end position per pair).
     """
     cfg = packed.cfg
-    LANES, LB = cfg.lanes, cfg.lane_bits
-    H, NGUARD, M1 = cfg.guard, cfg.nguard, cfg.m1
-    SHIFT_LAST = cfg.shift_last
-    data_mask = np.uint64((1 << (LB - 1)) - 1)
-    assert k + 1 < (1 << (LB - 1)), "k too large for lane width"
-    K1 = np.uint64(k + 1) * M1
-    BIGPACK = np.uint64(cfg.empty_cost) * M1
+    assert k + 1 < (1 << (cfg.lane_bits - 1)), "k too large for lane width"
 
     R = len(packed.text_of)
     empty = (
@@ -370,10 +412,43 @@ def packed_scan_minima(
         return empty
     raw, n_all = _pad_texts(texts)
     txtT = np.ascontiguousarray(raw.T)  # (n_max, T)
-    text_of = packed.text_of
-    n_arr = n_all[text_of]
-    combo_id = packed.combo_id
     peq_flat = np.ascontiguousarray(packed.peq).reshape(-1)
+
+    # sparse emit records: (row_idx array, emit guard bits, packed costs, pos)
+    records: list[tuple[np.ndarray, np.ndarray, np.ndarray, int]] = []
+
+    # row-axis chunking: ~17 uint64 state/temp arrays per row (~136 B) —
+    # keep them L2-resident (same economics as prefilter_hits)
+    CHUNK = _PREFILTER_ROW_CHUNK
+    for c0 in range(0, R, CHUNK):
+        c1 = min(R, c0 + CHUNK)
+        _packed_scan_chunk(
+            packed, txtT, n_all, k, all_minima, peq_flat, c0, c1, records
+        )
+
+    return _decode_packed_records(packed, records, empty, cfg)
+
+
+def _packed_scan_chunk(
+    packed: PackedPairRows,
+    txtT: np.ndarray,
+    n_all: np.ndarray,
+    k: int,
+    all_minima: bool,
+    peq_flat: np.ndarray,
+    c0: int,
+    c1: int,
+    records: list,
+) -> None:
+    cfg = packed.cfg
+    H, NGUARD, M1 = cfg.guard, cfg.nguard, cfg.m1
+    SHIFT_LAST = cfg.shift_last
+    K1 = np.uint64(k + 1) * M1
+    BIGPACK = np.uint64(cfg.empty_cost) * M1
+    R = c1 - c0
+    text_of = packed.text_of[c0:c1]
+    n_arr = n_all[text_of]
+    combo_id = packed.combo_id[c0:c1]
     base = combo_id * 256
 
     Pv = packed.pv_init[combo_id].copy()
@@ -382,13 +457,11 @@ def packed_scan_minima(
     prev = score.copy()
     dec = np.full(R, H, dtype=np.uint64)  # walk starts weakly-decreasing
 
-    # sparse emit records: (row_idx array, emit guard bits, packed costs, pos)
-    records: list[tuple[np.ndarray, np.ndarray, np.ndarray, int]] = []
     if all_minima:
         le0 = np.bitwise_and(np.invert(np.bitwise_or(prev, H) - K1), H)
         rows0 = np.nonzero(le0)[0]
         if len(rows0):
-            records.append((rows0, le0[rows0], prev[rows0], 0))
+            records.append((rows0 + c0, le0[rows0], prev[rows0], 0))
 
     codes = np.empty(R, np.uint8)
     Eq = np.empty(R, np.uint64)
@@ -452,7 +525,7 @@ def packed_scan_minima(
             np.bitwise_and(sw, H, out=emit)
             rows = np.nonzero(emit)[0]
             if len(rows):
-                records.append((rows, emit[rows], c[rows].copy(), t + 1))
+                records.append((rows + c0, emit[rows], c[rows].copy(), t + 1))
         else:
             # ga = (prev|H) - c: guard set iff prev >= c;  gt = ~ga & H
             np.bitwise_or(prev, H, out=sw)
@@ -466,7 +539,7 @@ def packed_scan_minima(
             np.bitwise_and(emit, dec, out=emit)
             rows = np.nonzero(emit)[0]
             if len(rows):
-                records.append((rows, emit[rows], prev[rows].copy(), t))
+                records.append((rows + c0, emit[rows], prev[rows].copy(), t))
             # lt = ~((c|H) - prev) & H; eq = ~(lt | gt) & H = ~(lt | ~ga) & H
             np.bitwise_or(c, H, out=sw)
             np.subtract(sw, prev, out=sw)
@@ -490,8 +563,12 @@ def packed_scan_minima(
         np.copyto(sw, np.uint64(0), where=n_arr != steps)
         rows = np.nonzero(sw)[0]
         if len(rows):
-            records.append((rows, sw[rows], prev[rows].copy(), steps))
+            records.append((rows + c0, sw[rows], prev[rows].copy(), steps))
 
+
+def _decode_packed_records(packed: PackedPairRows, records: list, empty, cfg: LaneConfig):
+    LANES, LB = cfg.lanes, cfg.lane_bits
+    data_mask = np.uint64((1 << (LB - 1)) - 1)
     if not records:
         return empty
     # decode lane guard bits -> (pattern_idx, text_idx, pos, cost)

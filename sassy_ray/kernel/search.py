@@ -19,11 +19,39 @@ import math
 import numpy as np
 
 from sassy_ray.kernel import oracle
-from sassy_ray.kernel.myers import batch_end_costs, batch_find_minima
+from sassy_ray.kernel.myers import TextRows, batch_end_costs, batch_find_minima
 from sassy_ray.kernel.profiles import Profile, get_profile
 from sassy_ray.kernel.types import FWD, RC, UNSET, Match, cigar_to_string
 
-__all__ = ["Searcher", "Match", "search_many"]
+__all__ = ["Searcher", "Match", "search_many", "TextRows"]
+
+
+def _as_text_col(texts):
+    """Text input normalization: Arrow arrays become a ``TextRows`` column
+    (one vectorized buffer scatter, no to_pylist), TextRows pass through,
+    anything else becomes a list[bytes]."""
+    if isinstance(texts, TextRows):
+        return texts
+    try:
+        import pyarrow as pa
+
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            return TextRows.from_any(texts)
+    except ImportError:  # pragma: no cover
+        pass
+    return [_b(t) for t in texts]
+
+
+def _take_texts(texts, idxs):
+    if isinstance(texts, TextRows):
+        return texts.take(idxs)
+    return [texts[i] for i in idxs]
+
+
+def _reversed_texts(texts):
+    if isinstance(texts, TextRows):
+        return texts.reversed()
+    return [t[::-1] for t in texts]
 
 # pairs per kernel batch; bounds peak memory of the (B, W) cost matrix
 DEFAULT_CHUNK_PAIRS = 2048
@@ -215,10 +243,11 @@ class Searcher:
         if not self.rc:
             return fwd
         comp = [self.profile.complement(p) for p in patterns]
-        rev = [t[::-1] for t in texts]
+        rev = _reversed_texts(texts)
         rc = self._strand_matches(comp, rev, k, all_minima, RC, filter_fn)
-        for i, (ms, text) in enumerate(zip(rc, texts)):
-            n = len(text)
+        tlens = texts.lens if isinstance(texts, TextRows) else None
+        for i, ms in enumerate(rc):
+            n = int(tlens[i]) if tlens is not None else len(texts[i])
             for mm in ms:
                 s, e = mm.text_start, mm.text_end
                 mm.text_start = n - e if e != UNSET else UNSET
@@ -262,7 +291,7 @@ class Searcher:
             chunk = pairs[s : s + chunk_pairs]
             res = self._strand_matches(
                 [patterns[pi] for pi, _ in chunk],
-                [texts[ti] for _, ti in chunk],
+                _take_texts(texts, [ti for _, ti in chunk]),
                 k,
                 all_minima,
                 strand,
@@ -298,7 +327,7 @@ class Searcher:
             LANES2X31,
             LANES4X15,
             PackedPairRows,
-            PackedSuffixes,
+            get_packed_suffixes,
             packed_scan_minima,
             prefilter_hits,
         )
@@ -307,7 +336,7 @@ class Searcher:
         Ps, T = len(sub), len(texts)
         groups: list[tuple[int, tuple[int, ...]]] = []
         if cfg is LANES2X31 and k <= 3:
-            packedf = PackedSuffixes(sub, self.profile, k, LANES4X15)
+            packedf = get_packed_suffixes(sub, self.profile, k, LANES4X15)
             ti_arr, pi_arr = np.nonzero(prefilter_hits(packedf, texts).T)
             bounds = np.searchsorted(ti_arr, np.arange(T + 1))
             for ti in range(T):
@@ -338,7 +367,7 @@ class Searcher:
             }
             res = self._finalize(
                 [sub[pi] for pi, _ in cpairs],
-                [texts[ti] for _, ti in cpairs],
+                _take_texts(texts, [ti for _, ti in cpairs]),
                 k,
                 cands,
                 strand,
@@ -425,7 +454,7 @@ class Searcher:
         from sassy_ray.kernel.prefilter import (
             LANES2X31,
             LANES4X15,
-            PackedSuffixes,
+            get_packed_suffixes,
             prefilter_hits,
         )
 
@@ -438,7 +467,7 @@ class Searcher:
         else:
             lvl1 = None
         if lvl1 is not None:
-            packed = PackedSuffixes(sub, self.profile, k, lvl1)
+            packed = get_packed_suffixes(sub, self.profile, k, lvl1)
             pairs = [
                 (int(pi), int(ti)) for pi, ti in np.argwhere(prefilter_hits(packed, texts))
             ]
@@ -460,7 +489,7 @@ class Searcher:
                     sub[pi][-SUF2:] if len(sub[pi]) > SUF2 else sub[pi]
                     for pi, _ in chunk
                 ]
-                smin = batch_best_costs(suf, [texts[ti] for _, ti in chunk], self.profile, k)
+                smin = batch_best_costs(suf, _take_texts(texts, [ti for _, ti in chunk]), self.profile, k)
                 kept.extend(pr for pr, c in zip(chunk, smin) if c <= k)
             pairs = kept
         self._verify_pairs(
@@ -481,10 +510,11 @@ class Searcher:
         res = self._cartesian_strand(patterns, texts, k, all_minima, FWD, filter_fn)
         if self.rc:
             comp = [self.profile.complement(p) for p in patterns]
-            rev = [t[::-1] for t in texts]
+            rev = _reversed_texts(texts)
             rc = self._cartesian_strand(comp, rev, k, all_minima, RC, filter_fn)
+            tlens = texts.lens if isinstance(texts, TextRows) else None
             for (pi, ti), ms in rc.items():
-                n = len(texts[ti])
+                n = int(tlens[ti]) if tlens is not None else len(texts[ti])
                 for mm in ms:
                     s_, e = mm.text_start, mm.text_end
                     mm.text_start = n - e if e != UNSET else UNSET
@@ -513,7 +543,7 @@ class Searcher:
                 "Unsupported search mode. Must be one of 'single', 'batch_patterns', or 'batch_texts'"
             )
         patterns = [_b(p) for p in patterns]
-        texts = [_b(t) for t in texts]
+        texts = _as_text_col(texts)
         res = self._search_cartesian(patterns, texts, k, False)
         out: list[Match] = []
         for (ip, it) in sorted(res):
@@ -522,6 +552,57 @@ class Searcher:
                 mm.text_idx = it
                 out.append(mm)
         return out
+
+    def search_many_arrays(self, patterns, texts, k: int) -> dict:
+        """Columnar ``search_many``: the same matches, emitted as per-field
+        NumPy arrays (+ one Python list of cigar strings) in (pattern_idx,
+        text_idx) order — the emission path for Arrow-native stages.  No
+        flat Match list is built and each match's fields are read exactly
+        once (the per-Match attribute-hop tax of converting ``search_many``
+        output to arrays goes away).  ``texts`` may be an Arrow
+        string/binary array (fed to the kernel zero-copy via ``TextRows``),
+        a ``TextRows``, or a list[bytes].
+
+        Returns dict with ``pattern_idx, text_idx, text_start, text_end,
+        pattern_start, pattern_end`` (int64), ``cost`` (int32), ``strand``
+        (int8: 0='+', 1='-'), ``cigar`` (list[str])."""
+        patterns = [_b(p) for p in patterns]
+        texts = _as_text_col(texts)
+        res = self._search_cartesian(patterns, texts, k, False)
+        total = sum(len(v) for v in res.values())
+        pi = np.empty(total, np.int64)
+        ti = np.empty(total, np.int64)
+        ts = np.empty(total, np.int64)
+        te = np.empty(total, np.int64)
+        ps = np.empty(total, np.int64)
+        pe = np.empty(total, np.int64)
+        cost = np.empty(total, np.int32)
+        strand = np.empty(total, np.int8)
+        cigar: list[str] = [""] * total
+        w = 0
+        for (ip, it) in sorted(res):
+            for mm in res[(ip, it)]:
+                pi[w] = ip
+                ti[w] = it
+                ts[w] = mm.text_start
+                te[w] = mm.text_end
+                ps[w] = mm.pattern_start
+                pe[w] = mm.pattern_end
+                cost[w] = mm.cost
+                strand[w] = 0 if mm.strand == FWD else 1
+                cigar[w] = mm.cigar or ""
+                w += 1
+        return {
+            "pattern_idx": pi,
+            "text_idx": ti,
+            "text_start": ts,
+            "text_end": te,
+            "pattern_start": ps,
+            "pattern_end": pe,
+            "cost": cost,
+            "strand": strand,
+            "cigar": cigar,
+        }
 
     def search_pairs(
         self, patterns: list[bytes], texts: list[bytes], k: int, all_minima: bool = False

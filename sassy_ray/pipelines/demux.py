@@ -75,17 +75,22 @@ def demux_batch(
     if searcher is None:
         searcher = cfg.make_searcher()
         _SEARCHER_CACHE[key] = searcher
-    seqs = [t or b"" for t in batch.column(text_col).cast(pa.binary()).to_pylist()]
-    ms = searcher.search_many([s for _, s in cfg.barcodes], seqs, cfg.k)
-    if not ms:
+    # texts flow into the kernel zero-copy (Arrow buffers -> one TextRows
+    # scatter, no to_pylist) and matches come back as field arrays (no
+    # per-Match attribute hops — at k=4 hit-frac 0.81 that tax was the
+    # residual per-row Python on the output side)
+    arr = searcher.search_many_arrays(
+        [s for _, s in cfg.barcodes], batch.column(text_col).combine_chunks(), cfg.k
+    )
+    n = len(arr["text_idx"])
+    if n == 0:
         return DEMUX_SCHEMA.empty_table()
-    n = len(ms)
-    text_idx = np.fromiter((m.text_idx for m in ms), np.int64, n)
-    pat_idx = np.fromiter((m.pattern_idx for m in ms), np.int64, n)
-    cost = np.fromiter((m.cost for m in ms), np.int64, n)
-    start = np.fromiter((m.text_start for m in ms), np.int64, n)
-    end = np.fromiter((m.text_end for m in ms), np.int64, n)
-    strand = np.fromiter((0 if m.strand == "+" else 1 for m in ms), np.int64, n)
+    text_idx = arr["text_idx"]
+    pat_idx = arr["pattern_idx"]
+    cost = arr["cost"].astype(np.int64)
+    start = arr["text_start"]
+    end = arr["text_end"]
+    strand = arr["strand"].astype(np.int64)
     # per-read argmin under the total order (cost, start, barcode, strand,
     # end): the barcode key is the LEXICOGRAPHIC rank of the barcode id (not
     # the pattern index — config order is not semantic); end is the final
@@ -118,8 +123,11 @@ def run_demux(
     cfg: DemuxConfig,
     id_col: str = "read_id",
     text_col: str = "text",
-    batch_size: int = 256,
+    batch_size: int = 1024,
 ):
+    # batch_size 1024: measured reads/s/core 951 @256 -> 1614 @1024 -> 1497
+    # @4096 (per-step dispatch amortizes until the scan state leaves cache;
+    # the packed pattern words themselves are cached per worker process)
     """Per-read best-barcode assignment table, ordered by read_id.  Reads
     with no match <= k are absent (unassigned)."""
     return (

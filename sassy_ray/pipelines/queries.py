@@ -461,20 +461,22 @@ class _SearchActor:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        # binary cast hands the kernel bytes without a per-row encode pass;
-        # match fields are emitted columnar (one array build per field +
-        # vectorized id gather) instead of a per-match append loop
-        texts = t.column("text").cast(pa.binary()).to_pylist()
-        ms = self.searcher.search_many(self.patterns, texts, self.k)
-        text_idx = pa.array([m.text_idx for m in ms], pa.int64())
+        # texts feed the kernel zero-copy (Arrow buffers -> TextRows, no
+        # to_pylist) and matches come back as field arrays — no per-Match
+        # attribute-hop emission loop
+        arr = self.searcher.search_many_arrays(
+            self.patterns, t.column("text").combine_chunks(), self.k
+        )
         return pa.table(
             {
-                "doc_id": pc.take(t.column("doc_id").combine_chunks(), text_idx),
-                "pattern_idx": pa.array([m.pattern_idx for m in ms], pa.int64()),
-                "text_start": pa.array([m.text_start for m in ms], pa.int64()),
-                "text_end": pa.array([m.text_end for m in ms], pa.int64()),
-                "cost": pa.array([m.cost for m in ms], pa.int32()),
-                "cigar": pa.array([m.cigar for m in ms], pa.string()),
+                "doc_id": pc.take(
+                    t.column("doc_id").combine_chunks(), pa.array(arr["text_idx"])
+                ),
+                "pattern_idx": pa.array(arr["pattern_idx"]),
+                "text_start": pa.array(arr["text_start"]),
+                "text_end": pa.array(arr["text_end"]),
+                "cost": pa.array(arr["cost"], pa.int32()),
+                "cigar": pa.array(arr["cigar"], pa.string()),
             }
         )
 

@@ -248,3 +248,41 @@ def test_continuation_rc_translated_coords(rc):
     assert rcs and all(0 <= m.text_start < m.text_end <= len(txt) for m in rcs)
     groups = Searcher("dna", rc=rc).search_all_alignments(b"ACGT", txt, 0)
     assert sorted(m.key() for m in got) == sorted(m.key() for g in groups for m in g)
+
+
+def test_search_many_arrays_equivalence():
+    """search_many_arrays over an Arrow column must equal search_many over
+    the same texts as a list — same matches, same order, field-for-field
+    (the zero-copy input + columnar emission path is semantics-neutral)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sassy_ray.kernel.search import Searcher
+
+    rng = np.random.default_rng(99)
+    dna = "ACGT"
+    texts = [
+        "".join(rng.choice(list(dna), size=int(rng.integers(0, 300))))
+        for _ in range(60)
+    ]
+    texts[3] = ""  # empty text row
+    pats = [
+        bytes(rng.choice(list(b"ACGT"), size=int(rng.integers(5, 40))))
+        for _ in range(7)
+    ]
+    for alphabet, rc in (("dna", True), ("ascii", False)):
+        s = Searcher(alphabet, rc=rc)
+        for k in (1, 3):
+            ms = s.search_many(pats, [t.encode() for t in texts], k)
+            arr = s.search_many_arrays(pats, pa.array(texts, pa.string()), k)
+            assert len(ms) == len(arr["text_idx"])
+            for i, m in enumerate(ms):
+                assert m.pattern_idx == arr["pattern_idx"][i]
+                assert m.text_idx == arr["text_idx"][i]
+                assert m.text_start == arr["text_start"][i]
+                assert m.text_end == arr["text_end"][i]
+                assert m.pattern_start == arr["pattern_start"][i]
+                assert m.pattern_end == arr["pattern_end"][i]
+                assert m.cost == arr["cost"][i]
+                assert (0 if m.strand == "+" else 1) == arr["strand"][i]
+                assert (m.cigar or "") == arr["cigar"][i]
