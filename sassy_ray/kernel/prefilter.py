@@ -37,8 +37,10 @@ __all__ = [
     "prefilter_hits",
     "LANES4X15",
     "LANES2X31",
+    "LANES1X63",
     "PackedPairRows",
     "packed_scan_minima",
+    "get_packed_suffixes",
 ]
 
 _ONE = np.uint64(1)
@@ -98,6 +100,13 @@ class LaneConfig:
 
 LANES4X15 = LaneConfig(4, 16)
 LANES2X31 = LaneConfig(2, 32)
+# 1 lane x 63 data bits: the packed-exact path for 32..63-char patterns
+# (the reference sizes its limb type by pattern length the same way,
+# ref /root/reference/src/pattern_tiling/backend.rs:110-127 — u8/u16/u32/u64).
+# One pattern per word, but the scan still shares text padding, the fused
+# minima walk, the per-worker pattern-state cache, and skips the
+# prefilter+verify double pass at k >= 4 where hit fractions are high.
+LANES1X63 = LaneConfig(1, 64)
 
 
 class PackedSuffixes:

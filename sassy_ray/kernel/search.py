@@ -335,8 +335,20 @@ class Searcher:
         sub = [patterns[i] for i in idxs]
         Ps, T = len(sub), len(texts)
         groups: list[tuple[int, tuple[int, ...]]] = []
-        if cfg is LANES2X31 and k <= 3:
-            packedf = get_packed_suffixes(sub, self.profile, k, LANES4X15)
+        # suffix-prefilter level in front of the packed scan, by the same
+        # selectivity table as the cascade: 4x15 at k <= 3; for the 1x63
+        # class a 2x31 suffix still dominates k up to ~10 (measured: direct
+        # 1x63 at m=40/k=5 is 2.8x SLOWER than 2x31-prefilter + verify —
+        # 17.3 vs 48.5 MB/s/core — because a 31-char suffix stays selective
+        # far past k=4; only past k~10 does unfiltered scanning win)
+        if cfg is LANES2X31:
+            pf_cfg = LANES4X15 if k <= 3 else None
+        elif cfg is LANES4X15:
+            pf_cfg = None
+        else:  # LANES1X63
+            pf_cfg = LANES4X15 if k <= 3 else (LANES2X31 if k <= 10 else None)
+        if pf_cfg is not None:
+            packedf = get_packed_suffixes(sub, self.profile, k, pf_cfg)
             ti_arr, pi_arr = np.nonzero(prefilter_hits(packedf, texts).T)
             bounds = np.searchsorted(ti_arr, np.arange(T + 1))
             for ti in range(T):
@@ -394,7 +406,16 @@ class Searcher:
           walk in one pass (prefilter and verify collapse into one scan);
         - 16..31 chars: transposed packed 2x31 scan (behind the 4x15 suffix
           prefilter when k <= 3, where that filter is cheaper per step);
-        - > 31 chars (and degenerate len <= k): the hierarchical prefilter
+        - 32..63 chars at k > 10: transposed packed 1x63 scan — the lane
+          holds the WHOLE pattern (exact-in-scan, backend.rs:110-127 sizes
+          limb types by length the same way); measured 1.45x over the
+          unfiltered cascade at m=40/k=12 (16.8 vs 11.6 MB/s/core).  At
+          k <= 10 this class stays on the cascade: a 31-char suffix
+          prefilter is still selective there and prefilter+verify measured
+          FASTER than the single-lane packed scan (48.5 vs 38.6 at k=5 —
+          one lane shares no element work, and the SWAR walk costs more
+          per row than the per-pair fused walk);
+        - > 63 chars (and degenerate len <= k): the hierarchical prefilter
           cascade (suffix SWAR level 1, 63-char single-limb level 2) in
           front of the per-pair multi-limb kernel.  All levels are exact —
           a suffix cost lower-bounds the full cost."""
@@ -408,11 +429,20 @@ class Searcher:
                 patterns, texts, pairs, k, all_minima, strand, filter_fn, chunk_pairs, out
             )
             return out
-        from sassy_ray.kernel.prefilter import LANES2X31, LANES4X15
+        from sassy_ray.kernel.prefilter import LANES1X63, LANES2X31, LANES4X15
 
         small = [i for i, p in enumerate(patterns) if k < len(p) <= 15]
         mid = [i for i, p in enumerate(patterns) if max(15, k) < len(p) <= 31]
-        rest = [i for i, p in enumerate(patterns) if len(p) > 31 or len(p) <= k]
+        packed63 = k > 10  # see docstring: below that the cascade measures faster
+        long_cut = 63 if packed63 else 31
+        long_ = (
+            [i for i, p in enumerate(patterns) if max(31, k) < len(p) <= 63]
+            if packed63
+            else []
+        )
+        rest = [
+            i for i, p in enumerate(patterns) if len(p) > long_cut or len(p) <= k
+        ]
         if small:
             self._packed_class(
                 patterns, texts, small, LANES4X15, k, all_minima, strand,
@@ -421,6 +451,11 @@ class Searcher:
         if mid:
             self._packed_class(
                 patterns, texts, mid, LANES2X31, k, all_minima, strand,
+                filter_fn, chunk_pairs, out,
+            )
+        if long_:
+            self._packed_class(
+                patterns, texts, long_, LANES1X63, k, all_minima, strand,
                 filter_fn, chunk_pairs, out,
             )
         if rest:

@@ -21,6 +21,7 @@ import pytest
 
 from sassy_ray.kernel.myers import batch_scan_minima
 from sassy_ray.kernel.prefilter import (
+    LANES1X63,
     LANES2X31,
     LANES4X15,
     PackedPairRows,
@@ -40,7 +41,7 @@ def test_packed_scan_matches_per_pair_kernel(seed):
     rng = random.Random(seed)
     prof = get_profile("dna")
     for trial in range(120):
-        cfg = LANES4X15 if trial % 2 == 0 else LANES2X31
+        cfg = (LANES4X15, LANES2X31, LANES1X63)[trial % 3]
         P = rng.randint(1, 9)
         T = rng.randint(1, 5)
         k = rng.randint(0, 5)
@@ -115,7 +116,7 @@ def test_search_many_flags_equivalence():
     for flags in ({"only_best_match": True}, {"without_trace": True}, {}):
         for trial in range(10):
             k = rng.randint(0, 3)
-            pats = [mk(rng, rng.randint(k + 1, 31)) for _ in range(5)]
+            pats = [mk(rng, rng.randint(k + 1, 63)) for _ in range(5)]
             texts = [mk(rng, rng.randint(10, 90)) for _ in range(3)]
             s = Searcher("dna", rc=True, **flags)
             many = {}
@@ -152,3 +153,27 @@ def test_packed_degenerate_and_empty():
     }
     assert s.search_many([], texts, 1) == []
     assert s.search_many(pats, [], 1) == []
+
+
+def test_search_many_highk_packed63_dispatch():
+    """At k > 10 the 32..63-char class routes through the packed 1x63 scan
+    (exact-in-scan, no prefilter) — must equal per-pair search()."""
+    rng = random.Random(7)
+    for trial in range(8):
+        k = rng.randint(11, 14)
+        lens = [rng.randint(32, 63) for _ in range(4)] + [rng.randint(64, 90)]
+        pats = [mk(rng, n) for n in lens]
+        texts = [mk(rng, rng.randint(0, 150)) for _ in range(3)]
+        s = Searcher("dna", rc=True)
+        many = {}
+        for m in s.search_many(pats, texts, k):
+            many.setdefault((m.pattern_idx, m.text_idx), []).append(_match_key(m))
+        ref = {}
+        for pi, p in enumerate(pats):
+            for ti, t in enumerate(texts):
+                ms = [_match_key(m) for m in s.search(p, t, k)]
+                if ms:
+                    ref[(pi, ti)] = ms
+        assert {a: sorted(b) for a, b in many.items()} == {
+            a: sorted(b) for a, b in ref.items()
+        }, f"trial {trial} k={k} lens={lens}"
