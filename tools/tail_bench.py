@@ -159,6 +159,7 @@ def main() -> None:
         help="bench the distributed barcode-demux pipeline (96x24bp, k=3)",
     )
     ap.add_argument("--reads", type=int, default=100_000)
+    ap.add_argument("--k", type=int, default=3, help="demux edit threshold")
     ap.add_argument(
         "--neardup",
         action="store_true",
@@ -202,13 +203,13 @@ def main() -> None:
         reads, barcodes = synth_demux_reads(args.reads)
         ds = rd.from_arrow(reads).repartition(max(8, args.cpus)).materialize()
         t0 = time.time()
-        out = run_demux(ds, DemuxConfig(barcodes, k=3)).materialize()
+        out = run_demux(ds, DemuxConfig(barcodes, k=args.k)).materialize()
         dt = time.time() - t0
         n_assigned = out.count()
         mb = args.reads * 400 / 1e6
         n_bc = len(barcodes)
         print(
-            f"demux(distributed): {args.reads} reads x {n_bc} barcodes (k=3) in "
+            f"demux(distributed): {args.reads} reads x {n_bc} barcodes (k={args.k}) in "
             f"{dt:.1f}s = {args.reads / dt / 1e3:.1f}k reads/s, "
             f"{mb * n_bc / dt:.0f} MB/s pattern-scan aggregate "
             f"(kernel_bench normalization: text MB x patterns), {n_assigned} assigned",
@@ -218,6 +219,7 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": "demux_distributed",
+                    "k": args.k,
                     "reads": args.reads,
                     "num_cpus": args.cpus,
                     "sec": round(dt, 2),
