@@ -828,6 +828,58 @@ def _e6_half_away(sims: np.ndarray) -> np.ndarray:
     return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
 
 
+def _duckdb_cos_e6(sf_dir: str, vec_ids, q_vid: int = 0) -> np.ndarray:
+    """Bitwise emulation of DuckDB's
+    ``CAST(round(list_cosine_similarity(e, q) * 1000000) AS BIGINT)`` on
+    ``list<float>`` columns, for a FEW final rows (the reported top-k).
+
+    DuckDB evaluates the whole expression in FLOAT32 — sequential f32
+    accumulation of dot/norms, f32 divide, f32 multiply by 1e6 — while the
+    distributed scan scores in float64 BLAS.  The two land on opposite
+    sides of a .5e-6 rounding boundary ~1e-4 of the time (observed at
+    sf0.001: 315127 vs 315128), so the REPORTED values recompute under
+    DuckDB's exact precision contract; the scan/selection stays float64."""
+    import duckdb
+
+    ids = [int(v) for v in vec_ids]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{_path(sf_dir, 'embeddings')}' "
+        f"WHERE vec_id IN ({','.join(map(str, set(ids) | {q_vid}))})"
+    ).fetchall()
+    con.close()
+    emb = {vid: np.asarray(e, dtype=np.float32) for vid, e in rows}
+    q = emb[q_vid]
+    out = np.empty(len(ids), dtype=np.int64)
+    for j, vid in enumerate(ids):
+        a = emb[vid]
+        d = np.float32(0.0)
+        na = np.float32(0.0)
+        nb = np.float32(0.0)
+        for x, y in zip(a, q):
+            d = np.float32(d + x * y)
+            na = np.float32(na + x * x)
+            nb = np.float32(nb + y * y)
+        cos = np.float32(d / np.float32(np.sqrt(np.float32(na * nb))))
+        x6 = float(np.float32(cos * np.float32(1_000_000.0)))
+        out[j] = np.int64(np.sign(x6) * np.floor(abs(x6) + 0.5))
+    return out
+
+
+def _rerank_duckdb_e6(sf_dir: str, vec_ids: np.ndarray, k: int, q_vid: int = 0) -> pa.Table:
+    """Re-rank candidate ids by the DuckDB-contract e6 value and emit the
+    final (vec_id, sim_e6) top-k — ties broken by vec_id like the SQL's
+    ORDER BY sim_e6 DESC, vec_id."""
+    e6 = _duckdb_cos_e6(sf_dir, vec_ids, q_vid)
+    order = np.lexsort((np.asarray(vec_ids, dtype=np.int64), -e6))[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array(np.asarray(vec_ids, dtype=np.int64)[order]),
+            "sim_e6": pa.array(e6[order]),
+        }
+    )
+
+
 def ann_topk(sf_dir: str):
     """Brute-force cosine top-10 neighbors of vec_id=0: numpy matmul per
     batch against the broadcast query vector (the scale path buckets by
@@ -846,12 +898,17 @@ def ann_topk(sf_dir: str):
             {"vec_id": t.column("vec_id"), "sim_e6": pa.array(sim_e6)}
         )
 
+    # distributed f64 selection takes a small margin past k, then the
+    # REPORTED values re-rank under DuckDB's f32 precision contract (the
+    # f64-vs-f32 disagreement is ~1e-7 relative, so the margin guards the
+    # k-boundary; see _duckdb_cos_e6)
     out = (
         ds.map_batches(score, batch_format="pyarrow")
         .sort(["sim_e6", "vec_id"], descending=[True, False])
-        .limit(10)
+        .limit(18)
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    cand = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _rerank_duckdb_e6(sf_dir, cand.column("vec_id").to_numpy(), 10)
 
 
 ANN_TOPK_SQL = """
@@ -1690,16 +1747,13 @@ def ann_ivf_topk(sf_dir: str):
     )
     _oracle_export("ann_ivf_assign", assigns)
     _oracle_export("ann_ivf_probed", pa.table({"bucket": pa.array(probe.astype(np.int64))}))
+    # select with margin in f64, report under DuckDB's f32 contract
+    # (same rationale as ann_topk; see _duckdb_cos_e6)
     ids, sims, counts = ivf_topk(
-        ds, q[None, :], k=10, centroids=C, nprobe=4, quantize=_e6_half_away
+        ds, q[None, :], k=18, centroids=C, nprobe=4, quantize=_e6_half_away
     )
     n = int(counts[0])
-    return pa.table(
-        {
-            "vec_id": pa.array(ids[0][:n], pa.int64()),
-            "sim_e6": pa.array(_e6_half_away(sims[0][:n])),
-        }
-    )
+    return _rerank_duckdb_e6(sf_dir, ids[0][:n], 10)
 
 
 ANN_IVF_TOPK_SQL = f"""
@@ -1725,7 +1779,8 @@ def embedding_neardup(sf_dir: str):
     # multi-assignment candidates can repeat a pair (found via two buckets):
     # export DISTINCT pairs so the SQL twin and the deduped engine output
     # count each pair once
-    cands = _collect(res["candidates"]).select(["vec_id_a", "vec_id_b"])
+    cands_full = _collect(res["candidates"])
+    cands = cands_full.select(["vec_id_a", "vec_id_b"])
     _oracle_export(
         "embedding_neardup_cands",
         cands.group_by(["vec_id_a", "vec_id_b"]).aggregate([]),
@@ -1734,6 +1789,33 @@ def embedding_neardup(sf_dir: str):
     import pandas as pd
 
     df = t.to_pandas().sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+    keep = set(zip(df["vec_id_a"], df["vec_id_b"]))
+    # precision-contract insurance (same class as _duckdb_cos_e6): the SQL
+    # twin thresholds DuckDB's FLOAT32 cosine while the verify matmul is
+    # float64 — candidates within 1e-5 of tau re-decide under the f32
+    # contract (normally zero rows; the distributed filter stays f64 BLAS)
+    cd = cands_full.to_pandas().drop_duplicates(["vec_id_a", "vec_id_b"])
+    near = cd[(cd["sim"] - 0.35).abs() < 1e-5]
+    if len(near):
+        emb = {
+            int(r[0]): np.asarray(r[1], dtype=np.float32)
+            for r in _collect(ds).select(["vec_id", "embedding"]).to_pandas().itertuples(index=False)
+        }
+        for a, b in zip(near["vec_id_a"], near["vec_id_b"]):
+            va, vb = emb[int(a)], emb[int(b)]
+            d = np.float32(0.0)
+            na = np.float32(0.0)
+            nb = np.float32(0.0)
+            for x, y in zip(va, vb):
+                d = np.float32(d + x * y)
+                na = np.float32(na + x * x)
+                nb = np.float32(nb + y * y)
+            cos32 = float(np.float32(d / np.float32(np.sqrt(np.float32(na * nb)))))
+            if cos32 >= 0.35:
+                keep.add((a, b))
+            else:
+                keep.discard((a, b))
+        df = pd.DataFrame(sorted(keep), columns=["vec_id_a", "vec_id_b"]).astype("int64")
     return pa.Table.from_pandas(df[["vec_id_a", "vec_id_b"]], preserve_index=False)
 
 
