@@ -650,7 +650,13 @@ def batch_best_costs(
         if m_max > 64:
             # banded (blocked-filter) path pays off when the ≤k band covers
             # only part of the limbs; otherwise the wavefront-skewed dense
-            # scan has less per-step overhead
+            # scan has less per-step overhead.  (A banded+skewed hybrid —
+            # the band fused into the limb-vectorized skewed loop — was
+            # built and measured SLOWER both single-core and at 16-proc
+            # aggregate: the (B, L) column slices it needs still fetch the
+            # full cache line of every row, so the band saves no memory
+            # traffic, while the banded loop's (L, B) rows are contiguous
+            # and its 1D temporaries stay in L1.)
             if k + 64 < m_max:
                 best = _batch_min_costs_banded(patterns, texts, profile, k)
             else:
@@ -811,40 +817,82 @@ def _batch_min_costs_banded(
     yb = np.full(B, min(L - 1, (kk + U) // 64), dtype=np.int64)  # per-pair band bottom
     cap = int(yb.max())
 
-    hin_pos = np.zeros(B, dtype=np.uint64)
-    hin_neg = np.zeros(B, dtype=np.uint64)
     n_min = int(n_arr.min())
 
+    # allocation-free hot loop (the `_scan_l1` treatment): every step op
+    # writes a preallocated buffer, the PEQ gather is ONE row-take per step
+    # of all limbs for the step's chars — the (B, A, L) layout keeps a
+    # pair's limbs on the same cache line, so this touches the same DRAM
+    # lines as a single-limb gather (a per-limb transposed flat table was
+    # tried and measured SLOWER at 32-proc aggregate: it splits each
+    # pair's limbs across L distinct lines) — and the text reads from a
+    # transposed contiguous layout.  The per-(column, limb) allocation
+    # churn of the expression-per-line form was ~20% of the loop at the
+    # production 600-2000-row call shapes.
+    A = peq.shape[1]
+    peq2 = peq.reshape(B * A, L)  # view: rows = (pair, char), cols = limbs
+    base = np.arange(B, dtype=np.intp) * A
+    txtT = np.ascontiguousarray(txt.T)  # (steps, B)
+    idx = np.empty(B, np.intp)
+    EqAll = np.empty((B, L), np.uint64)
+    Xv = np.empty(B, np.uint64)
+    Xh = np.empty(B, np.uint64)
+    Ph = np.empty(B, np.uint64)
+    Mh = np.empty(B, np.uint64)
+    tA = np.empty(B, np.uint64)
+    tb = np.empty(B, np.uint64)
+    bit = np.empty(B, np.uint64)
+    bit64 = bit.view(np.int64)
+    upd = np.empty(B, np.int64)
+    hin_pos = np.zeros(B, dtype=np.uint64)
+    hin_neg = np.zeros(B, dtype=np.uint64)
+    hout_pos = np.zeros(B, dtype=np.uint64)
+    hout_neg = np.zeros(B, dtype=np.uint64)
+
     for t in range(steps):
-        cbytes = txt[:, t]
+        np.add(base, txtT[t], out=idx)
+        np.take(peq2, idx, axis=0, out=EqAll)
         hin_pos.fill(0)
         hin_neg.fill(0)
         for l in range(cap + 1):
-            Eq = peq[bidx, cbytes, l]
+            Eq = EqAll[:, l]
             Pvl = Pv[l]
             Mvl = Mv[l]
-            Xv = Eq | Mvl
-            Eqh = Eq | hin_neg
-            Xh = (((Eqh & Pvl) + Pvl) ^ Pvl) | Eqh
-            Ph = Mvl | ~(Xh | Pvl)
-            Mh = Pvl & Xh
+            np.bitwise_or(Eq, Mvl, out=Xv)
+            np.bitwise_or(Eq, hin_neg, out=tb)  # tb = Eqh
+            np.bitwise_and(tb, Pvl, out=tA)
+            np.add(tA, Pvl, out=tA)
+            np.bitwise_xor(tA, Pvl, out=tA)
+            np.bitwise_or(tA, tb, out=Xh)
+            np.bitwise_or(Xh, Pvl, out=tb)
+            np.invert(tb, out=tb)
+            np.bitwise_or(Mvl, tb, out=Ph)
+            np.bitwise_and(Pvl, Xh, out=Mh)
             if sel_any[l]:
-                upd = ((Ph >> score_shift) & _ONE).view(np.int64) - (
-                    (Mh >> score_shift) & _ONE
-                ).view(np.int64)
+                np.right_shift(Ph, score_shift, out=bit)
+                np.bitwise_and(bit, _ONE, out=bit)
+                np.copyto(upd, bit64)
+                np.right_shift(Mh, score_shift, out=bit)
+                np.bitwise_and(bit, _ONE, out=bit)
+                np.subtract(upd, bit64, out=upd)
                 if sel_uniform[l]:
                     score += upd
                 else:
-                    score += np.where(sel_per_limb[l], upd, zero64)
-            hout_pos = Ph >> _SIX3
-            hout_neg = Mh >> _SIX3
-            bs[l] += hout_pos.view(np.int64) - hout_neg.view(np.int64)
-            Ph = (Ph << _ONE) | hin_pos
-            Mh = (Mh << _ONE) | hin_neg
-            Pv[l] = Mh | ~(Xv | Ph)
-            Mv[l] = Ph & Xv
-            hin_pos = hout_pos
-            hin_neg = hout_neg
+                    np.add(score, upd, out=score, where=sel_per_limb[l])
+            np.right_shift(Ph, _SIX3, out=hout_pos)
+            np.right_shift(Mh, _SIX3, out=hout_neg)
+            np.subtract(hout_pos.view(np.int64), hout_neg.view(np.int64), out=upd)
+            np.add(bs[l], upd, out=bs[l])
+            np.left_shift(Ph, _ONE, out=Ph)
+            np.bitwise_or(Ph, hin_pos, out=Ph)
+            np.left_shift(Mh, _ONE, out=Mh)
+            np.bitwise_or(Mh, hin_neg, out=Mh)
+            np.bitwise_or(Xv, Ph, out=tb)
+            np.invert(tb, out=tb)
+            np.bitwise_or(Mh, tb, out=Pvl)
+            np.bitwise_and(Ph, Xv, out=Mvl)
+            hin_pos, hout_pos = hout_pos, hin_pos
+            hin_neg, hout_neg = hout_neg, hin_neg
         # ---- best update: valid for pairs whose last limb is computed ----
         ok = last_limb <= cap
         if t >= n_min:

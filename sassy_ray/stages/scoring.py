@@ -304,7 +304,13 @@ class PairScorer:
 
         # --- stage 2: full kernel on survivors, bucketed by limb count ----
         # (a batch's kernel cost is B x max(L); mixing a 64-char pattern
-        # with a 560-char one makes everyone pay 9 limbs)
+        # with a 560-char one makes everyone pay 9 limbs.  A limb-bucket-
+        # MERGING variant — bigger calls, padding waste bounded by the
+        # per-call dispatch cost — measured 1.24x single-core but 1.25x
+        # SLOWER on the warm scored stage at 32 procs: at full occupancy
+        # the node is DRAM-bound, so the padded limb-rows are extra bytes,
+        # not amortized dispatch.  Strict equal-limb buckets are the
+        # minimum-traffic chunking and win where it counts.)
         cost = np.full(n, np.int32(np.iinfo(np.int32).max // 2), dtype=np.int32)
         limbs = (min_len + 63) // 64
         # (limbs, text length) sort: limb buckets bound per-step cost, the
@@ -326,10 +332,16 @@ class PairScorer:
                 take = pa.array(idx)
                 sub_p = pats_arr.take(take)
                 sub_t = txts_arr.take(take)
-                c = batch_best_costs(sub_p, sub_t, self.prof, k_max)
+                # per-chunk k: the banded path prunes by the threshold, and
+                # every row's own k is <= the chunk max (the clamp stays
+                # exact — costs above kc report kc+1, later clamped to
+                # k_pair+1), so limb buckets with short patterns get the
+                # tighter band their own k implies instead of the batch max
+                kc = int(k_pair[idx].max())
+                c = batch_best_costs(sub_p, sub_t, self.prof, kc)
                 if rc:
                     rc_p = [self.prof.reverse_complement((p or "").encode()) for p in sub_p.to_pylist()]
-                    c = np.minimum(c, batch_best_costs(rc_p, sub_t, self.prof, k_max))
+                    c = np.minimum(c, batch_best_costs(rc_p, sub_t, self.prof, kc))
                 cost[idx] = c
             i = j
         cost = np.minimum(cost, k_pair + 1)
