@@ -427,6 +427,14 @@ def _scan_l1(
     Mv[:, 0] = Mv0
 
 
+# engage text-lane packing (prefilter.packed_rows_scan) at or above this
+# batch size — below it the extra per-step gather/walk ops outweigh the
+# element-work saving.  Measured crossover ~1024 rows on BOTH the uniform
+# 512-char chunk-row shape (ratio 0.82 @256 -> 1.00 @1024 -> 1.54 @4096)
+# and a heterogeneous 250-650-char doc shape (0.79 @256 -> 1.23 @2048).
+PACKED_ROWS_MIN_B = 1024
+
+
 def batch_scan_minima(
     patterns: list[bytes],
     texts: list[bytes],
@@ -444,8 +452,28 @@ def batch_scan_minima(
     if B == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z, np.zeros(0, dtype=np.int32)
-    assert max(len(p) for p in patterns) <= 64, "batch_scan_minima is L==1 only"
+    m_max = max(len(p) for p in patterns)
+    assert m_max <= 64, "batch_scan_minima is L==1 only"
     raw, n_arr = _pad_texts(texts)
+    # text-lane packing: patterns <= 31 chars use only half (or a quarter)
+    # of the 64-bit row state, so pack 2 (4 at <= 15) batch rows per SWAR
+    # word instead — the dual of the transposed multi-pattern scan (see
+    # prefilter.packed_rows_scan).  Worth the extra per-step gather ops only
+    # above a row-count threshold (measured).
+    if B >= PACKED_ROWS_MIN_B and min(len(p) for p in patterns) >= 1:
+        from sassy_ray.kernel.prefilter import (
+            LANES2X31,
+            LANES4X15,
+            packed_rows_scan,
+        )
+
+        cfg = LANES4X15 if m_max <= 15 else (LANES2X31 if m_max <= 31 else None)
+        if (
+            cfg is not None
+            and k + 1 < (1 << (cfg.lane_bits - 1))
+            and k < cfg.empty_cost
+        ):
+            return packed_rows_scan(patterns, raw, n_arr, profile, k, all_minima, cfg)
     present = np.zeros(256, dtype=bool)
     present[raw.reshape(-1)] = True
     alphabet = _ALL_BYTES[present]
@@ -503,6 +531,7 @@ def batch_scan_minima(
     bit64 = bit.view(np.int64)
     emit = np.empty(B, dtype=bool)
     m1 = np.empty(B, dtype=bool)
+    le = np.empty(B, dtype=bool)
     ceff = np.empty(B, dtype=np.int64)
     n_min = int(n_arr.min())
     BIG64 = np.int64(_BIG)
@@ -549,9 +578,17 @@ def batch_scan_minima(
                 out_pos.append(np.full(len(rows), t + 1, dtype=np.int64))
                 out_cost.append(c[rows].astype(np.int32))
         else:
+            # walk gate: emission and dec-evolution only matter while some
+            # row's prev is <= k (re-entry from >k is always a strict
+            # decrease, which re-derives dec=true) — skip the walk otherwise
+            np.less_equal(prev, k, out=le)
+            if not le.any():
+                dec.fill(True)
+                np.copyto(prev, c)
+                continue
             np.greater(c, prev, out=m1)          # rising into p
             np.logical_and(m1, dec, out=emit)
-            np.logical_and(emit, prev <= k, out=emit)
+            np.logical_and(emit, le, out=emit)
             if emit.any():
                 rows = np.nonzero(emit)[0]
                 out_rows.append(rows)

@@ -40,6 +40,7 @@ __all__ = [
     "LANES1X63",
     "PackedPairRows",
     "packed_scan_minima",
+    "packed_rows_scan",
     "get_packed_suffixes",
 ]
 
@@ -608,3 +609,297 @@ def _decode_packed_records(packed: PackedPairRows, records: list, empty, cfg: La
     # lane-major — restore (pair, pos) order with a stable sort
     order = np.lexsort((pos, ti, pi))
     return pi[order], ti[order], pos[order], cost[order]
+
+
+# ---------------------------------------------------------------------------
+# text-lane packed scan: lanes = batch ROWS (pattern[i] vs text[i])
+# ---------------------------------------------------------------------------
+
+
+def packed_rows_scan(
+    patterns: list[bytes],
+    raw: np.ndarray,
+    n_arr: np.ndarray,
+    profile: Profile,
+    k: int,
+    all_minima: bool,
+    cfg: LaneConfig,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fused scan + reference walk with ``cfg.lanes`` BATCH ROWS packed per
+    64-bit word — the dual of ``packed_scan_minima``: there lanes share one
+    text and hold different patterns (the many-pattern demux shape); here
+    lanes hold different (pattern, text) rows, so FEW-pattern scans (the
+    reference's flagship single-query text tiling, sassy v1) stop wasting
+    49 of 64 state bits per row.  Per step the PEQ gather runs once per
+    lane from pre-shifted per-pattern tables and the words are OR-combined;
+    every other SWAR op runs on ``B/lanes`` words instead of ``B`` rows.
+
+    Per-lane text-length walls: a lane's text ending at n forces its cost
+    to the lane's data mask from position n+1 on (event-driven OR into a
+    per-word wall mask), which makes the walk emit the pending minimum at
+    n exactly like the per-row _BIG wall in ``myers.batch_scan_minima``.
+
+    Walk gate: on steps where no lane's prev cost is <= k, emission is
+    impossible and dec-state can be reset to "decreasing" (any re-entry to
+    <= k is a strict decrease, which re-derives dec=true), so the ~17-op
+    SWAR walk collapses to a 4-op test — the common case in scans, where
+    random-text costs hover well above k.
+
+    Bit-for-bit equivalent to ``myers.batch_scan_minima`` (pinned by the
+    packed-equivalence fuzz suite).  Returns (row_idx, end_pos, cost)
+    sorted by (row, pos).
+    """
+    B = len(patterns)
+    empty = (
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=np.int32),
+    )
+    if B == 0:
+        return empty
+    LN, LB, DB = cfg.lanes, cfg.lane_bits, cfg.data_bits
+    assert k + 1 < (1 << (LB - 1)), "k too large for lane width"
+    assert k < cfg.empty_cost, "k too large for the padding-lane sentinel"
+    H, NGUARD, M1 = cfg.guard, cfg.nguard, cfg.m1
+    SHIFT_LAST = cfg.shift_last
+    K1 = np.uint64(k + 1) * M1
+    DATAMASK = np.uint64((1 << DB) - 1)
+    _Z64 = np.uint64(0)
+
+    # unique patterns -> cached lane-0 columns; extra slot U = always-match
+    # dummy for padding lanes (score pinned at empty_cost, never emits)
+    uniq: dict[bytes, int] = {}
+    pat_row = np.empty(B, dtype=np.intp)
+    for i, p in enumerate(patterns):
+        pat_row[i] = uniq.setdefault(p, len(uniq))
+    upats = list(uniq)
+    U = len(upats)
+    peq0, pv0, s0 = _pack_cached(
+        ("lanecols", profile.name, LN, LB, tuple(upats)),
+        lambda: _pattern_lane_cols(upats, profile, cfg),
+    )
+    peq_ext = np.empty((U + 1, 256), dtype=np.uint64)
+    peq_ext[:U] = peq0
+    peq_ext[U] = DATAMASK
+    s_ext = np.append(s0, np.uint64(cfg.empty_cost))
+    pv_ext = np.append(pv0, _Z64)
+
+    # lane assignment: rows sorted by text length desc, filled lane-minor
+    # (word w, lane l <- order[w*LN + l]) so a word's lanes expire together
+    order = np.argsort(-n_arr, kind="stable")
+    pad = (-B) % LN
+    Wd = (B + pad) // LN
+    flat = np.empty(Wd * LN, dtype=np.int64)
+    flat[:B] = order
+    if pad:
+        flat[B:] = order[B - 1]  # real codes for padding lanes (walled, inert)
+    rows_of = np.ascontiguousarray(flat.reshape(Wd, LN).T)  # (LN, Wd)
+    prow_of = pat_row[rows_of]  # (LN, Wd)
+    if pad:
+        prow_of[LN - pad :, Wd - 1] = U  # dummy pattern for padding lanes
+
+    # pre-shifted flat gather tables (tiny: (U+1) x 256 per lane)
+    single = U == 1 and pad == 0
+    if single:
+        tabs = [np.ascontiguousarray(peq_ext[0] << np.uint64(l * LB)) for l in range(LN)]
+    else:
+        tabs = [
+            np.ascontiguousarray(peq_ext << np.uint64(l * LB)).reshape(-1)
+            for l in range(LN)
+        ]
+
+    pv_init_all = np.zeros(Wd, dtype=np.uint64)
+    score_init_all = np.zeros(Wd, dtype=np.uint64)
+    nl = np.empty((LN, Wd), dtype=np.int64)
+    for l in range(LN):
+        sh = np.uint64(l * LB)
+        pv_init_all |= pv_ext[prow_of[l]] << sh
+        score_init_all += s_ext[prow_of[l]] << sh
+        nl[l] = n_arr[rows_of[l]]
+    lane_masks = [DATAMASK << np.uint64(l * LB) for l in range(LN)]
+    records: list[tuple[np.ndarray, np.ndarray, np.ndarray, int]] = []
+
+    # word chunks: L2 residency for the ~18 per-word state/temp arrays, and
+    # per-chunk step counts — words are length-sorted, so a chunk of short
+    # rows stops at ITS max length instead of the batch's
+    CHUNK = _PREFILTER_ROW_CHUNK
+    for c0 in range(0, Wd, CHUNK):
+        c1 = min(Wd, c0 + CHUNK)
+        Wc = c1 - c0
+        nl_c = nl[:, c0:c1]
+        steps = int(nl_c.max()) if Wc else 0
+        # per-lane contiguous transposed codes: the strided transpose copy
+        # is paid once per lane, and every per-step read is then contiguous
+        # (a zero-copy strided VIEW per step measured 1.3-1.6x slower
+        # overall — strided uint8 reads defeat the per-op SIMD)
+        txt_l = [
+            np.ascontiguousarray(raw[rows_of[l, c0:c1], :steps].T) for l in range(LN)
+        ]
+        bases = None if single else [prow_of[l, c0:c1] * 256 for l in range(LN)]
+
+        # per-lane expiry events: at iteration t == n the lane's data mask
+        # ORs into the word's wall (t == steps never fires -> final rule)
+        ev_t = nl_c.reshape(-1)
+        ev_w = np.tile(np.arange(Wc), LN)
+        ev_m = np.concatenate([np.full(Wc, m, dtype=np.uint64) for m in lane_masks])
+        live = ev_t < steps
+        e_ord = np.argsort(ev_t[live], kind="stable")
+        ev_w_s = ev_w[live][e_ord]
+        ev_m_s = ev_m[live][e_ord]
+        ev_bounds = np.searchsorted(ev_t[live][e_ord], np.arange(steps + 1))
+
+        Pv = pv_init_all[c0:c1].copy()
+        Mv = np.zeros(Wc, dtype=np.uint64)
+        score = score_init_all[c0:c1].copy()
+        prev = score.copy()
+        dec = np.full(Wc, H, dtype=np.uint64)
+        wall = np.zeros(Wc, dtype=np.uint64)
+        wall_active = False
+
+        if all_minima:
+            le0 = np.bitwise_and(np.invert(np.bitwise_or(prev, H) - K1), H)
+            rows0 = np.nonzero(le0)[0]
+            if len(rows0):
+                records.append((rows0 + c0, le0[rows0], prev[rows0], 0))
+
+        Eq = np.empty(Wc, np.uint64)
+        eqb = np.empty(Wc, np.uint64)
+        Xv = np.empty(Wc, np.uint64)
+        Xh = np.empty(Wc, np.uint64)
+        Ph = np.empty(Wc, np.uint64)
+        Mh = np.empty(Wc, np.uint64)
+        tA = np.empty(Wc, np.uint64)
+        tb = np.empty(Wc, np.uint64)
+        idx = np.empty(Wc, np.intp)
+        sw = np.empty(Wc, np.uint64)
+        ga = np.empty(Wc, np.uint64)
+        gb = np.empty(Wc, np.uint64)
+        emit = np.empty(Wc, np.uint64)
+        ceff = np.empty(Wc, np.uint64)
+
+        for t in range(steps):
+            for l in range(LN):
+                dst = Eq if l == 0 else eqb
+                if single:
+                    np.take(tabs[l], txt_l[l][t], out=dst)
+                else:
+                    np.add(bases[l], txt_l[l][t], out=idx)
+                    np.take(tabs[l], idx, out=dst)
+                if l:
+                    np.bitwise_or(Eq, eqb, out=Eq)
+            np.bitwise_or(Eq, Mv, out=Xv)
+            np.bitwise_and(Eq, Pv, out=tA)
+            np.add(tA, Pv, out=tA)
+            np.bitwise_xor(tA, Pv, out=tA)
+            np.bitwise_or(tA, Eq, out=Xh)
+            np.bitwise_or(Xh, Pv, out=tb)
+            np.invert(tb, out=tb)
+            np.bitwise_or(Mv, tb, out=Ph)
+            np.bitwise_and(Pv, Xh, out=Mh)
+            # packed score update from the last data row of each lane
+            np.right_shift(Ph, SHIFT_LAST, out=sw)
+            np.bitwise_and(sw, M1, out=sw)
+            np.add(score, sw, out=score)
+            np.right_shift(Mh, SHIFT_LAST, out=sw)
+            np.bitwise_and(sw, M1, out=sw)
+            np.subtract(score, sw, out=score)
+            # lane isolation across the guard bits
+            np.bitwise_and(Ph, NGUARD, out=Ph)
+            np.bitwise_and(Mh, NGUARD, out=Mh)
+            np.left_shift(Ph, _ONE, out=Ph)
+            np.left_shift(Mh, _ONE, out=Mh)
+            np.bitwise_or(Xv, Ph, out=tb)
+            np.invert(tb, out=tb)
+            np.bitwise_or(Mh, tb, out=Pv)
+            np.bitwise_and(Pv, NGUARD, out=Pv)
+            np.bitwise_and(Ph, Xv, out=Mv)
+            # ---- per-lane wall, then the fused walk at position p = t+1 ----
+            a, b = int(ev_bounds[t]), int(ev_bounds[t + 1])
+            if b > a:
+                np.bitwise_or.at(wall, ev_w_s[a:b], ev_m_s[a:b])
+                wall_active = True
+            if wall_active:
+                np.bitwise_or(score, wall, out=ceff)
+                c = ceff
+            else:
+                c = score
+            if all_minima:
+                np.bitwise_or(c, H, out=sw)
+                np.subtract(sw, K1, out=sw)
+                np.invert(sw, out=sw)
+                np.bitwise_and(sw, H, out=emit)
+                rows = np.nonzero(emit)[0]
+                if len(rows):
+                    records.append((rows + c0, emit[rows], c[rows].copy(), t + 1))
+            else:
+                # walk gate: le bits of prev (prev <= k); nothing can emit
+                # and dec may be reset while every lane sits above k
+                np.bitwise_or(prev, H, out=sw)
+                np.subtract(sw, K1, out=gb)
+                np.invert(gb, out=gb)
+                np.bitwise_and(gb, H, out=gb)
+                if not gb.any():
+                    np.copyto(dec, H)
+                    np.copyto(prev, c)
+                    continue
+                # emit = dec & (prev < c) & (prev <= k)
+                np.subtract(sw, c, out=ga)  # guard set iff prev >= c
+                np.invert(ga, out=ga)
+                np.bitwise_and(ga, H, out=ga)  # gt: prev < c
+                np.bitwise_and(ga, gb, out=emit)
+                np.bitwise_and(emit, dec, out=emit)
+                rows = np.nonzero(emit)[0]
+                if len(rows):
+                    records.append((rows + c0, emit[rows], prev[rows].copy(), t))
+                # dec' = lt | (dec & eq);  lt = c < prev, eq = ~(lt | gt)
+                np.bitwise_or(c, H, out=sw)
+                np.subtract(sw, prev, out=sw)
+                np.invert(sw, out=sw)
+                np.bitwise_and(sw, H, out=sw)  # lt
+                np.bitwise_or(sw, ga, out=gb)
+                np.invert(gb, out=gb)
+                np.bitwise_and(gb, H, out=gb)  # eq
+                np.bitwise_and(dec, gb, out=dec)
+                np.bitwise_or(dec, sw, out=dec)
+            np.copyto(prev, c)
+
+        if not all_minima:
+            # final-position rule: lanes whose text ends at the chunk's last
+            # step (shorter lanes were walled inside the loop and emitted
+            # their pending minimum there — same condition, same result)
+            final_mask = np.zeros(Wc, dtype=np.uint64)
+            for l in range(LN):
+                g = np.uint64(1 << (l * LB + LB - 1))
+                final_mask |= np.where(nl_c[l] == steps, g, _Z64)
+            np.bitwise_or(prev, H, out=sw)
+            np.subtract(sw, K1, out=sw)
+            np.invert(sw, out=sw)
+            np.bitwise_and(sw, H, out=sw)
+            np.bitwise_and(sw, dec, out=sw)
+            np.bitwise_and(sw, final_mask, out=sw)
+            rows = np.nonzero(sw)[0]
+            if len(rows):
+                records.append((rows + c0, sw[rows], prev[rows].copy(), steps))
+
+    if not records:
+        return empty
+    all_rows = np.concatenate([r for r, _, _, _ in records])
+    all_emit = np.concatenate([e for _, e, _, _ in records])
+    all_cost = np.concatenate([cw for _, _, cw, _ in records])
+    all_pos = np.concatenate(
+        [np.full(len(r), p, dtype=np.int64) for r, _, _, p in records]
+    )
+    out_r, out_p, out_c = [], [], []
+    for l in range(LN):
+        gbit = np.uint64(1 << (l * LB + LB - 1))
+        sel = (all_emit & gbit) != 0
+        if not sel.any():
+            continue
+        out_r.append(rows_of[l][all_rows[sel]])
+        out_p.append(all_pos[sel])
+        out_c.append(((all_cost[sel] >> np.uint64(l * LB)) & DATAMASK).astype(np.int32))
+    ri = np.concatenate(out_r)
+    pos = np.concatenate(out_p)
+    cost = np.concatenate(out_c)
+    o = np.lexsort((pos, ri))
+    return ri[o], pos[o], cost[o]

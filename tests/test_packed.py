@@ -177,3 +177,65 @@ def test_search_many_highk_packed63_dispatch():
         assert {a: sorted(b) for a, b in many.items()} == {
             a: sorted(b) for a, b in ref.items()
         }, f"trial {trial} k={k} lens={lens}"
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_packed_rows_scan_matches_unpacked_loop(seed, monkeypatch):
+    """Text-lane packing (lanes = batch rows, ``packed_rows_scan``) must be
+    bit-identical to the unpacked single-limb loop across batch sizes, lane
+    widths (4x15 / 2x31 by pattern length), pattern multiplicity, text-length
+    skew (per-lane walls), empty texts, k >= m degenerates, and both walk
+    modes.  The production dispatch gates on PACKED_ROWS_MIN_B; here both
+    paths are forced so small fuzz cases cover the packed code."""
+    import sassy_ray.kernel.myers as myers_mod
+
+    rng = random.Random(seed)
+    nprng = np.random.default_rng(seed)
+    prof_dna = get_profile("dna")
+    prof_ascii = get_profile("ascii")
+
+    def norm(r):
+        ri, pp, cc = r
+        o = np.lexsort((cc, pp, ri))
+        return np.stack([ri[o], pp[o], cc[o].astype(np.int64)])
+
+    for trial in range(40):
+        prof, alpha = (prof_dna, b"ACGT") if trial % 2 else (prof_ascii, b"abcxyz ")
+        B = rng.choice([1, 2, 3, 5, 17, 64, 257])
+        m_hi = rng.choice([15, 31])
+        n_pats = rng.randint(1, 4)
+        pats = [mk(rng, rng.randint(1, m_hi), alpha) for _ in range(n_pats)]
+        k = rng.randint(0, 10)
+        patterns = [pats[rng.randrange(n_pats)] for _ in range(B)]
+        texts = [mk(rng, rng.randint(0, 90), alpha) for _ in range(B)]
+        for i in range(0, B, 3):  # planted hits so the walk actually emits
+            p, t = patterns[i], bytearray(texts[i])
+            if len(t) > len(p) + 2:
+                pos = rng.randrange(len(t) - len(p))
+                t[pos : pos + len(p)] = p
+                texts[i] = bytes(t)
+        all_minima = trial % 3 == 0
+        monkeypatch.setattr(myers_mod, "PACKED_ROWS_MIN_B", 10**9)
+        ref = norm(batch_scan_minima(patterns, texts, prof, k, all_minima))
+        monkeypatch.setattr(myers_mod, "PACKED_ROWS_MIN_B", 1)
+        got = norm(batch_scan_minima(patterns, texts, prof, k, all_minima))
+        assert ref.shape == got.shape and (ref == got).all(), (
+            trial,
+            B,
+            m_hi,
+            k,
+            all_minima,
+        )
+
+    # chunked-scan shape: one pattern, uniform long rows + ragged tails,
+    # crossing the internal word-chunk boundary
+    pat = bytes(nprng.choice(np.frombuffer(b"ACGT", np.uint8), size=23))
+    texts = [
+        bytes(nprng.choice(np.frombuffer(b"ACGT", np.uint8), size=n))
+        for n in ([512] * 300 + [100, 7, 0, 512, 300])
+    ]
+    monkeypatch.setattr(myers_mod, "PACKED_ROWS_MIN_B", 10**9)
+    ref = norm(batch_scan_minima([pat] * len(texts), texts, prof_dna, 3, False))
+    monkeypatch.setattr(myers_mod, "PACKED_ROWS_MIN_B", 1)
+    got = norm(batch_scan_minima([pat] * len(texts), texts, prof_dna, 3, False))
+    assert ref.shape == got.shape and (ref == got).all()
