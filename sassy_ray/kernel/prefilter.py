@@ -537,29 +537,38 @@ def _packed_scan_chunk(
             if len(rows):
                 records.append((rows + c0, emit[rows], c[rows].copy(), t + 1))
         else:
-            # ga = (prev|H) - c: guard set iff prev >= c;  gt = ~ga & H
+            # walk gate (same argument as myers.batch_scan_minima /
+            # packed_rows_scan): when no lane's prev is <= k, emission is
+            # impossible this step and dec may be reset to "decreasing" —
+            # any re-entry to <= k is a strict decrease, which re-derives
+            # dec=1 — so the full SWAR walk collapses to this 4-op test on
+            # the common all-above-k steps
             np.bitwise_or(prev, H, out=sw)
-            np.subtract(sw, c, out=ga)
-            # gb = (prev|H) - K1: guard set iff prev > k;  le = ~gb & H
             np.subtract(sw, K1, out=gb)
-            # emit = dec & gt & le = dec & ~(ga | gb) & H
-            np.bitwise_or(ga, gb, out=emit)
-            np.invert(emit, out=emit)
-            np.bitwise_and(emit, H, out=emit)
+            np.invert(gb, out=gb)
+            np.bitwise_and(gb, H, out=gb)  # le: prev <= k
+            if not gb.any():
+                np.copyto(dec, H)
+                np.copyto(prev, c)
+                continue
+            # emit = dec & (prev < c) & (prev <= k)
+            np.subtract(sw, c, out=ga)  # guard set iff prev >= c
+            np.invert(ga, out=ga)
+            np.bitwise_and(ga, H, out=ga)  # gt: prev < c
+            np.bitwise_and(ga, gb, out=emit)
             np.bitwise_and(emit, dec, out=emit)
             rows = np.nonzero(emit)[0]
             if len(rows):
                 records.append((rows + c0, emit[rows], prev[rows].copy(), t))
-            # lt = ~((c|H) - prev) & H; eq = ~(lt | gt) & H = ~(lt | ~ga) & H
+            # dec' = lt | (dec & eq);  lt = c < prev, eq = ~(lt | gt)
             np.bitwise_or(c, H, out=sw)
             np.subtract(sw, prev, out=sw)
             np.invert(sw, out=sw)
-            np.bitwise_and(sw, H, out=sw)  # sw = lt
-            np.invert(ga, out=ga)
-            np.bitwise_or(sw, ga, out=ga)
-            np.invert(ga, out=ga)
-            np.bitwise_and(ga, H, out=ga)  # ga = eq
-            np.bitwise_and(dec, ga, out=dec)
+            np.bitwise_and(sw, H, out=sw)  # lt
+            np.bitwise_or(sw, ga, out=gb)
+            np.invert(gb, out=gb)
+            np.bitwise_and(gb, H, out=gb)  # eq
+            np.bitwise_and(dec, gb, out=dec)
             np.bitwise_or(dec, sw, out=dec)
         np.copyto(prev, c)
 
