@@ -239,3 +239,74 @@ def test_packed_rows_scan_matches_unpacked_loop(seed, monkeypatch):
     monkeypatch.setattr(myers_mod, "PACKED_ROWS_MIN_B", 1)
     got = norm(batch_scan_minima([pat] * len(texts), texts, prof_dna, 3, False))
     assert ref.shape == got.shape and (ref == got).all()
+
+
+def test_row_chunk_seam_equivalence(monkeypatch):
+    """Force a tiny internal row/word chunk (production: 8192) so every
+    chunked scan loop — prefilter_hits, packed_scan_minima, and
+    packed_rows_scan — actually crosses its chunk seam in-test: per-chunk
+    state resets, per-chunk step counts (length-sorted words stop at the
+    CHUNK's max length, not the batch's), and the per-chunk final-position
+    rule must compose to the unchunked answer."""
+    import sassy_ray.kernel.myers as myers_mod
+    import sassy_ray.kernel.prefilter as pf
+
+    rng = random.Random(4242)
+    prof = get_profile("dna")
+    monkeypatch.setattr(pf, "_PREFILTER_ROW_CHUNK", 3)
+
+    # packed_scan_minima (pattern lanes) vs the unpacked per-row loop
+    for trial in range(15):
+        cfg = (LANES4X15, LANES2X31)[trial % 2]
+        P, T = rng.randint(2, 7), rng.randint(3, 6)
+        k = rng.randint(0, 4)
+        pats = [mk(rng, rng.randint(k + 1, cfg.data_bits)) for _ in range(P)]
+        texts = [mk(rng, rng.randint(0, 70)) for _ in range(T)]
+        all_minima = trial % 3 == 0
+        rows_p = [pats[pi] for pi in range(P) for _ in range(T)]
+        rows_t = [texts[ti] for _ in range(P) for ti in range(T)]
+        monkeypatch.setattr(myers_mod, "PACKED_ROWS_MIN_B", 10**9)
+        bi, bp, bc = batch_scan_minima(rows_p, rows_t, prof, k, all_minima)
+        ref = sorted(
+            (int(i) // T, int(i) % T, int(p), int(c)) for i, p, c in zip(bi, bp, bc)
+        )
+        groups = [
+            (ti, tuple(range(s, min(P, s + cfg.lanes))))
+            for ti in range(T)
+            for s in range(0, P, cfg.lanes)
+        ]
+        packed = PackedPairRows(pats, prof, cfg, groups)
+        gi, gt, gp, gc = packed_scan_minima(packed, texts, k, all_minima)
+        got = sorted(
+            (int(a), int(b), int(p), int(c)) for a, b, p, c in zip(gi, gt, gp, gc)
+        )
+        assert ref == got, f"pattern-lane seam trial {trial}"
+
+        # packed_rows_scan (text lanes) across the same seam, skewed lengths
+        monkeypatch.setattr(myers_mod, "PACKED_ROWS_MIN_B", 1)
+        gi2 = batch_scan_minima(rows_p, rows_t, prof, k, all_minima)
+        got2 = sorted(
+            (int(i) // T, int(i) % T, int(p), int(c))
+            for i, p, c in zip(gi2[0], gi2[1], gi2[2])
+        )
+        assert ref == got2, f"text-lane seam trial {trial}"
+
+    # surface level: search_many (prefilter_hits seam + packed verify seam)
+    monkeypatch.setattr(myers_mod, "PACKED_ROWS_MIN_B", 10**9)
+    for trial in range(8):
+        k = rng.randint(0, 3)
+        pats = [mk(rng, rng.randint(k + 1, 31)) for _ in range(rng.randint(4, 9))]
+        texts = [mk(rng, rng.randint(0, 120)) for _ in range(rng.randint(4, 8))]
+        s = Searcher("dna", rc=trial % 2 == 0)
+        many = {}
+        for m in s.search_many(pats, texts, k):
+            many.setdefault((m.pattern_idx, m.text_idx), []).append(_match_key(m))
+        ref = {}
+        for pi, p in enumerate(pats):
+            for ti, t in enumerate(texts):
+                ms = [_match_key(m) for m in s.search(p, t, k)]
+                if ms:
+                    ref[(pi, ti)] = ms
+        assert {a: sorted(b) for a, b in many.items()} == {
+            a: sorted(b) for a, b in ref.items()
+        }, f"surface seam trial {trial} k={k}"
