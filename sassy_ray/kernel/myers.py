@@ -23,6 +23,7 @@ all-minima extraction identical to the reference walk (search.rs:1284-1369).
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
@@ -432,7 +433,9 @@ def _scan_l1(
 # element-work saving.  Measured crossover ~1024 rows on BOTH the uniform
 # 512-char chunk-row shape (ratio 0.82 @256 -> 1.00 @1024 -> 1.54 @4096)
 # and a heterogeneous 250-650-char doc shape (0.79 @256 -> 1.23 @2048).
-PACKED_ROWS_MIN_B = 1024
+# Env-overridable so A/B benches can force either path across Ray workers
+# (tools/tail_bench.py --grep --unpacked ships it via runtime_env).
+PACKED_ROWS_MIN_B = int(os.environ.get("SASSY_PACKED_ROWS_MIN_B", "1024"))
 
 
 def batch_scan_minima(

@@ -77,6 +77,37 @@ def synth_demux_reads(
     return reads, [(f"bc-{i:03d}", bcs[i].tobytes()) for i in range(n_barcodes)]
 
 
+def synth_grep_docs(n_docs: int, doc_len: int, pat_len: int = 23, seed: int = 7):
+    """Long-text grep bench corpus: random DNA docs with the query pattern
+    planted (<= 2 substitutions) at a random offset in ~10% of docs — the
+    reference's flagship v1 shape (one short query scanned over long texts,
+    lib.rs:259-263 normalization: text MB / sec)."""
+    rng = np.random.default_rng(seed)
+    dna = np.frombuffer(b"ACGT", np.uint8)
+    mat = dna[rng.integers(0, 4, size=(n_docs, doc_len))]
+    pat = dna[rng.integers(0, 4, size=pat_len)]
+    hit_rows = np.nonzero(rng.random(n_docs) < 0.10)[0]
+    offs_hit = rng.integers(0, doc_len - pat_len, size=len(hit_rows))
+    planted = np.broadcast_to(pat, (len(hit_rows), pat_len)).copy()
+    n_sub = rng.integers(0, 3, size=len(hit_rows))
+    for e in range(1, 3):
+        rows = np.nonzero(n_sub >= e)[0]
+        planted[rows, rng.integers(0, pat_len, size=len(rows))] = dna[
+            rng.integers(0, 4, size=len(rows))
+        ]
+    for j, (r, o) in enumerate(zip(hit_rows, offs_hit)):
+        mat[r, o : o + pat_len] = planted[j]
+    offs = np.arange(0, (n_docs + 1) * doc_len, doc_len, dtype=np.int64)
+    texts = pa.LargeStringArray.from_buffers(
+        n_docs, pa.py_buffer(offs.tobytes()), pa.py_buffer(mat.tobytes())
+    )
+    ids = np.char.add("d", np.arange(n_docs).astype("U9"))
+    return (
+        pa.table({"doc_id": pa.array(ids, pa.string()), "text": texts}),
+        pat.tobytes(),
+    )
+
+
 def synth_window_tables(out_dir: str, n_groups: int, rows_per_group: int, seed: int = 5) -> None:
     """events + orders parquet with ``n_groups`` distinct users/customers —
     the regime where a per-group map_groups dies and the sort+block-pass
@@ -168,7 +199,27 @@ def main() -> None:
     )
     ap.add_argument("--vectors", type=int, default=1_000_000)
     ap.add_argument("--dim", type=int, default=32)
+    ap.add_argument(
+        "--grep",
+        action="store_true",
+        help="bench the distributed single-pattern long-text grep pipeline "
+        "(the reference's flagship v1 text-tiling shape)",
+    )
+    ap.add_argument("--docs", type=int, default=2000)
+    ap.add_argument("--doc-len", type=int, default=100_000)
+    ap.add_argument("--pat-len", type=int, default=23)
+    ap.add_argument(
+        "--unpacked",
+        action="store_true",
+        help="A/B knob: disable text-lane packing in every worker "
+        "(SASSY_PACKED_ROWS_MIN_B) to measure the unpacked scan loop",
+    )
     args = ap.parse_args()
+
+    if args.unpacked:
+        # must be in the environment BEFORE ray.init so the raylet's workers
+        # inherit it (kernel/myers reads it at import)
+        os.environ["SASSY_PACKED_ROWS_MIN_B"] = str(10**9)
 
     import ray
 
@@ -302,6 +353,46 @@ def main() -> None:
                     "max_task_rows": max_task_rows,
                     "max_bucket_rows_unsalted": int(counts.max()),
                     "planted_recall": round(recall, 3),
+                }
+            )
+        )
+        ray.shutdown()
+        return
+
+    if args.grep:
+        from sassy_ray.pipelines.grep import GrepConfig, run_grep
+
+        docs_tbl, pat = synth_grep_docs(args.docs, args.doc_len, args.pat_len)
+        # ~4 waves of batches per CPU so the scan stage stays even; each
+        # batch still clears the text-lane packing crossover
+        # (16 docs x 100 kb / 512-char chunk rows ~ 3.1k rows/strand)
+        bs = max(4, args.docs // (args.cpus * 4))
+        ds = rd.from_arrow(docs_tbl).repartition(max(8, args.cpus)).materialize()
+        t0 = time.time()
+        res = run_grep(ds, GrepConfig([("p0", pat)], k=3), batch_size=bs)
+        n_matches = res["matches"].count()
+        dt = time.time() - t0
+        mb = args.docs * args.doc_len / 1e6
+        mode = "unpacked" if args.unpacked else "packed"
+        print(
+            f"grep(distributed,{mode}): 1x{args.pat_len}bp over {args.docs} docs x "
+            f"{args.doc_len} bp ({mb:.0f} MB) k=3 rc in {dt:.1f}s = "
+            f"{mb / dt:.0f} MB/s aggregate ({mb / dt / args.cpus * 1e3:.0f} kB/s/core "
+            f"x {args.cpus}), {n_matches} matches",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "grep_distributed",
+                    "mode": mode,
+                    "docs": args.docs,
+                    "doc_len": args.doc_len,
+                    "pat_len": args.pat_len,
+                    "num_cpus": args.cpus,
+                    "sec": round(dt, 2),
+                    "text_mb_per_s": round(mb / dt, 1),
+                    "matches": int(n_matches),
                 }
             )
         )
