@@ -310,3 +310,31 @@ def test_row_chunk_seam_equivalence(monkeypatch):
         assert {a: sorted(b) for a, b in many.items()} == {
             a: sorted(b) for a, b in ref.items()
         }, f"surface seam trial {trial} k={k}"
+
+
+def test_packed_rows_pad_lane_inert(monkeypatch):
+    """Padding lanes in packed_rows_scan reuse the LAST (shortest) row's
+    text codes under an always-match dummy pattern pinned at empty_cost.
+    When that duplicated row itself contains matches, the pad lane must not
+    re-emit them (exact duplicate rows in the output would follow)."""
+    import sassy_ray.kernel.myers as myers_mod
+
+    prof = get_profile("dna")
+    pat = b"ACGTACGT"
+    # B=3 with 2 lanes -> pad=1; B=5 with 4 lanes -> pad=3.  The SHORTEST
+    # text (the one duplicated into pad lanes) carries two exact hits.
+    hitty = b"TT" + pat + b"AA" + pat
+    for B, pats in ((3, [pat] * 3), (5, [pat] * 5)):
+        texts = [b"ACGTACGTACGTACGTACGTACGT"[: 24 - 2 * i] for i in range(B - 1)]
+        texts.append(hitty)  # shortest? make it so:
+        texts = sorted(texts, key=len, reverse=True)[: B - 1] + [hitty[:20]]
+        def norm(r):
+            ri, pp, cc = r
+            o = np.lexsort((cc, pp, ri))
+            return np.stack([ri[o], pp[o], cc[o].astype(np.int64)])
+
+        monkeypatch.setattr(myers_mod, "PACKED_ROWS_MIN_B", 10**9)
+        ref = norm(batch_scan_minima(pats, texts, prof, 1, False))
+        monkeypatch.setattr(myers_mod, "PACKED_ROWS_MIN_B", 1)
+        got = norm(batch_scan_minima(pats, texts, prof, 1, False))
+        assert ref.shape == got.shape and (ref == got).all(), (B, ref, got)
