@@ -1,0 +1,561 @@
+/* Scalar-C hot loops for the bit-parallel Myers kernel.
+ *
+ * This is the compiled twin of the NumPy kernels in kernel/myers.py: same
+ * public algorithm (G. Myers, "A fast bit-vector algorithm for approximate
+ * string matching based on dynamic programming", JACM 46(3), 1999, plus
+ * Hyyro's semi-global variant and Myers' blocked band filter), same pinned
+ * semantics (fuzz suites compare this path bit-for-bit against the NumPy
+ * kernels and the pure-DP oracle).  Where the NumPy kernels vectorize one
+ * text step across the batch axis (paying one NumPy dispatch per step per
+ * op), this file walks each (pattern, text) job start-to-finish in
+ * registers — the same work layout as the reference's per-lane SIMD loops
+ * (/root/reference/src/bitpacking.rs semantics; none of its code).
+ *
+ * Compiled on demand per node by kernel/native.py (gcc -O3 -march=native,
+ * cached under /tmp keyed by source hash); loaded via ctypes.  Everything
+ * here is plain C99 + stdint — no Python API, no SIMD intrinsics (the
+ * compiler auto-vectorizes what it can).
+ *
+ * One scan engine, three modes:
+ *   mode 0: local-minima walk (search.rs:1284-1369 semantics, fused);
+ *   mode 1: all positions with cost <= k;
+ *   mode 2: min end-cost per job (the ER scorer / prefilter screen path).
+ * Optional per-limb band (Myers' blocked filter: values <= k are exact,
+ * values > k may be overestimates — callers clamp), optional overhang
+ * (wildcard steps past the text end + floor(alpha*o) additions).
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+#define BIGC ((int64_t)0x40000000) /* matches myers._BIG */
+
+static inline int64_t imin64(int64_t a, int64_t b) { return a < b ? a : b; }
+
+/* PEQ tables: peq[(p*A + a)*L + l] bit j iff pattern p char (64l+j) matches
+ * alphabet byte ab[a].  mm is the 256x256 match matrix (row = pattern char);
+ * canon, when non-NULL, is a 256-entry equivalence-class LUT with
+ * mm[a][b] == (canon[a] == canon[b]) — the O(m)-per-pattern fast path. */
+void sassy_build_peq(const uint8_t *pats, int64_t P, int64_t Wp,
+                     const int64_t *m_arr, const uint8_t *mm,
+                     const uint8_t *ab, int64_t A, const uint8_t *canon,
+                     int64_t L, uint64_t *peq) {
+  memset(peq, 0, (size_t)P * (size_t)A * (size_t)L * 8);
+  int64_t rep[256];
+  if (canon) {
+    for (int i = 0; i < 256; i++)
+      rep[i] = -1;
+    for (int64_t a = A - 1; a >= 0; a--)
+      rep[canon[ab[a]]] = a;
+  }
+  for (int64_t p = 0; p < P; p++) {
+    const uint8_t *prow = pats + (size_t)p * Wp;
+    uint64_t *base = peq + (size_t)p * A * L;
+    int64_t m = m_arr[p];
+    if (canon) {
+      for (int64_t j = 0; j < m; j++) {
+        int64_t a = rep[canon[prow[j]]];
+        if (a >= 0)
+          base[a * L + (j >> 6)] |= 1ULL << (j & 63);
+      }
+      for (int64_t a = 0; a < A; a++) {
+        int64_t r = rep[canon[ab[a]]];
+        if (r != a)
+          memcpy(base + a * L, base + r * L, (size_t)L * 8);
+      }
+    } else {
+      for (int64_t j = 0; j < m; j++) {
+        const uint8_t *mrow = mm + (size_t)prow[j] * 256;
+        uint64_t bit = 1ULL << (j & 63);
+        int64_t l = j >> 6;
+        for (int64_t a = 0; a < A; a++)
+          if (mrow[ab[a]])
+            base[a * L + l] |= bit;
+      }
+    }
+  }
+}
+
+/* The scan engine.  Inputs:
+ *   txt      (T, Wt) row-major text codes (indices into the PEQ alphabet);
+ *   n_arr    (T,) text lengths;
+ *   peq      (P, A, L) from sassy_build_peq;  m_arr (P,) pattern lengths;
+ *   pv0      (L,) initial vertical-positive word per limb, or NULL for the
+ *            all-ones default (pv0 encodes the overhang left boundary and
+ *            is pattern-independent — the deltas depend on the row only);
+ *   score0   (P,) initial score per pattern, or NULL for m;
+ *   o_arr    (P,) overhang extension steps per pattern, or NULL for 0;
+ *   ov_add   floor(alpha*o) for o=1..ov_max, or NULL when no overhang;
+ *   job_p/job_t (J,) job -> pattern/text index; NULL means identity;
+ *   k, mode  threshold and mode (see header comment);
+ *   out_*    emission buffers (modes 0/1); writes stop at out_cap but the
+ *            full count is returned so the caller can retry with room;
+ *   out_best (J,) per-job min cost (mode 2);
+ *   Pv/Mv/bs (L,) caller-provided scratch.
+ *
+ * Band activation: no overhang, k + 64 < m.  Values <= k stay exact under
+ * the band (blocked-filter invariant); the walk's decisions only depend on
+ * exact <= k values and the (banded-preserved) predicate "value > k", so
+ * modes 0/1 stay bit-identical to the dense scan (the same argument as the
+ * walk gate in myers.batch_scan_minima).
+ */
+/* Single-limb job: the whole DP state lives in two registers.  This is the
+ * scan hot path (grep/demux/screen shapes: patterns <= 64 chars); the walk
+ * gate collapses the minima bookkeeping to one predictable branch on the
+ * common all-above-k steps. */
+static inline int64_t scan_job_l1(
+    int64_t j, const uint8_t *trow, int64_t n, const uint64_t *pq, int64_t L,
+    int64_t m, int64_t O, uint64_t pv_init, int64_t score, const int32_t *ov_add,
+    int64_t k, int32_t mode, int64_t *out_job, int64_t *out_pos,
+    int32_t *out_cost, int64_t out_cap, int32_t *out_best, int64_t *w_io) {
+  uint64_t shift = (uint64_t)((m - 1) & 63);
+  uint64_t pv = pv_init, mv = 0;
+  int64_t steps = n + O;
+  int64_t prev = score, best = score;
+  int dec = 1;
+  int64_t w = *w_io;
+  if (mode == 1 && prev <= k) {
+    if (w < out_cap) {
+      out_job[w] = j;
+      out_pos[w] = 0;
+      out_cost[w] = (int32_t)prev;
+    }
+    w++;
+  }
+  for (int64_t tt = 0; tt < steps; tt++) {
+    uint64_t eq = tt < n ? pq[(size_t)trow[tt] * L] : ~0ULL;
+    uint64_t xv = eq | mv;
+    uint64_t xh = (((eq & pv) + pv) ^ pv) | eq;
+    uint64_t ph = mv | ~(xh | pv);
+    uint64_t mh = pv & xh;
+    score += (int64_t)((ph >> shift) & 1) - (int64_t)((mh >> shift) & 1);
+    ph <<= 1;
+    mh <<= 1;
+    pv = mh | ~(xv | ph);
+    mv = ph & xv;
+    int64_t c = score;
+    if (ov_add && tt + 1 > n)
+      c += ov_add[tt - n];
+    if (mode == 0) {
+      if (prev > k) { /* walk gate */
+        dec = 1;
+        prev = c;
+        continue;
+      }
+      if (c > prev && dec) {
+        if (w < out_cap) {
+          out_job[w] = j;
+          out_pos[w] = tt;
+          out_cost[w] = (int32_t)prev;
+        }
+        w++;
+      }
+      dec = (c < prev) || (dec && c == prev);
+      prev = c;
+    } else if (mode == 2) {
+      if (c < best)
+        best = c;
+    } else {
+      if (c <= k) {
+        if (w < out_cap) {
+          out_job[w] = j;
+          out_pos[w] = tt + 1;
+          out_cost[w] = (int32_t)c;
+        }
+        w++;
+      }
+    }
+  }
+  if (mode == 0) {
+    if (dec && prev <= k) {
+      if (w < out_cap) {
+        out_job[w] = j;
+        out_pos[w] = steps;
+        out_cost[w] = (int32_t)prev;
+      }
+      w++;
+    }
+  } else if (mode == 2) {
+    out_best[j] = (int32_t)imin64(best, BIGC);
+  }
+  *w_io = w;
+  return w;
+}
+
+/* Four single-limb jobs interleaved in one loop: the Myers step is a ~10-op
+ * serial dependency chain, so one job leaves the ALU pipeline mostly idle —
+ * four independent chains fill it (the register-level analogue of the
+ * reference's SIMD lanes / the NumPy batch axis).  The interleaved phase
+ * runs branch-free over the group's shared min-length prefix; each job then
+ * finishes its own tail on the scalar body (per-char length checks in the
+ * hot loop measured 240 vs 390 MB/s single-core — the tail split is the
+ * cheap way to keep the schedule tight).  Emissions interleave across the
+ * four jobs; the Python wrapper re-sorts to job-major order. */
+__attribute__((always_inline)) static inline void scan_job4_l1(
+    const int64_t *jid, const uint8_t *const *trows, const int64_t *ns,
+    const uint64_t *const *pqs, int64_t L, const int64_t *ms, int64_t k,
+    int32_t mode, int64_t *out_job, int64_t *out_pos, int32_t *out_cost,
+    int64_t out_cap, int32_t *out_best, int64_t *w_io) {
+  uint64_t pv[4], mv[4];
+  int64_t sc[4], prev[4], best[4];
+  uint64_t shift[4];
+  int dec[4];
+  int64_t w = *w_io;
+  int64_t nmin = ns[0];
+  for (int s = 1; s < 4; s++)
+    if (ns[s] < nmin)
+      nmin = ns[s];
+  for (int s = 0; s < 4; s++) {
+    pv[s] = ~0ULL;
+    mv[s] = 0;
+    sc[s] = ms[s];
+    prev[s] = ms[s];
+    best[s] = ms[s];
+    dec[s] = 1;
+    shift[s] = (uint64_t)((ms[s] - 1) & 63);
+    if (mode == 1 && ms[s] <= k) {
+      if (w < out_cap) {
+        out_job[w] = jid[s];
+        out_pos[w] = 0;
+        out_cost[w] = (int32_t)ms[s];
+      }
+      w++;
+    }
+  }
+  const uint8_t *t0 = trows[0], *t1 = trows[1], *t2 = trows[2], *t3 = trows[3];
+  const uint64_t *q0 = pqs[0], *q1 = pqs[1], *q2 = pqs[2], *q3 = pqs[3];
+  int64_t tt = 0;
+  for (; tt < nmin; tt++) {
+    uint64_t eqs[4] = {q0[(size_t)t0[tt] * L], q1[(size_t)t1[tt] * L],
+                       q2[(size_t)t2[tt] * L], q3[(size_t)t3[tt] * L]};
+    for (int s = 0; s < 4; s++) {
+      uint64_t eq = eqs[s];
+      uint64_t xv = eq | mv[s];
+      uint64_t p0 = pv[s];
+      uint64_t xh = (((eq & p0) + p0) ^ p0) | eq;
+      uint64_t ph = mv[s] | ~(xh | p0);
+      uint64_t mh = p0 & xh;
+      sc[s] +=
+          (int64_t)((ph >> shift[s]) & 1) - (int64_t)((mh >> shift[s]) & 1);
+      ph <<= 1;
+      mh <<= 1;
+      pv[s] = mh | ~(xv | ph);
+      mv[s] = ph & xv;
+      int64_t c = sc[s];
+      if (mode == 0) {
+        if (prev[s] > k) {
+          dec[s] = 1;
+        } else {
+          if (c > prev[s] && dec[s]) {
+            if (w < out_cap) {
+              out_job[w] = jid[s];
+              out_pos[w] = tt;
+              out_cost[w] = (int32_t)prev[s];
+            }
+            w++;
+          }
+          dec[s] = (c < prev[s]) || (dec[s] && c == prev[s]);
+        }
+        prev[s] = c;
+      } else if (mode == 2) {
+        if (c < best[s])
+          best[s] = c;
+      } else {
+        if (c <= k) {
+          if (w < out_cap) {
+            out_job[w] = jid[s];
+            out_pos[w] = tt + 1;
+            out_cost[w] = (int32_t)c;
+          }
+          w++;
+        }
+      }
+    }
+  }
+  /* per-slot tails + final rule / best writeback */
+  for (int s = 0; s < 4; s++) {
+    const uint8_t *tr = trows[s];
+    const uint64_t *q = pqs[s];
+    uint64_t pvs = pv[s], mvs = mv[s], sh = shift[s];
+    int64_t scs = sc[s], prevs = prev[s], bests = best[s];
+    int decs = dec[s];
+    for (int64_t u = tt; u < ns[s]; u++) {
+      uint64_t eq = q[(size_t)tr[u] * L];
+      uint64_t xv = eq | mvs;
+      uint64_t xh = (((eq & pvs) + pvs) ^ pvs) | eq;
+      uint64_t ph = mvs | ~(xh | pvs);
+      uint64_t mh = pvs & xh;
+      scs += (int64_t)((ph >> sh) & 1) - (int64_t)((mh >> sh) & 1);
+      ph <<= 1;
+      mh <<= 1;
+      pvs = mh | ~(xv | ph);
+      mvs = ph & xv;
+      int64_t c = scs;
+      if (mode == 0) {
+        if (prevs > k) {
+          decs = 1;
+        } else {
+          if (c > prevs && decs) {
+            if (w < out_cap) {
+              out_job[w] = jid[s];
+              out_pos[w] = u;
+              out_cost[w] = (int32_t)prevs;
+            }
+            w++;
+          }
+          decs = (c < prevs) || (decs && c == prevs);
+        }
+        prevs = c;
+      } else if (mode == 2) {
+        if (c < bests)
+          bests = c;
+      } else {
+        if (c <= k) {
+          if (w < out_cap) {
+            out_job[w] = jid[s];
+            out_pos[w] = u + 1;
+            out_cost[w] = (int32_t)c;
+          }
+          w++;
+        }
+      }
+    }
+    if (mode == 0) {
+      if (decs && prevs <= k) {
+        if (w < out_cap) {
+          out_job[w] = jid[s];
+          out_pos[w] = ns[s];
+          out_cost[w] = (int32_t)prevs;
+        }
+        w++;
+      }
+    } else if (mode == 2) {
+      out_best[jid[s]] = (int32_t)imin64(bests, BIGC);
+    }
+  }
+  *w_io = w;
+}
+
+/* One job on the general engine: any limb count, optional band, optional
+ * overhang.  Returns the updated emission count. */
+static int64_t scan_one(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
+                        const uint64_t *peq, int64_t A, int64_t L,
+                        const int64_t *m_arr, const uint64_t *pv0,
+                        const int64_t *score0, const int64_t *o_arr,
+                        const int32_t *ov_add, const int64_t *job_p,
+                        const int64_t *job_t, int64_t j, int64_t k,
+                        int32_t mode, int64_t *out_job, int64_t *out_pos,
+                        int32_t *out_cost, int64_t out_cap, int32_t *out_best,
+                        uint64_t *Pv, uint64_t *Mv, int64_t *bs, int64_t w) {
+  int64_t p = job_p ? job_p[j] : j;
+  int64_t t = job_t ? job_t[j] : j;
+  int64_t m = m_arr[p];
+  int64_t n = n_arr[t];
+  int64_t O = o_arr ? o_arr[p] : 0;
+  int64_t steps = n + O;
+  int64_t lastl = m > 0 ? (m - 1) >> 6 : 0;
+  uint64_t shift = (uint64_t)((m - 1) & 63);
+  const uint64_t *pq = peq + (size_t)p * A * L;
+  const uint8_t *trow = txt + (size_t)t * Wt;
+  if (lastl == 0) {
+    scan_job_l1(j, trow, n, pq, L, m, O, pv0 ? pv0[0] : ~0ULL,
+                score0 ? score0[p] : m, ov_add, k, mode, out_job, out_pos,
+                out_cost, out_cap, out_best, &w);
+    return w;
+  }
+  int band = (ov_add == NULL) && (pv0 == NULL) && (k + 64 < m);
+  int64_t y = band ? imin64(lastl, (k + 65) >> 6) : lastl;
+  for (int64_t l = 0; l <= y; l++) {
+    Pv[l] = pv0 ? pv0[l] : ~0ULL;
+    Mv[l] = 0;
+    bs[l] = 64 * (l + 1);
+  }
+  int64_t score = score0 ? score0[p] : m;
+  int active = lastl <= y;
+  int64_t prev = active ? score : BIGC;
+  int dec = 1;
+  int64_t best = prev;
+  if (mode == 1 && prev <= k) {
+    if (w < out_cap) {
+      out_job[w] = j;
+      out_pos[w] = 0;
+      out_cost[w] = (int32_t)prev;
+    }
+    w++;
+  }
+  for (int64_t tt = 0; tt < steps; tt++) {
+    uint64_t hp = 0, hn = 0;
+    const uint64_t *eqcol = NULL;
+    int in_text = tt < n;
+    if (in_text)
+      eqcol = pq + (size_t)trow[tt] * L;
+    for (int64_t l = 0; l <= y; l++) {
+      uint64_t Eq = in_text ? eqcol[l] : ~0ULL;
+      uint64_t Pvl = Pv[l], Mvl = Mv[l];
+      uint64_t X_v = Eq | Mvl;
+      uint64_t Eqh = Eq | hn;
+      uint64_t Xh = (((Eqh & Pvl) + Pvl) ^ Pvl) | Eqh;
+      uint64_t Ph = Mvl | ~(Xh | Pvl);
+      uint64_t Mh = Pvl & Xh;
+      if (l == lastl)
+        score += (int64_t)((Ph >> shift) & 1) - (int64_t)((Mh >> shift) & 1);
+      uint64_t nhp = Ph >> 63, nhn = Mh >> 63;
+      bs[l] += (int64_t)nhp - (int64_t)nhn;
+      Ph = (Ph << 1) | hp;
+      Mh = (Mh << 1) | hn;
+      Pv[l] = Mh | ~(X_v | Ph);
+      Mv[l] = Ph & X_v;
+      hp = nhp;
+      hn = nhn;
+    }
+    if (band) {
+      if (y < lastl && bs[y] <= k + 65) {
+        int64_t was = y;
+        y++;
+        Pv[y] = ~0ULL;
+        Mv[y] = 0;
+        bs[y] = bs[was] + 64;
+        if (lastl == y)
+          score = bs[was] + (m - 64 * y); /* +1-verticals reseed */
+      } else {
+        while (y > 0 && bs[y] >= k + 130)
+          y--;
+      }
+      active = lastl <= y;
+    }
+    int64_t c;
+    if (!active)
+      c = BIGC;
+    else {
+      c = score;
+      if (ov_add && tt + 1 > n)
+        c += ov_add[tt - n]; /* o = (tt+1) - n; table is ov_add[o-1] */
+    }
+    if (mode == 2) {
+      if (c < best)
+        best = c;
+    } else if (mode == 1) {
+      if (c <= k) {
+        if (w < out_cap) {
+          out_job[w] = j;
+          out_pos[w] = tt + 1;
+          out_cost[w] = (int32_t)c;
+        }
+        w++;
+      }
+    } else {
+      if (prev > k) {
+        /* walk gate: no emission possible; re-entry to <= k is a strict
+         * decrease which re-derives dec = true */
+        dec = 1;
+      } else {
+        if (c > prev && dec) {
+          if (w < out_cap) {
+            out_job[w] = j;
+            out_pos[w] = tt;
+            out_cost[w] = (int32_t)prev;
+          }
+          w++;
+        }
+        dec = (c < prev) || (dec && c == prev);
+      }
+      prev = c;
+    }
+  }
+  if (mode == 0) {
+    /* final-position rule */
+    if (dec && prev <= k) {
+      if (w < out_cap) {
+        out_job[w] = j;
+        out_pos[w] = steps;
+        out_cost[w] = (int32_t)prev;
+      }
+      w++;
+    }
+  } else if (mode == 2) {
+    out_best[j] = (int32_t)imin64(best, BIGC);
+  }
+  return w;
+}
+
+int64_t sassy_scan(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
+                   const uint64_t *peq, int64_t A, int64_t L,
+                   const int64_t *m_arr, const uint64_t *pv0,
+                   const int64_t *score0, const int64_t *o_arr,
+                   const int32_t *ov_add, int64_t ov_max, const int64_t *job_p,
+                   const int64_t *job_t, int64_t J, int64_t k, int32_t mode,
+                   int64_t *out_job, int64_t *out_pos, int32_t *out_cost,
+                   int64_t out_cap, int32_t *out_best, uint64_t *Pv,
+                   uint64_t *Mv, int64_t *bs) {
+  int64_t w = 0;
+  (void)ov_max;
+  /* fast path: groups of 4 consecutive single-limb jobs, no overhang.
+   * The group worker is force-inlined at call sites with literal (L, mode)
+   * so gcc clones a constant-folded loop per shape — the runtime-argument
+   * form measured 254 vs 395 MB/s single-core for the same code. */
+  if (pv0 == NULL && ov_add == NULL && o_arr == NULL) {
+    int64_t j = 0;
+#define SASSY_GROUP_LOOP(LC, MODEC)                                           \
+    while (j + 4 <= J) {                                                      \
+      int64_t jid[4], ns[4], ms[4];                                           \
+      const uint8_t *trows[4];                                                \
+      const uint64_t *pqs[4];                                                 \
+      int ok = 1;                                                             \
+      for (int s = 0; s < 4; s++) {                                           \
+        int64_t jj = j + s;                                                   \
+        int64_t p = job_p ? job_p[jj] : jj;                                   \
+        int64_t t = job_t ? job_t[jj] : jj;                                   \
+        if (m_arr[p] > 64 || m_arr[p] < 1) {                                  \
+          ok = 0;                                                             \
+          break;                                                              \
+        }                                                                     \
+        jid[s] = jj;                                                          \
+        ns[s] = n_arr[t];                                                     \
+        ms[s] = m_arr[p];                                                     \
+        trows[s] = txt + (size_t)t * Wt;                                      \
+        pqs[s] = peq + (size_t)p * A * (LC);                                  \
+      }                                                                       \
+      if (!ok)                                                                \
+        break;                                                                \
+      scan_job4_l1(jid, trows, ns, pqs, (LC), ms, k, (MODEC), out_job,        \
+                   out_pos, out_cost, out_cap, out_best, &w);                 \
+      j += 4;                                                                 \
+    }
+    if (L == 1 && mode == 0) {
+      SASSY_GROUP_LOOP(1, 0)
+    } else if (L == 1 && mode == 2) {
+      SASSY_GROUP_LOOP(1, 2)
+    } else if (L == 1 && mode == 1) {
+      SASSY_GROUP_LOOP(1, 1)
+    } else {
+      SASSY_GROUP_LOOP(L, mode)
+    }
+#undef SASSY_GROUP_LOOP
+    /* fall through to the scalar loop for the remainder */
+    for (; j < J; j++) {
+      int64_t p = job_p ? job_p[j] : j;
+      int64_t t = job_t ? job_t[j] : j;
+      int64_t m = m_arr[p];
+      if (m > 64 || m < 1)
+        goto general; /* mixed batch: handle everything left generically */
+      scan_job_l1(j, txt + (size_t)t * Wt, n_arr[t], peq + (size_t)p * A * L,
+                  L, m, 0, ~0ULL, m, NULL, k, mode, out_job, out_pos, out_cost,
+                  out_cap, out_best, &w);
+    }
+    return w;
+  general:;
+    /* rare: restart remaining jobs on the general path from j */
+    for (int64_t jj = j; jj < J; jj++) {
+      w = scan_one(txt, Wt, n_arr, peq, A, L, m_arr, pv0, score0, o_arr,
+                   ov_add, job_p, job_t, jj, k, mode, out_job, out_pos,
+                   out_cost, out_cap, out_best, Pv, Mv, bs, w);
+    }
+    return w;
+  }
+  for (int64_t j = 0; j < J; j++) {
+    w = scan_one(txt, Wt, n_arr, peq, A, L, m_arr, pv0, score0, o_arr, ov_add,
+                 job_p, job_t, j, k, mode, out_job, out_pos, out_cost, out_cap,
+                 out_best, Pv, Mv, bs, w);
+  }
+  return w;
+}

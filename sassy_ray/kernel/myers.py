@@ -455,6 +455,11 @@ def batch_scan_minima(
     if B == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z, np.zeros(0, dtype=np.int32)
+    from sassy_ray.kernel import native
+
+    if native.available():
+        # compiled per-row scan (any limb count); same walk, same emissions
+        return native.scan_pairs(patterns, texts, profile, k, all_minima)
     m_max = max(len(p) for p in patterns)
     assert m_max <= 64, "batch_scan_minima is L==1 only"
     raw, n_arr = _pad_texts(texts)
@@ -685,6 +690,11 @@ def batch_best_costs(
     """
     if len(patterns) == 0:
         return np.zeros(0, dtype=np.int32)
+    from sassy_ray.kernel import native
+
+    if native.available():
+        best = native.best_jobs(patterns, texts, profile, k, alpha, max_overhang)
+        return np.minimum(best, k + 1).astype(np.int32)
     if alpha is None:
         m_max = _max_len(patterns)
         if m_max > 64:

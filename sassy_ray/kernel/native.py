@@ -1,0 +1,335 @@
+"""Compile-on-demand loader + wrappers for the C hot loops (_native.c).
+
+The engine's kernels have two interchangeable implementations with pinned
+identical semantics: the NumPy batch kernels (myers.py — always available,
+the fuzz/oracle twin) and the scalar-C loops in _native.c, compiled here on
+first use with the node's system compiler and loaded via ctypes.  The C path
+is the production default; ``SASSY_NATIVE=0`` (or a missing/failed compiler)
+falls back to NumPy everywhere with no semantic change (equivalence is
+enforced by tests/test_native.py plus the whole oracle-pinned suite).
+
+Cluster story: the shared object is cached under ``$SASSY_NATIVE_DIR`` (or
+/tmp) keyed by the source hash + compiler version, guarded by an flock — on
+a multi-node cluster every node compiles once on its first task and every
+later worker process on that node just dlopens the cached .so.  No wheels,
+no network, no install step.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+__all__ = ["available", "scan_pairs", "scan_jobs", "best_jobs", "NativeBatch"]
+
+_ALL_BYTES = np.arange(256, dtype=np.uint8)
+
+_lib = None
+_tried = False
+
+
+def _c_source_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "_native.c")
+
+
+def _build() -> ctypes.CDLL | None:
+    src_path = _c_source_path()
+    with open(src_path, "rb") as f:
+        src = f.read()
+    cc = os.environ.get("CC", "cc")
+    try:
+        ver = subprocess.run(
+            [cc, "-dumpversion"], capture_output=True, timeout=30
+        ).stdout
+    except Exception:
+        return None
+    flags = ["-O3", "-march=native", "-funroll-loops", "-fPIC", "-shared"]
+    key = hashlib.sha256(src + ver + " ".join(flags).encode()).hexdigest()[:20]
+    cache_dir = os.environ.get("SASSY_NATIVE_DIR") or os.path.join(
+        tempfile.gettempdir(), "sassy_native"
+    )
+    so_path = os.path.join(cache_dir, f"sassy_{key}.so")
+    if not os.path.exists(so_path):
+        os.makedirs(cache_dir, exist_ok=True)
+        lock_path = so_path + ".lock"
+        import fcntl
+
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                if not os.path.exists(so_path):  # re-check under the lock
+                    tmp = so_path + f".tmp{os.getpid()}"
+                    r = subprocess.run(
+                        [cc, *flags, "-o", tmp, src_path],
+                        capture_output=True,
+                        timeout=120,
+                    )
+                    if r.returncode != 0 or not os.path.exists(tmp):
+                        return None
+                    os.replace(tmp, so_path)  # atomic publish
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+    P = ctypes.c_void_p
+    I = ctypes.c_int64
+    lib.sassy_build_peq.argtypes = [P, I, I, P, P, P, I, P, I, P]
+    lib.sassy_build_peq.restype = None
+    lib.sassy_scan.argtypes = [
+        P, I, P,          # txt, Wt, n_arr
+        P, I, I,          # peq, A, L
+        P, P, P, P,       # m_arr, pv0, score0, o_arr
+        P, I,             # ov_add, ov_max
+        P, P, I,          # job_p, job_t, J
+        I, ctypes.c_int32,  # k, mode
+        P, P, P, I,       # out_job, out_pos, out_cost, out_cap
+        P,                # out_best
+        P, P, P,          # Pv, Mv, bs scratch
+    ]
+    lib.sassy_scan.restype = ctypes.c_int64
+    return lib
+
+
+def available() -> bool:
+    global _lib, _tried
+    if not _tried:
+        _tried = True
+        if os.environ.get("SASSY_NATIVE", "1") not in ("0", "false", "no"):
+            try:
+                _lib = _build()
+            except Exception:
+                _lib = None
+    return _lib is not None
+
+
+def _ptr(a: np.ndarray | None):
+    return None if a is None else ctypes.c_void_p(a.ctypes.data)
+
+
+class NativeBatch:
+    """One prepared (patterns x texts) native call context.
+
+    Builds the dense text-code matrix, the per-unique-pattern PEQ tables and
+    (with overhang) the boundary state once; ``run`` then executes any job
+    list against it.  Prep mirrors the NumPy kernels exactly (same dense
+    alphabet remap, same boundary formulas from myers.py) so the two paths
+    are bit-identical.
+    """
+
+    def __init__(
+        self,
+        patterns,
+        texts,
+        profile,
+        k: int,
+        alpha: float | None = None,
+        max_overhang: int | None = None,
+    ) -> None:
+        if not available():
+            raise RuntimeError("native kernel unavailable (SASSY_NATIVE=0 or no compiler)")
+        from sassy_ray.kernel.myers import (
+            _left_boundary_deltas,
+            _overhang_steps_arr,
+            _pack_bits_u64,
+            _pad_texts,
+            _rows_matrix,
+        )
+
+        self.k = int(k)
+        raw, n_arr = _pad_texts(texts)
+        self.n_arr = np.ascontiguousarray(n_arr, dtype=np.int64)
+        self.T = len(self.n_arr)
+
+        # unique patterns (a chunked scan has thousands of rows sharing 1-2
+        # patterns); Arrow/TextRows inputs are used as-is (ER pairs are
+        # mostly distinct patterns — unique-ing would cost more than it saves)
+        if isinstance(patterns, list):
+            uniq: dict[bytes, int] = {}
+            self.pat_row = np.fromiter(
+                (uniq.setdefault(p, len(uniq)) for p in patterns),
+                dtype=np.int64,
+                count=len(patterns),
+            )
+            upats = list(uniq)
+            if len(upats) == len(patterns):
+                self.pat_row = None  # identity: skip the indirection
+            pmat, m_arr = _rows_matrix(upats)
+        else:
+            self.pat_row = None
+            pmat, m_arr = _rows_matrix(patterns)
+        pmat = np.ascontiguousarray(pmat)
+        self.m_arr = np.ascontiguousarray(m_arr, dtype=np.int64)
+        self.P = len(self.m_arr)
+        m_max = int(self.m_arr.max()) if self.P else 1
+        self.L = max(1, -(-m_max // 64))
+
+        # alphabet: the dense remap (only the batch's distinct text bytes)
+        # shrinks the PEQ tables but costs two passes over the text matrix;
+        # when the identity-alphabet PEQ is smaller than that (few patterns,
+        # big texts — the grep/demux shapes) skip the remap entirely
+        if 2 * raw.size > self.P * 256 * self.L * 8:
+            ab = _ALL_BYTES
+            self.txt = np.ascontiguousarray(raw)
+        else:
+            present = np.zeros(256, dtype=bool)
+            if raw.size:
+                present[raw.reshape(-1)] = True
+            ab = _ALL_BYTES[present]
+            lut = np.zeros(256, dtype=np.uint8)
+            lut[ab] = np.arange(len(ab), dtype=np.uint8)
+            self.txt = np.ascontiguousarray(lut[raw])
+        self.Wt = self.txt.shape[1] if self.txt.ndim == 2 else 0
+        self.A = max(1, len(ab))
+
+        self.peq = np.empty((max(1, self.P), self.A, self.L), dtype=np.uint64)
+        prof_mm = np.ascontiguousarray(profile.match_matrix.view(np.uint8))
+        canon = profile.canon_lut
+        canon = None if canon is None else np.ascontiguousarray(canon, dtype=np.uint8)
+        ab_c = np.ascontiguousarray(ab)
+        _lib.sassy_build_peq(
+            _ptr(pmat),
+            self.P,
+            pmat.shape[1] if pmat.ndim == 2 else 0,
+            _ptr(self.m_arr),
+            _ptr(prof_mm),
+            _ptr(ab_c),
+            self.A,
+            _ptr(canon),
+            self.L,
+            _ptr(self.peq),
+        )
+        self._keep = (pmat, prof_mm, canon, ab_c)  # buffers alive for C
+
+        # overhang state (myers.batch_end_costs boundary semantics)
+        if alpha is not None:
+            m_pad = self.L * 64
+            deltas = _left_boundary_deltas(m_pad, alpha, max_overhang)
+            self.pv0 = np.ascontiguousarray(
+                _pack_bits_u64(deltas.astype(bool)[None, :])[0]
+            )
+            mo = max_overhang if max_overhang is not None else m_max
+            jm = np.minimum(self.m_arr, mo)
+            self.score0 = np.ascontiguousarray(
+                np.floor(jm * alpha).astype(np.int64)
+                + np.maximum(self.m_arr - mo, 0)
+            )
+            self.o_arr = np.ascontiguousarray(
+                _overhang_steps_arr(self.m_arr, k, alpha, max_overhang),
+                dtype=np.int64,
+            )
+            ov_max = int(self.o_arr.max()) if self.P else 0
+            self.ov_add = np.ascontiguousarray(
+                np.floor(alpha * np.arange(1, ov_max + 1)).astype(np.int32)
+            )
+        else:
+            self.pv0 = None
+            self.score0 = None
+            self.o_arr = None
+            self.ov_add = None
+
+        self._scr_pv = np.empty(self.L, dtype=np.uint64)
+        self._scr_mv = np.empty(self.L, dtype=np.uint64)
+        self._scr_bs = np.empty(self.L, dtype=np.int64)
+
+    def _default_jobs(self):
+        # identity pairing: job j = (pattern row j, text j)
+        return self.pat_row, None, self.T
+
+    def run_minima(self, all_minima: bool, job_p=None, job_t=None, J=None):
+        """Modes 0/1: returns (job_idx, end_pos, cost) arrays."""
+        if J is None:
+            job_p, job_t, J = self._default_jobs()
+        cap = int(J) * (8 if all_minima else 2) + 4096
+        while True:
+            out_j = np.empty(cap, dtype=np.int64)
+            out_p = np.empty(cap, dtype=np.int64)
+            out_c = np.empty(cap, dtype=np.int32)
+            got = _lib.sassy_scan(
+                _ptr(self.txt), self.Wt, _ptr(self.n_arr),
+                _ptr(self.peq), self.A, self.L,
+                _ptr(self.m_arr), _ptr(self.pv0), _ptr(self.score0),
+                _ptr(self.o_arr),
+                _ptr(self.ov_add),
+                0 if self.ov_add is None else len(self.ov_add),
+                _ptr(job_p), _ptr(job_t), int(J),
+                self.k, ctypes.c_int32(1 if all_minima else 0),
+                _ptr(out_j), _ptr(out_p), _ptr(out_c), cap,
+                None,
+                _ptr(self._scr_pv), _ptr(self._scr_mv), _ptr(self._scr_bs),
+            )
+            if got <= cap:
+                out_j, out_p, out_c = out_j[:got], out_p[:got], out_c[:got]
+                if got:
+                    # the interleaved fast path emits across 4 jobs at once;
+                    # restore job-major order (per-job positions ascend, so
+                    # a stable (job, pos) sort reproduces the scalar order)
+                    order = np.lexsort((out_p, out_j))
+                    out_j, out_p, out_c = out_j[order], out_p[order], out_c[order]
+                return out_j, out_p, out_c
+            cap = int(got)
+
+    def run_best(self, job_p=None, job_t=None, J=None) -> np.ndarray:
+        """Mode 2: min end-cost per job (exact for values <= k)."""
+        if J is None:
+            job_p, job_t, J = self._default_jobs()
+        out_best = np.empty(int(J), dtype=np.int32)
+        _lib.sassy_scan(
+            _ptr(self.txt), self.Wt, _ptr(self.n_arr),
+            _ptr(self.peq), self.A, self.L,
+            _ptr(self.m_arr), _ptr(self.pv0), _ptr(self.score0),
+            _ptr(self.o_arr),
+            _ptr(self.ov_add),
+            0 if self.ov_add is None else len(self.ov_add),
+            _ptr(job_p), _ptr(job_t), int(J),
+            self.k, ctypes.c_int32(2),
+            None, None, None, 0,
+            _ptr(out_best),
+            _ptr(self._scr_pv), _ptr(self._scr_mv), _ptr(self._scr_bs),
+        )
+        return out_best
+
+
+def scan_pairs(
+    patterns,
+    texts,
+    profile,
+    k: int,
+    all_minima: bool,
+    alpha: float | None = None,
+    max_overhang: int | None = None,
+):
+    """Native twin of myers.batch_scan_minima / (batch_end_costs +
+    batch_find_minima): pattern[i] vs text[i], returns (pair_idx, end_pos,
+    cost).  Per-pair candidate lists come out in the same (ascending
+    position) order as the NumPy paths."""
+    nb = NativeBatch(patterns, texts, profile, k, alpha, max_overhang)
+    return nb.run_minima(all_minima)
+
+
+def scan_jobs(patterns, texts, profile, k, all_minima, job_p, job_t):
+    """Native cartesian scan: explicit (pattern_idx, text_idx) job lists."""
+    nb = NativeBatch(patterns, texts, profile, k)
+    job_p = np.ascontiguousarray(job_p, dtype=np.int64)
+    job_t = np.ascontiguousarray(job_t, dtype=np.int64)
+    return nb.run_minima(all_minima, job_p, job_t, len(job_p))
+
+
+def best_jobs(
+    patterns,
+    texts,
+    profile,
+    k: int,
+    alpha: float | None = None,
+    max_overhang: int | None = None,
+) -> np.ndarray:
+    """Native twin of myers.batch_best_costs (pre-clamp): pattern[i] vs
+    text[i] min end-cost, exact wherever the true value is <= k."""
+    nb = NativeBatch(patterns, texts, profile, k, alpha, max_overhang)
+    return nb.run_best()

@@ -105,6 +105,7 @@ class Profile:
         complement_lut: np.ndarray | None,
         supports_overhang: bool,
         n_lut: np.ndarray | None = None,
+        canon_lut: np.ndarray | None = None,
     ) -> None:
         self.name = name
         self.match_matrix = match_matrix  # (256, 256) bool
@@ -112,6 +113,11 @@ class Profile:
         self.complement_lut = complement_lut  # (256,) uint8 or None
         self.supports_overhang = supports_overhang
         self.supports_rc = complement_lut is not None
+        # equality-class shortcut: when set, match_matrix[a, b] ==
+        # (canon_lut[a] == canon_lut[b]) — lets the native PEQ builder run
+        # O(m) per pattern instead of O(m x alphabet).  None for profiles
+        # whose match relation is not an equivalence (IUPAC nibble-AND).
+        self.canon_lut = canon_lut  # (256,) uint8 or None
         # bytes that count as 'N' for the N-fraction filter (n_filter.rs:27-29:
         # case-insensitive 'N', all profiles)
         if n_lut is None:
@@ -171,6 +177,7 @@ def _make_ascii(case_sensitive: bool) -> Profile:
         la = low(_ALL)
         mm = la[:, None] == la[None, :]
     valid = np.ones(256, dtype=bool)
+    canon = _ALL.copy() if case_sensitive else la.copy()
     # overhang is Iupac-only in the reference (profiles.rs:63-65, iupac.rs:218)
     return Profile(
         "ascii" if case_sensitive else "ascii_ci",
@@ -178,6 +185,7 @@ def _make_ascii(case_sensitive: bool) -> Profile:
         valid,
         complement_lut=None,
         supports_overhang=False,
+        canon_lut=canon,
     )
 
 
@@ -188,7 +196,7 @@ def _make_dna() -> Profile:
     lowered = np.frombuffer(b"acgt", dtype=np.uint8)
     valid = np.isin(la, lowered)
     lut = _pairs_to_lut(_DNA_RC_PAIRS, True)  # uppercase only, like dna.rs RC table
-    return Profile("dna", mm, valid, lut, supports_overhang=False)
+    return Profile("dna", mm, valid, lut, supports_overhang=False, canon_lut=la.copy())
 
 
 def _make_iupac() -> Profile:

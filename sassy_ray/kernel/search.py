@@ -127,7 +127,14 @@ class Searcher:
         out: list[list[Match]] = [[] for _ in range(B)]
         if B == 0:
             return out
-        if self.alpha is None and max(len(p) for p in patterns) <= 64:
+        from sassy_ray.kernel import native
+
+        if native.available():
+            # compiled per-row scan: any limb count, with or without overhang
+            pi, pp, pc = native.scan_pairs(
+                patterns, texts, self.profile, k, all_minima, self.alpha, self.max_overhang
+            )
+        elif self.alpha is None and max(len(p) for p in patterns) <= 64:
             # fused scan+walk: no (B, W) cost matrix (the hot path for
             # grep/crispr-style scans of <=64-char patterns)
             from sassy_ray.kernel.myers import batch_scan_minima
@@ -354,7 +361,14 @@ class Searcher:
             for ti in range(T):
                 lo, hi = int(bounds[ti]), int(bounds[ti + 1])
                 for s in range(lo, hi, cfg.lanes):
-                    groups.append((ti, tuple(int(x) for x in pi_arr[s : s + cfg.lanes])))
+                    # clamp to hi: an unclamped slice would pull the NEXT
+                    # text's hit rows into this text's lane group (observed
+                    # as duplicate emissions when the overflow row shares
+                    # the pattern id — caught by the native-vs-numpy
+                    # equivalence fuzz in tests/test_native.py)
+                    groups.append(
+                        (ti, tuple(int(x) for x in pi_arr[s : min(hi, s + cfg.lanes)]))
+                    )
         else:
             word_groups = [
                 tuple(range(s, min(Ps, s + cfg.lanes))) for s in range(0, Ps, cfg.lanes)
@@ -388,6 +402,67 @@ class Searcher:
             for (pi, ti), ms in zip(cpairs, res):
                 if ms:
                     out.setdefault((idxs[pi], ti), []).extend(ms)
+
+    def _native_cartesian(
+        self,
+        patterns: list[bytes],
+        texts,
+        k: int,
+        all_minima: bool,
+        strand: str,
+        filter_fn,
+        chunk_pairs: int,
+        out: dict[tuple[int, int], list[Match]],
+    ) -> None:
+        """P x T cartesian scan on the compiled kernel: jobs are emitted
+        text-major (a text's codes stay cache-resident across its P pattern
+        walks), sliced to bound the job/emission arrays; candidates group
+        per (pattern, text) pair and flow through the shared ``_finalize``.
+        Alpha-free only (the caller routes overhang searches per-pair)."""
+        from sassy_ray.kernel.native import NativeBatch
+
+        P, T = len(patterns), len(texts)
+        nb = NativeBatch(patterns, texts, self.profile, k)
+        pat_ids = np.arange(P, dtype=np.int64)
+        if nb.pat_row is not None:
+            pat_ids = nb.pat_row  # duplicate patterns share PEQ rows
+        t_slice = max(1, 1_000_000 // max(P, 1))
+        for t0 in range(0, T, t_slice):
+            t1 = min(T, t0 + t_slice)
+            nt = t1 - t0
+            job_p = np.ascontiguousarray(np.tile(pat_ids, nt))
+            job_t = np.ascontiguousarray(
+                np.repeat(np.arange(t0, t1, dtype=np.int64), P)
+            )
+            ji, jp, jc = nb.run_minima(all_minima, job_p, job_t, len(job_p))
+            if len(ji) == 0:
+                continue
+            # emissions are job-major: split candidate runs per job
+            starts = np.nonzero(np.diff(ji, prepend=ji[0] - 1))[0]
+            ends = np.append(starts[1:], len(ji))
+            jrows = ji[starts]
+            pair_rows = [
+                (int(j % P), int(t0 + j // P)) for j in jrows.tolist()
+            ]
+            for s in range(0, len(pair_rows), chunk_pairs):
+                cpairs = pair_rows[s : s + chunk_pairs]
+                cands = {
+                    r: list(zip(jp[a:b].tolist(), jc[a:b].tolist()))
+                    for r, (a, b) in enumerate(
+                        zip(starts[s : s + chunk_pairs], ends[s : s + chunk_pairs])
+                    )
+                }
+                res = self._finalize(
+                    [patterns[pi] for pi, _ in cpairs],
+                    _take_texts(texts, [ti for _, ti in cpairs]),
+                    k,
+                    cands,
+                    strand,
+                    filter_fn,
+                )
+                for (pi, ti), ms in zip(cpairs, res):
+                    if ms:
+                        out.setdefault((pi, ti), []).extend(ms)
 
     def _cartesian_strand(
         self,
@@ -427,6 +502,17 @@ class Searcher:
             pairs = [(pi, ti) for pi in range(P) for ti in range(T)]
             self._verify_pairs(
                 patterns, texts, pairs, k, all_minima, strand, filter_fn, chunk_pairs, out
+            )
+            return out
+        from sassy_ray.kernel import native
+
+        if native.available():
+            # compiled cartesian scan: every (pattern, text) job walked
+            # start-to-finish in registers — faster per pair than even the
+            # packed SWAR *prefilter* pass, so the whole class dispatch and
+            # cascade collapse into one call (texts prepped once)
+            self._native_cartesian(
+                patterns, texts, k, all_minima, strand, filter_fn, chunk_pairs, out
             )
             return out
         from sassy_ray.kernel.prefilter import LANES1X63, LANES2X31, LANES4X15

@@ -1,0 +1,155 @@
+"""Native (C) kernel vs NumPy kernel equivalence.
+
+The compiled scan engine (kernel/_native.c via kernel/native.py) must be
+bit-for-bit interchangeable with the NumPy batch kernels: same candidate
+positions, same costs, same per-pair ordering, for every mode the engine
+dispatches (minima walk / all-minima / best-cost), any limb count, with and
+without overhang.  The rest of the suite pins the native path against the
+pure-DP oracle transitively (native is the default when a compiler exists);
+this file pins the two implementations against EACH OTHER so a regression
+in either is caught even if the default flips.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from sassy_ray.kernel import myers, native
+from sassy_ray.kernel.profiles import get_profile
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="no C compiler / SASSY_NATIVE=0"
+)
+
+
+class force_numpy:
+    """Temporarily hide the compiled library so myers.* runs pure NumPy."""
+
+    def __enter__(self):
+        self._lib = native._lib
+        native._lib = None
+        return self
+
+    def __exit__(self, *exc):
+        native._lib = self._lib
+        return False
+
+
+def _rnd(rng, n, ab=b"ACGT"):
+    return bytes(rng.choice(ab) for _ in range(n))
+
+
+def _keyed(t):
+    return sorted(zip(t[0].tolist(), t[1].tolist(), t[2].tolist()))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("profname", ["dna", "ascii_ci", "iupac"])
+def test_scan_minima_equivalence(seed, profname):
+    rng = random.Random(seed)
+    prof = get_profile(profname)
+    ab = b"ACGT" if profname != "ascii_ci" else bytes(range(97, 123)) + b"  "
+    pats = [_rnd(rng, rng.randint(1, 150), ab) for _ in range(101)]
+    txts = [_rnd(rng, rng.randint(0, 400), ab) for _ in range(101)]
+    for k in (0, 3, 9, 25):
+        for all_min in (False, True):
+            costs, _n, max_pos = myers.batch_end_costs(pats, txts, prof, k)
+            ref = myers.batch_find_minima(costs, max_pos, k, all_min)
+            nat = native.scan_pairs(pats, txts, prof, k, all_min)
+            assert _keyed(ref) == _keyed(nat), (k, all_min)
+
+
+@pytest.mark.parametrize("alpha,mo", [(0.5, None), (0.3, 7), (1.0, None), (0.0, None)])
+def test_scan_minima_overhang_equivalence(alpha, mo):
+    rng = random.Random(42)
+    prof = get_profile("iupac")
+    pats = [_rnd(rng, rng.randint(1, 90)) for _ in range(60)]
+    txts = [_rnd(rng, rng.randint(0, 200)) for _ in range(60)]
+    k = 4
+    costs, _n, max_pos = myers.batch_end_costs(pats, txts, prof, k, alpha, mo)
+    for all_min in (False, True):
+        ref = myers.batch_find_minima(costs, max_pos, k, all_min)
+        nat = native.scan_pairs(pats, txts, prof, k, all_min, alpha, mo)
+        assert _keyed(ref) == _keyed(nat), (alpha, mo, all_min)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_best_costs_equivalence(seed):
+    rng = random.Random(seed)
+    prof = get_profile("ascii_ci")
+    ab = bytes(range(97, 123)) + b"    "
+    pats = [_rnd(rng, rng.randint(1, 700), ab) for _ in range(150)]
+    txts = []
+    for p in pats:
+        if rng.random() < 0.5:
+            b = bytearray(p)
+            for _ in range(rng.randint(0, 30)):
+                b[rng.randrange(len(b))] = rng.choice(ab)
+            txts.append(bytes(b))
+        else:
+            txts.append(_rnd(rng, rng.randint(0, 700), ab))
+    for k in (2, 17, 40, 80):
+        nat = myers.batch_best_costs(pats, txts, prof, k)
+        with force_numpy():
+            ref = myers.batch_best_costs(pats, txts, prof, k)
+        assert (nat == ref).all(), (k, np.nonzero(nat != ref)[0][:5])
+
+
+def test_best_costs_overhang_equivalence():
+    rng = random.Random(9)
+    prof = get_profile("iupac")
+    pats = [_rnd(rng, rng.randint(1, 90)) for _ in range(60)]
+    txts = [_rnd(rng, rng.randint(0, 200)) for _ in range(60)]
+    for alpha, mo in ((0.5, None), (0.25, 11)):
+        nat = myers.batch_best_costs(pats, txts, prof, 5, alpha, mo)
+        with force_numpy():
+            ref = myers.batch_best_costs(pats, txts, prof, 5, alpha, mo)
+        assert (nat == ref).all(), (alpha, mo)
+
+
+def test_searcher_end_to_end_equivalence():
+    """Full Searcher surface (cartesian dispatch, RC flip, traceback) gives
+    identical matches with and without the compiled kernel."""
+    from sassy_ray.kernel.search import Searcher
+
+    rng = random.Random(7)
+    pats = [_rnd(rng, rng.randint(6, 40)) for _ in range(24)]
+    txts = [_rnd(rng, rng.randint(0, 500)) for _ in range(64)]
+    # plant hits
+    for i in range(0, 60, 3):
+        t = bytearray(txts[i])
+        p = bytearray(pats[i % len(pats)])
+        if len(p) > 4:
+            p[rng.randrange(len(p))] = rng.choice(b"ACGT")
+        txts[i] = bytes(t[: len(t) // 2]) + bytes(p) + bytes(t[len(t) // 2 :])
+
+    def run():
+        s = Searcher("dna", rc=True)
+        ms = s.search_many(pats, txts, 3)
+        return [
+            (m.pattern_idx, m.text_idx, m.text_start, m.text_end, m.cost,
+             m.strand, m.cigar)
+            for m in ms
+        ]
+
+    nat = run()
+    with force_numpy():
+        ref = run()
+    assert sorted(nat) == sorted(ref)
+    assert len(nat) > 0  # the planted hits actually exercised the paths
+
+
+def test_run_minima_job_major_order():
+    """run_minima output must be job-major with ascending positions per job
+    (the cartesian grouping in search._native_cartesian relies on it)."""
+    rng = random.Random(11)
+    prof = get_profile("dna")
+    pats = [_rnd(rng, 8) for _ in range(40)]
+    txts = [_rnd(rng, rng.randint(0, 200)) for _ in range(40)]
+    ji, jp, _jc = native.scan_pairs(pats, txts, prof, 6, True)
+    assert (np.diff(ji) >= 0).all()
+    same = np.diff(ji) == 0
+    assert (np.diff(jp)[same] > 0).all()
