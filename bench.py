@@ -80,10 +80,19 @@ def run_bench() -> dict:
         # worker's first large kernel allocation page-faults the whole buffer
         # set — warm at the real batch size or the fault cost lands in the
         # cold scored stage
-        batch_best_costs([b"x" * 300] * 8192, [b"y" * 320] * 8192, prof, 9)
+        # DISTINCT patterns: the native scorer uniques list patterns, so
+        # identical rows would warm a P=1 PEQ table instead of the
+        # production per-pair-pattern shape (dense-remap + per-pattern PEQ)
+        batch_best_costs(
+            [("x" * 292 + f"{i:08d}").encode() for i in range(8192)],
+            [b"y" * 320] * 8192, prof, 9,
+        )
         # second shape: paragraph-length pairs allocate the 10-limb buffer
         # set (distinct arrays from the 5-limb ones above)
-        batch_best_costs([b"x" * 620] * 2048, [b"y" * 660] * 2048, prof, 19)
+        batch_best_costs(
+            [("x" * 612 + f"{i:08d}").encode() for i in range(2048)],
+            [b"y" * 660] * 2048, prof, 19,
+        )
         return b
 
     rd.range(NUM_CPUS * 1000, override_num_blocks=NUM_CPUS).map_batches(

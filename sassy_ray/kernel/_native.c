@@ -193,9 +193,9 @@ static inline int64_t scan_job_l1(
  * four jobs; the Python wrapper re-sorts to job-major order. */
 __attribute__((always_inline)) static inline void scan_job4_l1(
     const int64_t *jid, const uint8_t *const *trows, const int64_t *ns,
-    const uint64_t *const *pqs, int64_t L, const int64_t *ms, int64_t k,
-    int32_t mode, int64_t *out_job, int64_t *out_pos, int32_t *out_cost,
-    int64_t out_cap, int32_t *out_best, int64_t *w_io) {
+    const uint64_t *const *pqs, int64_t L, const int64_t *ms,
+    const int64_t *ks, int32_t mode, int64_t *out_job, int64_t *out_pos,
+    int32_t *out_cost, int64_t out_cap, int32_t *out_best, int64_t *w_io) {
   uint64_t pv[4], mv[4];
   int64_t sc[4], prev[4], best[4];
   uint64_t shift[4];
@@ -213,7 +213,7 @@ __attribute__((always_inline)) static inline void scan_job4_l1(
     best[s] = ms[s];
     dec[s] = 1;
     shift[s] = (uint64_t)((ms[s] - 1) & 63);
-    if (mode == 1 && ms[s] <= k) {
+    if (mode == 1 && ms[s] <= ks[s]) {
       if (w < out_cap) {
         out_job[w] = jid[s];
         out_pos[w] = 0;
@@ -243,7 +243,7 @@ __attribute__((always_inline)) static inline void scan_job4_l1(
       mv[s] = ph & xv;
       int64_t c = sc[s];
       if (mode == 0) {
-        if (prev[s] > k) {
+        if (prev[s] > ks[s]) {
           dec[s] = 1;
         } else {
           if (c > prev[s] && dec[s]) {
@@ -261,7 +261,7 @@ __attribute__((always_inline)) static inline void scan_job4_l1(
         if (c < best[s])
           best[s] = c;
       } else {
-        if (c <= k) {
+        if (c <= ks[s]) {
           if (w < out_cap) {
             out_job[w] = jid[s];
             out_pos[w] = tt + 1;
@@ -292,7 +292,7 @@ __attribute__((always_inline)) static inline void scan_job4_l1(
       mvs = ph & xv;
       int64_t c = scs;
       if (mode == 0) {
-        if (prevs > k) {
+        if (prevs > ks[s]) {
           decs = 1;
         } else {
           if (c > prevs && decs) {
@@ -310,7 +310,7 @@ __attribute__((always_inline)) static inline void scan_job4_l1(
         if (c < bests)
           bests = c;
       } else {
-        if (c <= k) {
+        if (c <= ks[s]) {
           if (w < out_cap) {
             out_job[w] = jid[s];
             out_pos[w] = u + 1;
@@ -321,7 +321,7 @@ __attribute__((always_inline)) static inline void scan_job4_l1(
       }
     }
     if (mode == 0) {
-      if (decs && prevs <= k) {
+      if (decs && prevs <= ks[s]) {
         if (w < out_cap) {
           out_job[w] = jid[s];
           out_pos[w] = ns[s];
@@ -344,9 +344,12 @@ static int64_t scan_one(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
                         const int64_t *score0, const int64_t *o_arr,
                         const int32_t *ov_add, const int64_t *job_p,
                         const int64_t *job_t, int64_t j, int64_t k,
-                        int32_t mode, int64_t *out_job, int64_t *out_pos,
-                        int32_t *out_cost, int64_t out_cap, int32_t *out_best,
-                        uint64_t *Pv, uint64_t *Mv, int64_t *bs, int64_t w) {
+                        const int64_t *k_arr, int32_t mode, int64_t *out_job,
+                        int64_t *out_pos, int32_t *out_cost, int64_t out_cap,
+                        int32_t *out_best, uint64_t *Pv, uint64_t *Mv,
+                        int64_t *bs, int64_t w) {
+  if (k_arr)
+    k = k_arr[j];
   int64_t p = job_p ? job_p[j] : j;
   int64_t t = job_t ? job_t[j] : j;
   int64_t m = m_arr[p];
@@ -483,7 +486,8 @@ int64_t sassy_scan(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
                    const int64_t *m_arr, const uint64_t *pv0,
                    const int64_t *score0, const int64_t *o_arr,
                    const int32_t *ov_add, int64_t ov_max, const int64_t *job_p,
-                   const int64_t *job_t, int64_t J, int64_t k, int32_t mode,
+                   const int64_t *job_t, int64_t J, int64_t k,
+                   const int64_t *k_arr, int32_t mode,
                    int64_t *out_job, int64_t *out_pos, int32_t *out_cost,
                    int64_t out_cap, int32_t *out_best, uint64_t *Pv,
                    uint64_t *Mv, int64_t *bs) {
@@ -497,7 +501,7 @@ int64_t sassy_scan(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
     int64_t j = 0;
 #define SASSY_GROUP_LOOP(LC, MODEC)                                           \
     while (j + 4 <= J) {                                                      \
-      int64_t jid[4], ns[4], ms[4];                                           \
+      int64_t jid[4], ns[4], ms[4], ks[4];                                    \
       const uint8_t *trows[4];                                                \
       const uint64_t *pqs[4];                                                 \
       int ok = 1;                                                             \
@@ -512,12 +516,13 @@ int64_t sassy_scan(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
         jid[s] = jj;                                                          \
         ns[s] = n_arr[t];                                                     \
         ms[s] = m_arr[p];                                                     \
+        ks[s] = k_arr ? k_arr[jj] : k;                                        \
         trows[s] = txt + (size_t)t * Wt;                                      \
         pqs[s] = peq + (size_t)p * A * (LC);                                  \
       }                                                                       \
       if (!ok)                                                                \
         break;                                                                \
-      scan_job4_l1(jid, trows, ns, pqs, (LC), ms, k, (MODEC), out_job,        \
+      scan_job4_l1(jid, trows, ns, pqs, (LC), ms, ks, (MODEC), out_job,       \
                    out_pos, out_cost, out_cap, out_best, &w);                 \
       j += 4;                                                                 \
     }
@@ -539,23 +544,23 @@ int64_t sassy_scan(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
       if (m > 64 || m < 1)
         goto general; /* mixed batch: handle everything left generically */
       scan_job_l1(j, txt + (size_t)t * Wt, n_arr[t], peq + (size_t)p * A * L,
-                  L, m, 0, ~0ULL, m, NULL, k, mode, out_job, out_pos, out_cost,
-                  out_cap, out_best, &w);
+                  L, m, 0, ~0ULL, m, NULL, k_arr ? k_arr[j] : k, mode, out_job,
+                  out_pos, out_cost, out_cap, out_best, &w);
     }
     return w;
   general:;
     /* rare: restart remaining jobs on the general path from j */
     for (int64_t jj = j; jj < J; jj++) {
       w = scan_one(txt, Wt, n_arr, peq, A, L, m_arr, pv0, score0, o_arr,
-                   ov_add, job_p, job_t, jj, k, mode, out_job, out_pos,
+                   ov_add, job_p, job_t, jj, k, k_arr, mode, out_job, out_pos,
                    out_cost, out_cap, out_best, Pv, Mv, bs, w);
     }
     return w;
   }
   for (int64_t j = 0; j < J; j++) {
     w = scan_one(txt, Wt, n_arr, peq, A, L, m_arr, pv0, score0, o_arr, ov_add,
-                 job_p, job_t, j, k, mode, out_job, out_pos, out_cost, out_cap,
-                 out_best, Pv, Mv, bs, w);
+                 job_p, job_t, j, k, k_arr, mode, out_job, out_pos, out_cost,
+                 out_cap, out_best, Pv, Mv, bs, w);
   }
   return w;
 }

@@ -88,7 +88,7 @@ def _build() -> ctypes.CDLL | None:
         P, P, P, P,       # m_arr, pv0, score0, o_arr
         P, I,             # ov_add, ov_max
         P, P, I,          # job_p, job_t, J
-        I, ctypes.c_int32,  # k, mode
+        I, P, ctypes.c_int32,  # k, k_arr, mode
         P, P, P, I,       # out_job, out_pos, out_cost, out_cap
         P,                # out_best
         P, P, P,          # Pv, Mv, bs scratch
@@ -242,10 +242,12 @@ class NativeBatch:
         # identity pairing: job j = (pattern row j, text j)
         return self.pat_row, None, self.T
 
-    def run_minima(self, all_minima: bool, job_p=None, job_t=None, J=None):
+    def run_minima(self, all_minima: bool, job_p=None, job_t=None, J=None, k_arr=None):
         """Modes 0/1: returns (job_idx, end_pos, cost) arrays."""
         if J is None:
             job_p, job_t, J = self._default_jobs()
+        if k_arr is not None:
+            k_arr = np.ascontiguousarray(k_arr, dtype=np.int64)
         cap = int(J) * (8 if all_minima else 2) + 4096
         while True:
             out_j = np.empty(cap, dtype=np.int64)
@@ -259,7 +261,7 @@ class NativeBatch:
                 _ptr(self.ov_add),
                 0 if self.ov_add is None else len(self.ov_add),
                 _ptr(job_p), _ptr(job_t), int(J),
-                self.k, ctypes.c_int32(1 if all_minima else 0),
+                self.k, _ptr(k_arr), ctypes.c_int32(1 if all_minima else 0),
                 _ptr(out_j), _ptr(out_p), _ptr(out_c), cap,
                 None,
                 _ptr(self._scr_pv), _ptr(self._scr_mv), _ptr(self._scr_bs),
@@ -275,10 +277,14 @@ class NativeBatch:
                 return out_j, out_p, out_c
             cap = int(got)
 
-    def run_best(self, job_p=None, job_t=None, J=None) -> np.ndarray:
-        """Mode 2: min end-cost per job (exact for values <= k)."""
+    def run_best(self, job_p=None, job_t=None, J=None, k_arr=None) -> np.ndarray:
+        """Mode 2: min end-cost per job (exact for values <= k, or <=
+        k_arr[j] when a per-job threshold array is given — each job's band
+        then matches its own threshold)."""
         if J is None:
             job_p, job_t, J = self._default_jobs()
+        if k_arr is not None:
+            k_arr = np.ascontiguousarray(k_arr, dtype=np.int64)
         out_best = np.empty(int(J), dtype=np.int32)
         _lib.sassy_scan(
             _ptr(self.txt), self.Wt, _ptr(self.n_arr),
@@ -288,7 +294,7 @@ class NativeBatch:
             _ptr(self.ov_add),
             0 if self.ov_add is None else len(self.ov_add),
             _ptr(job_p), _ptr(job_t), int(J),
-            self.k, ctypes.c_int32(2),
+            self.k, _ptr(k_arr), ctypes.c_int32(2),
             None, None, None, 0,
             _ptr(out_best),
             _ptr(self._scr_pv), _ptr(self._scr_mv), _ptr(self._scr_bs),

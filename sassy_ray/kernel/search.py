@@ -29,7 +29,9 @@ __all__ = ["Searcher", "Match", "search_many", "TextRows"]
 def _as_text_col(texts):
     """Text input normalization: Arrow arrays become a ``TextRows`` column
     (one vectorized buffer scatter, no to_pylist), TextRows pass through,
-    anything else becomes a list[bytes]."""
+    and list inputs become a TextRows too (one matrix build shared by both
+    strands; the RC pass then reverses with one vectorized gather instead of
+    a per-row Python ``t[::-1]``)."""
     if isinstance(texts, TextRows):
         return texts
     try:
@@ -39,7 +41,7 @@ def _as_text_col(texts):
             return TextRows.from_any(texts)
     except ImportError:  # pragma: no cover
         pass
-    return [_b(t) for t in texts]
+    return TextRows.from_any([_b(t) for t in texts])
 
 
 def _take_texts(texts, idxs):
@@ -815,6 +817,11 @@ SCAN_CHUNK_LEN = 1024
 # (measured m=23: 47.5 MB/s @512 vs 45.8 @1024; m=12: 59.3 vs 45.1)
 SCAN_CHUNK_LEN_PACKED = 512
 MULTI_CHUNK_LEN = 512
+# the compiled kernel walks rows sequentially (no per-step dispatch to
+# amortize), so chunk rows exist only for the ownership semantics — longer
+# rows mean less overlap waste and fewer rows to build (overlap m+k over
+# 8192 is ~0.3% at grep shapes)
+SCAN_CHUNK_LEN_NATIVE = 8192
 
 
 def _build_chunk_rows(texts: list[bytes], overlap: int, chunk_len: int):
@@ -839,6 +846,62 @@ def _build_chunk_rows(texts: list[bytes], overlap: int, chunk_len: int):
     return chunks, owner
 
 
+def _chunk_row_count(texts: list[bytes], overlap: int, chunk_len: int) -> int:
+    step = chunk_len - overlap
+    total = 0
+    for t in texts:
+        n = len(t)
+        total += 1 if n <= chunk_len else 1 + -(-(n - chunk_len) // step)
+    return total
+
+
+def _fill_chunk_rows(texts, overlap, chunk_len, mat, lens, row0, owner):
+    """Fill preallocated ``mat[row0:]`` / ``lens[row0:]`` with the chunk rows
+    of ``texts`` (same starts/lengths/ownership as ``_build_chunk_rows``);
+    appends to ``owner``.  Returns the next free row index."""
+    step = chunk_len - overlap
+    r = row0
+    for ti, t in enumerate(texts):
+        n = len(t)
+        if n <= chunk_len:
+            if n:
+                mat[r, :n] = np.frombuffer(t, dtype=np.uint8)
+            lens[r] = n
+            owner.append((ti, 0, True))
+            r += 1
+            continue
+        arr = np.frombuffer(t, dtype=np.uint8)
+        nc = 1 + -(-(n - chunk_len) // step)
+        # full windows land as ONE strided bulk copy (a view, no index
+        # arrays); at most one short tail chunk is filled separately into
+        # its pre-zeroed row
+        win = np.lib.stride_tricks.sliding_window_view(arr, chunk_len)[::step]
+        nc_full = win.shape[0]
+        np.copyto(mat[r : r + nc_full], win)
+        lens[r : r + nc] = chunk_len
+        if nc > nc_full:
+            s0 = (nc - 1) * step
+            mat[r + nc - 1, : n - s0] = arr[s0:]
+            lens[r + nc - 1] = n - s0
+        owner.extend((ti, i * step, i == 0) for i in range(nc))
+        r += nc
+    return r
+
+
+def _build_chunk_rows_tr(texts: list[bytes], overlap: int, chunk_len: int):
+    """Vectorized twin of ``_build_chunk_rows``: the chunk rows land directly
+    in one padded uint8 matrix (a ``TextRows``) via per-text window gathers
+    into ONE preallocated matrix — no per-chunk Python bytes objects and no
+    vstack copy storm.  Same starts, same lengths, same ownership; the
+    kernels consume the TextRows as-is."""
+    R = _chunk_row_count(texts, overlap, chunk_len)
+    mat = np.zeros((R, max(1, chunk_len)), dtype=np.uint8)
+    lens = np.zeros(R, dtype=np.int64)
+    owner: list[tuple[int, int, bool]] = []
+    _fill_chunk_rows(texts, overlap, chunk_len, mat, lens, 0, owner)
+    return TextRows(mat, lens), owner
+
+
 def _collect_chunk_matches(n_texts: int, owner, res, overlap: int):
     out: list[list[Match]] = [[] for _ in range(n_texts)]
     for (ti, cstart, is_first), ms in zip(owner, res):
@@ -857,7 +920,7 @@ def _chunk_strand(searcher, pattern: bytes, texts: list[bytes], k: int, strand: 
     """One-strand chunked scan; returns per-text matches in strand-local
     coords (caller flips RC coords)."""
     overlap = len(pattern) + k
-    chunks, owner = _build_chunk_rows(texts, overlap, chunk_len)
+    chunks, owner = _build_chunk_rows_tr(texts, overlap, chunk_len)
     res = searcher._strand_matches([pattern] * len(chunks), chunks, k, False, strand)
     return _collect_chunk_matches(len(texts), owner, res, overlap)
 
@@ -878,13 +941,17 @@ def chunked_search_multi(
     patterns = [_b(p) for p in patterns]
     texts = [_b(t) for t in texts]
     m_max = max((len(p) for p in patterns), default=0)
+    from sassy_ray.kernel import native as _nat
+
+    if chunk_len == MULTI_CHUNK_LEN and _nat.available():
+        chunk_len = SCAN_CHUNK_LEN_NATIVE
     if chunk_len <= 2 * (m_max + k):
         chunk_len = 2 * (m_max + k) + 64
     overlap = m_max + k
     P, T = len(patterns), len(texts)
 
     def strand_pass(pats: list[bytes], txts: list[bytes], strand: str):
-        chunks, owner = _build_chunk_rows(txts, overlap, chunk_len)
+        chunks, owner = _build_chunk_rows_tr(txts, overlap, chunk_len)
         got = searcher._cartesian_strand(pats, chunks, k, False, strand)
         out: list[list[list[Match]]] = [[[] for _ in range(T)] for _ in range(P)]
         for (pi, ci), ms in got.items():
@@ -956,7 +1023,11 @@ def chunked_search(
     pattern = _b(pattern)
     texts = [_b(t) for t in texts]
     m = len(pattern)
-    if m <= 31 and chunk_len == SCAN_CHUNK_LEN:
+    from sassy_ray.kernel import native as _nat
+
+    if chunk_len == SCAN_CHUNK_LEN and _nat.available():
+        chunk_len = SCAN_CHUNK_LEN_NATIVE
+    elif m <= 31 and chunk_len == SCAN_CHUNK_LEN:
         # text-lane packed class — shorter rows only pay off once the row
         # count clears the packed dispatch threshold (strands fuse below)
         from sassy_ray.kernel.myers import PACKED_ROWS_MIN_B
@@ -977,15 +1048,22 @@ def chunked_search(
         # half the per-step dispatch count of two separate passes
         comp = searcher.profile.complement(pattern)
         rev = [t[::-1] for t in texts]
-        f_chunks, f_owner = _build_chunk_rows(texts, overlap, chunk_len)
-        r_chunks, r_owner = _build_chunk_rows(rev, overlap, chunk_len)
-        nf = len(f_chunks)
+        # both strands land in ONE preallocated matrix (fwd rows then rc
+        # rows — same row count, texts and their reversals are equal-length)
+        nf = _chunk_row_count(texts, overlap, chunk_len)
+        mat = np.zeros((2 * nf, max(1, chunk_len)), dtype=np.uint8)
+        lens = np.zeros(2 * nf, dtype=np.int64)
+        f_owner: list[tuple[int, int, bool]] = []
+        r_owner: list[tuple[int, int, bool]] = []
+        _fill_chunk_rows(texts, overlap, chunk_len, mat, lens, 0, f_owner)
+        _fill_chunk_rows(rev, overlap, chunk_len, mat, lens, nf, r_owner)
+        fused = TextRows(mat, lens)
         res = searcher._strand_matches(
-            [pattern] * nf + [comp] * len(r_chunks),
-            f_chunks + r_chunks,
+            [pattern] * nf + [comp] * nf,
+            fused,
             k,
             False,
-            [FWD] * nf + [RC] * len(r_chunks),
+            [FWD] * nf + [RC] * nf,
         )
         out = _collect_chunk_matches(len(texts), f_owner, res[:nf], overlap)
         rc = _collect_chunk_matches(len(texts), r_owner, res[nf:], overlap)

@@ -264,6 +264,32 @@ class PairScorer:
         k_max = int(k_pair.max())
         rc = cfg.rc and self.prof.supports_rc
 
+        from sassy_ray.kernel import native as _native
+
+        if _native.available():
+            # compiled scorer: every pair walks its own text start-to-finish
+            # with its own band (per-job k), so the limb buckets, length
+            # sub-chunks and the 63-char suffix screen — all of which exist
+            # to keep the BATCH-axis NumPy kernel dense and cache-resident —
+            # collapse into ONE call per Ray batch (screen A/B measured
+            # slower with the C band: a 1-limb screen pass + banded verify
+            # ~= the banded full scan the screen tries to avoid, minus the
+            # extra prep).  RC patterns build vectorized off the Arrow
+            # buffers (complement LUT + reversed TextRows).
+            from sassy_ray.kernel.myers import TextRows
+            from sassy_ray.kernel.native import NativeBatch
+
+            k_arr = k_pair.astype(np.int64)
+            nb = NativeBatch(pats_arr, txts_arr, self.prof, k_max)
+            cost = nb.run_best(k_arr=k_arr)
+            if rc:
+                tr = TextRows.from_any(pats_arr)
+                comp = TextRows(self.prof.complement_lut[tr.mat], tr.lens)
+                nbr = NativeBatch(comp.reversed(), txts_arr, self.prof, k_max)
+                cost = np.minimum(cost, nbr.run_best(k_arr=k_arr))
+            cost = np.minimum(cost.astype(np.int32), k_pair + 1)
+            return self._emit(batch, cost, k_pair, pats_arr, txts_arr, k_max, n)
+
         # --- stage 1: 63-char suffix screen (single-limb kernel) ----------
         # The suffix's best end-cost lower-bounds the full pattern's (the
         # restriction of any full alignment to the last SUF pattern chars
@@ -345,6 +371,10 @@ class PairScorer:
                 cost[idx] = c
             i = j
         cost = np.minimum(cost, k_pair + 1)
+        return self._emit(batch, cost, k_pair, pats_arr, txts_arr, k_max, n)
+
+    def _emit(self, batch, cost, k_pair, pats_arr, txts_arr, k_max, n) -> pa.Table:
+        cfg = self.cfg
         is_match = cost <= k_pair
         out = {
             "doc_id_a": batch.column("doc_id_a"),
