@@ -32,6 +32,33 @@
 
 static inline int64_t imin64(int64_t a, int64_t b) { return a < b ? a : b; }
 
+
+/* byte histogram (4 sub-tables to dodge store-forward conflicts) and a LUT
+ * remap — the NumPy uint8 scatter/gather equivalents run at ~350 MB/s,
+ * these at memory speed; used by the Python wrapper to build the dense
+ * code alphabet. */
+void sassy_byte_hist(const uint8_t *x, int64_t n, int64_t *hist256) {
+  int64_t h[4][256];
+  memset(h, 0, sizeof(h));
+  int64_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    h[0][x[i]]++;
+    h[1][x[i + 1]]++;
+    h[2][x[i + 2]]++;
+    h[3][x[i + 3]]++;
+  }
+  for (; i < n; i++)
+    h[0][x[i]]++;
+  for (int b = 0; b < 256; b++)
+    hist256[b] = h[0][b] + h[1][b] + h[2][b] + h[3][b];
+}
+
+void sassy_remap_u8(const uint8_t *x, int64_t n, const uint8_t *lut,
+                    uint8_t *out) {
+  for (int64_t i = 0; i < n; i++)
+    out[i] = lut[x[i]];
+}
+
 /* PEQ tables: peq[(p*A + a)*L + l] bit j iff pattern p char (64l+j) matches
  * alphabet byte ab[a].  mm is the 256x256 match matrix (row = pattern char);
  * canon, when non-NULL, is a 256-entry equivalence-class LUT with
@@ -481,6 +508,202 @@ static int64_t scan_one(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
   return w;
 }
 
+
+#ifdef __AVX2__
+#include <immintrin.h>
+
+/* Sixteen single-limb jobs as 4x(4-lane AVX2 vectors): the same
+ * interleaving idea as scan_job4_l1, but each vector op advances four DP
+ * states at once (the engine's take on the reference's SIMD text lanes,
+ * bitpacking.rs semantics — none of its code).  PEQ lookups are
+ * cmpeq-selects over per-(code, vector) constants, so the path requires a
+ * dense alphabet (A <= SASSY_AVX_MAX_A, i.e. remapped DNA-like batches);
+ * larger alphabets stay on the scalar path.  The minima walk runs as a
+ * vectorized gate (one movemask per vector per char on the common
+ * all-above-k steps) with a scalar spill only when some lane is <= k.
+ * Modes 0 (minima walk) and 2 (best cost); the group runs the shared
+ * min-length prefix vectorized, then each job finishes its tail on the
+ * scalar body. */
+#define SASSY_AVX_MAX_A 8
+#define SASSY_AVX_TCHUNK 512
+
+__attribute__((always_inline)) static inline void scan_job16_l1_avx(
+    const int64_t *jid, const uint8_t *const *trows, const int64_t *ns,
+    const uint64_t *const *pqs, const int64_t LL, const int64_t *ms,
+    const int64_t *ks, const int64_t A, const int32_t mode, int64_t *out_job,
+    int64_t *out_pos, int32_t *out_cost, int64_t out_cap, int32_t *out_best,
+    int64_t *w_io) {
+  __m256i peqv[SASSY_AVX_MAX_A][4];
+  __m256i aval[SASSY_AVX_MAX_A];
+  __m256i pv[4], mv[4], sc[4], prev[4], dec[4], best[4], shv[4], kv[4];
+  const __m256i one = _mm256_set1_epi64x(1);
+  const __m256i ones = _mm256_set1_epi64x(-1);
+  int64_t w = *w_io;
+  int64_t nmin = ns[0];
+  for (int s = 1; s < 16; s++)
+    if (ns[s] < nmin)
+      nmin = ns[s];
+  for (int64_t a = 0; a < A; a++) {
+    aval[a] = _mm256_set1_epi64x(a);
+    for (int v = 0; v < 4; v++) {
+      int b = v * 4;
+      peqv[a][v] = _mm256_set_epi64x(
+          (long long)pqs[b + 3][(size_t)a * LL],
+          (long long)pqs[b + 2][(size_t)a * LL],
+          (long long)pqs[b + 1][(size_t)a * LL],
+          (long long)pqs[b + 0][(size_t)a * LL]);
+    }
+  }
+  for (int v = 0; v < 4; v++) {
+    int b = v * 4;
+    pv[v] = ones;
+    mv[v] = _mm256_setzero_si256();
+    sc[v] = _mm256_set_epi64x(ms[b + 3], ms[b + 2], ms[b + 1], ms[b + 0]);
+    prev[v] = sc[v];
+    best[v] = sc[v];
+    dec[v] = ones;
+    shv[v] = _mm256_set_epi64x((ms[b + 3] - 1) & 63, (ms[b + 2] - 1) & 63,
+                               (ms[b + 1] - 1) & 63, (ms[b + 0] - 1) & 63);
+    kv[v] = _mm256_set_epi64x(ks[b + 3], ks[b + 2], ks[b + 1], ks[b + 0]);
+  }
+  uint8_t codesT[SASSY_AVX_TCHUNK][16];
+  for (int64_t t0 = 0; t0 < nmin; t0 += SASSY_AVX_TCHUNK) {
+    int64_t t1 = t0 + SASSY_AVX_TCHUNK < nmin ? t0 + SASSY_AVX_TCHUNK : nmin;
+    for (int s = 0; s < 16; s++) {
+      const uint8_t *tr = trows[s] + t0;
+      for (int64_t u = 0; u < t1 - t0; u++)
+        codesT[u][s] = tr[u];
+    }
+    for (int64_t tt = t0; tt < t1; tt++) {
+      const uint8_t *ct = codesT[tt - t0];
+      for (int v = 0; v < 4; v++) {
+        __m256i codes = _mm256_cvtepu8_epi64(
+            _mm_loadu_si128((const __m128i *)(ct + v * 4)));
+        __m256i eq = _mm256_setzero_si256();
+        for (int64_t a = 0; a < A; a++)
+          eq = _mm256_or_si256(
+              eq, _mm256_and_si256(_mm256_cmpeq_epi64(codes, aval[a]),
+                                   peqv[a][v]));
+        __m256i xv = _mm256_or_si256(eq, mv[v]);
+        __m256i eqpv = _mm256_and_si256(eq, pv[v]);
+        __m256i xh = _mm256_or_si256(
+            _mm256_xor_si256(_mm256_add_epi64(eqpv, pv[v]), pv[v]), eq);
+        __m256i ph = _mm256_or_si256(
+            mv[v], _mm256_andnot_si256(_mm256_or_si256(xh, pv[v]), ones));
+        __m256i mh = _mm256_and_si256(pv[v], xh);
+        __m256i phb = _mm256_and_si256(_mm256_srlv_epi64(ph, shv[v]), one);
+        __m256i mhb = _mm256_and_si256(_mm256_srlv_epi64(mh, shv[v]), one);
+        sc[v] = _mm256_sub_epi64(_mm256_add_epi64(sc[v], phb), mhb);
+        ph = _mm256_add_epi64(ph, ph);
+        mh = _mm256_add_epi64(mh, mh);
+        pv[v] = _mm256_or_si256(
+            mh, _mm256_andnot_si256(_mm256_or_si256(xv, ph), ones));
+        mv[v] = _mm256_and_si256(ph, xv);
+        if (mode == 2) {
+          __m256i gt = _mm256_cmpgt_epi64(best[v], sc[v]);
+          best[v] = _mm256_blendv_epi8(best[v], sc[v], gt);
+        } else {
+          /* mode 0 walk: gate when every lane's prev > its k */
+          __m256i gt = _mm256_cmpgt_epi64(prev[v], kv[v]);
+          if (_mm256_movemask_epi8(gt) == -1) {
+            dec[v] = ones;
+            prev[v] = sc[v];
+          } else {
+            int64_t pa[4], ca[4], da[4], ka4[4];
+            _mm256_storeu_si256((__m256i *)pa, prev[v]);
+            _mm256_storeu_si256((__m256i *)ca, sc[v]);
+            _mm256_storeu_si256((__m256i *)da, dec[v]);
+            _mm256_storeu_si256((__m256i *)ka4, kv[v]);
+            for (int l = 0; l < 4; l++) {
+              if (pa[l] > ka4[l]) {
+                da[l] = -1;
+              } else {
+                if (ca[l] > pa[l] && da[l]) {
+                  if (w < out_cap) {
+                    out_job[w] = jid[v * 4 + l];
+                    out_pos[w] = tt;
+                    out_cost[w] = (int32_t)pa[l];
+                  }
+                  w++;
+                }
+                da[l] =
+                    ((ca[l] < pa[l]) || (da[l] && ca[l] == pa[l])) ? -1 : 0;
+              }
+              pa[l] = ca[l];
+            }
+            prev[v] = _mm256_loadu_si256((__m256i *)pa);
+            dec[v] = _mm256_loadu_si256((__m256i *)da);
+          }
+        }
+      }
+    }
+  }
+  /* extract state; per-slot scalar tails + final rule / best writeback */
+  int64_t pva[16], mva[16], sca[16], preva[16], deca[16], besta[16];
+  for (int v = 0; v < 4; v++) {
+    _mm256_storeu_si256((__m256i *)(pva + v * 4), pv[v]);
+    _mm256_storeu_si256((__m256i *)(mva + v * 4), mv[v]);
+    _mm256_storeu_si256((__m256i *)(sca + v * 4), sc[v]);
+    _mm256_storeu_si256((__m256i *)(preva + v * 4), prev[v]);
+    _mm256_storeu_si256((__m256i *)(deca + v * 4), dec[v]);
+    _mm256_storeu_si256((__m256i *)(besta + v * 4), best[v]);
+  }
+  for (int s = 0; s < 16; s++) {
+    const uint8_t *tr = trows[s];
+    const uint64_t *q = pqs[s];
+    uint64_t pvs = (uint64_t)pva[s], mvs = (uint64_t)mva[s];
+    uint64_t sh = (uint64_t)((ms[s] - 1) & 63);
+    int64_t scs = sca[s], prevs = preva[s], bests = besta[s], kj = ks[s];
+    int decs = deca[s] != 0;
+    for (int64_t u = nmin; u < ns[s]; u++) {
+      uint64_t eq = q[(size_t)tr[u] * LL];
+      uint64_t xv = eq | mvs;
+      uint64_t xh = (((eq & pvs) + pvs) ^ pvs) | eq;
+      uint64_t ph = mvs | ~(xh | pvs);
+      uint64_t mh = pvs & xh;
+      scs += (int64_t)((ph >> sh) & 1) - (int64_t)((mh >> sh) & 1);
+      ph <<= 1;
+      mh <<= 1;
+      pvs = mh | ~(xv | ph);
+      mvs = ph & xv;
+      int64_t c = scs;
+      if (mode == 0) {
+        if (prevs > kj) {
+          decs = 1;
+        } else {
+          if (c > prevs && decs) {
+            if (w < out_cap) {
+              out_job[w] = jid[s];
+              out_pos[w] = u;
+              out_cost[w] = (int32_t)prevs;
+            }
+            w++;
+          }
+          decs = (c < prevs) || (decs && c == prevs);
+        }
+        prevs = c;
+      } else {
+        if (c < bests)
+          bests = c;
+      }
+    }
+    if (mode == 0) {
+      if (decs && prevs <= kj) {
+        if (w < out_cap) {
+          out_job[w] = jid[s];
+          out_pos[w] = ns[s];
+          out_cost[w] = (int32_t)prevs;
+        }
+        w++;
+      }
+    } else {
+      out_best[jid[s]] = (int32_t)imin64(bests, BIGC);
+    }
+  }
+  *w_io = w;
+}
+#endif /* __AVX2__ */
+
 int64_t sassy_scan(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
                    const uint64_t *peq, int64_t A, int64_t L,
                    const int64_t *m_arr, const uint64_t *pv0,
@@ -499,6 +722,41 @@ int64_t sassy_scan(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
    * form measured 254 vs 395 MB/s single-core for the same code. */
   if (pv0 == NULL && ov_add == NULL && o_arr == NULL) {
     int64_t j = 0;
+#ifdef __AVX2__
+    /* vectorized 16-job groups: single-limb, dense alphabet, modes 0/2 */
+    if (L == 1 && A <= SASSY_AVX_MAX_A && (mode == 0 || mode == 2)) {
+      while (j + 16 <= J) {
+        int64_t jid[16], ns16[16], ms16[16], ks16[16];
+        const uint8_t *trows[16];
+        const uint64_t *pqs[16];
+        int ok = 1;
+        for (int s = 0; s < 16; s++) {
+          int64_t jj = j + s;
+          int64_t p = job_p ? job_p[jj] : jj;
+          int64_t t = job_t ? job_t[jj] : jj;
+          if (m_arr[p] > 64 || m_arr[p] < 1) {
+            ok = 0;
+            break;
+          }
+          jid[s] = jj;
+          ns16[s] = n_arr[t];
+          ms16[s] = m_arr[p];
+          ks16[s] = k_arr ? k_arr[jj] : k;
+          trows[s] = txt + (size_t)t * Wt;
+          pqs[s] = peq + (size_t)p * A;
+        }
+        if (!ok)
+          break;
+        if (mode == 0)
+          scan_job16_l1_avx(jid, trows, ns16, pqs, 1, ms16, ks16, A, 0,
+                            out_job, out_pos, out_cost, out_cap, out_best, &w);
+        else
+          scan_job16_l1_avx(jid, trows, ns16, pqs, 1, ms16, ks16, A, 2,
+                            out_job, out_pos, out_cost, out_cap, out_best, &w);
+        j += 16;
+      }
+    }
+#endif
 #define SASSY_GROUP_LOOP(LC, MODEC)                                           \
     while (j + 4 <= J) {                                                      \
       int64_t jid[4], ns[4], ms[4], ks[4];                                    \

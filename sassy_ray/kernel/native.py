@@ -82,6 +82,10 @@ def _build() -> ctypes.CDLL | None:
     I = ctypes.c_int64
     lib.sassy_build_peq.argtypes = [P, I, I, P, P, P, I, P, I, P]
     lib.sassy_build_peq.restype = None
+    lib.sassy_byte_hist.argtypes = [P, I, P]
+    lib.sassy_byte_hist.restype = None
+    lib.sassy_remap_u8.argtypes = [P, I, P, P]
+    lib.sassy_remap_u8.restype = None
     lib.sassy_scan.argtypes = [
         P, I, P,          # txt, Wt, n_arr
         P, I, I,          # peq, A, L
@@ -173,18 +177,30 @@ class NativeBatch:
         # alphabet: the dense remap (only the batch's distinct text bytes)
         # shrinks the PEQ tables but costs two passes over the text matrix;
         # when the identity-alphabet PEQ is smaller than that (few patterns,
-        # big texts — the grep/demux shapes) skip the remap entirely
-        if 2 * raw.size > self.P * 256 * self.L * 8:
+        # big texts — the grep/demux shapes) skip the remap entirely.
+        # EXCEPTION: DNA-like batches (<= 8 distinct bytes in a sample)
+        # always remap — a dense code alphabet unlocks the AVX2
+        # cmpeq-select scan path in the C engine (measured ~2-3x over the
+        # scalar interleave on the 1x23bp scan shape)
+        use_identity = 2 * raw.size > self.P * 256 * self.L * 8
+        if use_identity and self.L == 1 and raw.size:
+            sample = raw.reshape(-1)[:65536]
+            if len(np.unique(sample)) <= 8:
+                use_identity = False
+        if use_identity:
             ab = _ALL_BYTES
             self.txt = np.ascontiguousarray(raw)
         else:
-            present = np.zeros(256, dtype=bool)
+            raw = np.ascontiguousarray(raw)
+            hist = np.zeros(256, dtype=np.int64)
             if raw.size:
-                present[raw.reshape(-1)] = True
-            ab = _ALL_BYTES[present]
+                _lib.sassy_byte_hist(_ptr(raw), raw.size, _ptr(hist))
+            ab = _ALL_BYTES[hist > 0]
             lut = np.zeros(256, dtype=np.uint8)
             lut[ab] = np.arange(len(ab), dtype=np.uint8)
-            self.txt = np.ascontiguousarray(lut[raw])
+            self.txt = np.empty_like(raw)
+            if raw.size:
+                _lib.sassy_remap_u8(_ptr(raw), raw.size, _ptr(lut), _ptr(self.txt))
         self.Wt = self.txt.shape[1] if self.txt.ndim == 2 else 0
         self.A = max(1, len(ab))
 
@@ -242,12 +258,29 @@ class NativeBatch:
         # identity pairing: job j = (pattern row j, text j)
         return self.pat_row, None, self.T
 
+    def _length_order(self, job_p, job_t, J, k_arr):
+        """Reorder jobs by descending text length (stable) so the 4-job /
+        16-job interleaved groups hold near-equal lengths: a short row in a
+        group otherwise leaves the long rows to finish on the 1-way scalar
+        tail (measured 98 -> 42 MB/s on the chunked-scan shape, whose last
+        chunk per text is short).  Returns (job_p, job_t, k_arr, order);
+        ``order`` is None when the input is already non-increasing."""
+        n_of = self.n_arr[job_t] if job_t is not None else self.n_arr[:J]
+        if J < 32 or bool((np.diff(n_of) <= 0).all()):
+            return job_p, job_t, k_arr, None
+        order = np.argsort(-n_of, kind="stable")
+        jp = np.ascontiguousarray(job_p[order]) if job_p is not None else order
+        jt = np.ascontiguousarray(job_t[order]) if job_t is not None else order
+        ka = np.ascontiguousarray(k_arr[order]) if k_arr is not None else None
+        return jp, np.ascontiguousarray(jt), ka, order
+
     def run_minima(self, all_minima: bool, job_p=None, job_t=None, J=None, k_arr=None):
         """Modes 0/1: returns (job_idx, end_pos, cost) arrays."""
         if J is None:
             job_p, job_t, J = self._default_jobs()
         if k_arr is not None:
             k_arr = np.ascontiguousarray(k_arr, dtype=np.int64)
+        job_p, job_t, k_arr, order = self._length_order(job_p, job_t, J, k_arr)
         cap = int(J) * (8 if all_minima else 2) + 4096
         while True:
             out_j = np.empty(cap, dtype=np.int64)
@@ -269,11 +302,14 @@ class NativeBatch:
             if got <= cap:
                 out_j, out_p, out_c = out_j[:got], out_p[:got], out_c[:got]
                 if got:
-                    # the interleaved fast path emits across 4 jobs at once;
+                    if order is not None:
+                        out_j = order[out_j]  # back to caller job indices
+                    # the interleaved fast path emits across many jobs at
+                    # once (and the length reorder shuffles job identity);
                     # restore job-major order (per-job positions ascend, so
                     # a stable (job, pos) sort reproduces the scalar order)
-                    order = np.lexsort((out_p, out_j))
-                    out_j, out_p, out_c = out_j[order], out_p[order], out_c[order]
+                    so = np.lexsort((out_p, out_j))
+                    out_j, out_p, out_c = out_j[so], out_p[so], out_c[so]
                 return out_j, out_p, out_c
             cap = int(got)
 
@@ -285,6 +321,7 @@ class NativeBatch:
             job_p, job_t, J = self._default_jobs()
         if k_arr is not None:
             k_arr = np.ascontiguousarray(k_arr, dtype=np.int64)
+        job_p, job_t, k_arr, order = self._length_order(job_p, job_t, J, k_arr)
         out_best = np.empty(int(J), dtype=np.int32)
         _lib.sassy_scan(
             _ptr(self.txt), self.Wt, _ptr(self.n_arr),
@@ -299,6 +336,10 @@ class NativeBatch:
             _ptr(out_best),
             _ptr(self._scr_pv), _ptr(self._scr_mv), _ptr(self._scr_bs),
         )
+        if order is not None:
+            res = np.empty_like(out_best)
+            res[order] = out_best  # C wrote by reordered-job position
+            return res
         return out_best
 
 
