@@ -67,11 +67,13 @@ def run_bench() -> dict:
     # left to first use) is a one-off session cost identical for every engine
     # and every parallelism level, not part of any pipeline's work
     def _warm_worker(b):
-        import polars  # noqa: F401  (used by _DocLookup / blocking)
-
+        # sassy_ray first: the package pins POLARS_MAX_THREADS before
+        # polars' pool exists (one thread per num_cpus=1 stage task)
         from sassy_ray.kernel.myers import batch_best_costs
         from sassy_ray.kernel.profiles import get_profile
         from sassy_ray.stages import blocking, scoring  # noqa: F401
+
+        import polars  # noqa: F401  (used by _DocLookup / dedup hashing)
 
         # ER-shaped call: first large-buffer allocation per worker page-faults
         # once; warming it here keeps that one-off out of the scored stage
