@@ -293,8 +293,11 @@ def run_scaling() -> None:
         # content-distinct replicas sized so scoring compute dominates, like
         # the 100 TB regime.  (After the round-2 kernel speedups a small
         # corpus became overhead-dominated — it measured Ray's shuffle
-        # constants, not the pipeline's scaling.)
-        env.setdefault("GRAFT_BENCH_REPLICAS", "48")
+        # constants, not the pipeline's scaling; the round-5 NATIVE kernel
+        # moved the bar again — 48 replicas measured 0.51-0.61 because the
+        # fixed per-run constants outweighed the now-4x-faster compute, so
+        # the corpus doubled to 96 replicas / 1.2M docs / 5.2M pairs.)
+        env.setdefault("GRAFT_BENCH_REPLICAS", "96")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

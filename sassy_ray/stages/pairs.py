@@ -44,11 +44,20 @@ class PairGenConfig:
         # groupby costs ~100k rows/s here, so the shuffle only pays off far
         # beyond single-node sizes; the groupby path remains for 10^12 docs
         single_task_rows_limit: int = 12_000_000,
+        # manual hash-exchange path (raw Ray tasks): each input block splits
+        # by block_key hash into nparts sub-tables, each part runs the SAME
+        # vectorized group->emit->dedup on its shard, cross-part pair dups
+        # fall to a second (pair-key) exchange.  Engaged when >1 CPU and the
+        # input fits nparts worker heaps — a part must hold rows/nparts rows,
+        # so beyond this limit the spill-capable Dataset groupby takes over
+        # (the 10^12-doc route).
+        exchange_rows_limit: int = 200_000_000,
     ) -> None:
         self.salt_cap = salt_cap
         self.max_pairs_per_group = max_pairs_per_group
         self.single_task_dedup_limit = single_task_dedup_limit
         self.single_task_rows_limit = single_task_rows_limit
+        self.exchange_rows_limit = exchange_rows_limit
 
     def fingerprint(self) -> str:
         return f"pairs(cap={self.salt_cap},maxp={self.max_pairs_per_group})"
@@ -135,6 +144,97 @@ def _pairs_single_task(df: pd.DataFrame, cfg: PairGenConfig) -> pd.DataFrame:
     )
 
 
+def _pair_part_hashes(df: pd.DataFrame) -> np.ndarray:
+    """Deterministic 64-bit pair hash for partitioning + dedup (the same
+    hash family as ``fast_dedup``; stable across processes)."""
+    h1 = pd.util.hash_pandas_object(df["doc_id_a"], index=False).to_numpy()
+    h2 = pd.util.hash_pandas_object(df["doc_id_b"], index=False).to_numpy()
+    return h1 ^ (h2 * np.uint64(0x9E3779B97F4A7C15))
+
+
+def _pairs_exchange(block_rows_ds, cfg: PairGenConfig, nparts: int):
+    """Manual hash exchange, raw Ray tasks (the Dataset API's sort-based
+    groupby costs ~100k rows/s at these sizes; this path is a plain
+    two-round hash shuffle at memory speed):
+
+      round 1: every input block splits by ``hash(block_key) % nparts`` —
+        a block_key's rows all land in one part, so each part runs the SAME
+        vectorized group->emit->dedup as the single-task path on its shard
+        (identical per-group semantics: salting, budgets, canonical a<b);
+      round 2: emitted pairs re-split by a pair hash — a duplicate pair
+        emitted under two different block keys lands in one dedup task.
+
+    Partitioning assumption (documented per SURVEY §2): a part must fit a
+    worker heap (rows/nparts block rows, pairs/nparts pairs); the caller
+    gates on ``exchange_rows_limit`` and the spill-capable Dataset groupby
+    remains the beyond-heap route."""
+    import pyarrow as pa
+    import ray
+
+    @ray.remote
+    def split_block(tbl: pa.Table):
+        if tbl.num_rows == 0 or "block_key" not in tbl.schema.names:
+            # empty blocks may carry an empty schema; emit_part drops them
+            return tuple(tbl.slice(0, 0) for _ in range(nparts))
+        bk = tbl.column("block_key").to_numpy().astype(np.uint64, copy=False)
+        part = (bk % np.uint64(nparts)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        sorted_t = tbl.take(pa.array(order))
+        bounds = np.searchsorted(part[order], np.arange(nparts + 1))
+        return tuple(
+            sorted_t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+            for i in range(nparts)
+        )
+
+    @ray.remote
+    def emit_part(*tables):
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return tuple(pa.table({"doc_id_a": pa.array([], pa.string()),
+                                   "doc_id_b": pa.array([], pa.string())})
+                         for _ in range(nparts))
+        df = pa.concat_tables(live).to_pandas()
+        out = _pairs_single_task(df, cfg)
+        part = (_pair_part_hashes(out) % np.uint64(nparts)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        out = out.iloc[order]
+        bounds = np.searchsorted(part[order], np.arange(nparts + 1))
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        return tuple(
+            tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+            for i in range(nparts)
+        )
+
+    @ray.remote
+    def dedup_part(*tables):
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return pa.table({"doc_id_a": pa.array([], pa.string()),
+                             "doc_id_b": pa.array([], pa.string())})
+        df = pa.concat_tables(live).to_pandas()
+        h = _pair_part_hashes(df)
+        h2 = pd.util.hash_pandas_object(df["doc_id_b"], index=False).to_numpy()
+        keep = ~pd.DataFrame({"h": h, "h2": h2}).duplicated().to_numpy()
+        return pa.Table.from_pandas(df.loc[keep], preserve_index=False)
+
+    # ref-only orchestration: the driver never holds data, every part flows
+    # object-store -> task -> object-store (num_returns=nparts per round)
+    blocks = block_rows_ds.to_arrow_refs()
+    split_refs = [
+        split_block.options(num_returns=nparts).remote(b) for b in blocks
+    ]
+    emit_refs = [
+        emit_part.options(num_returns=nparts).remote(*[sr[p] for sr in split_refs])
+        for p in range(nparts)
+    ]
+    final_refs = [
+        dedup_part.remote(*[er[q] for er in emit_refs]) for q in range(nparts)
+    ]
+    import ray.data as rd
+
+    return rd.from_arrow_refs(final_refs)
+
+
 def make_pairs_dataset(block_rows_ds, cfg: PairGenConfig):
     """block rows Dataset (block_key, doc_id) -> deduped pairs Dataset
     (doc_id_a, doc_id_b).
@@ -149,7 +249,14 @@ def make_pairs_dataset(block_rows_ds, cfg: PairGenConfig):
 
     cpus_now = int(ray.cluster_resources().get("CPU", 8))
     block_rows_ds = block_rows_ds.materialize()
-    if block_rows_ds.count() <= cfg.single_task_rows_limit:
+    n_rows = block_rows_ds.count()
+    if cpus_now >= 2 and 0 < n_rows <= cfg.exchange_rows_limit:
+        # parallel manual hash exchange (see _pairs_exchange): part count
+        # scales with CPUs but never exceeds ~100k rows per part's fair
+        # share, so tiny inputs pay only a 2-part exchange
+        nparts = max(2, min(64, cpus_now * 2, -(-n_rows // 100_000)))
+        return _pairs_exchange(block_rows_ds, cfg, nparts)
+    if n_rows <= cfg.single_task_rows_limit:
         return (
             block_rows_ds.repartition(1)
             .map_batches(

@@ -35,12 +35,19 @@ def test_pairs_single_task_equals_groupby_path(ray_session):
 
     rng = random.Random(11)
     rows = _block_rows(rng)
-    ds = rd.from_arrow(rows).repartition(4)
-    single = make_pairs_dataset(ds, PairGenConfig())  # row count < limit
-    forced = PairGenConfig(single_task_rows_limit=0, single_task_dedup_limit=0)
+    # all three shuffle plans must produce the same pair set: the manual
+    # hash exchange (default at >=2 CPUs), the single vectorized task, and
+    # the Dataset-groupby scale path
+    exchange = make_pairs_dataset(rd.from_arrow(rows).repartition(4), PairGenConfig())
+    single = make_pairs_dataset(
+        rd.from_arrow(rows).repartition(4), PairGenConfig(exchange_rows_limit=0)
+    )
+    forced = PairGenConfig(
+        single_task_rows_limit=0, single_task_dedup_limit=0, exchange_rows_limit=0
+    )
     shuffled = make_pairs_dataset(rd.from_arrow(rows).repartition(4), forced)
-    s1, s2 = _pair_set(single), _pair_set(shuffled)
-    assert s1 == s2 and len(s1) > 50
+    s0, s1, s2 = _pair_set(exchange), _pair_set(single), _pair_set(shuffled)
+    assert s0 == s1 == s2 and len(s1) > 50
     for a, b in s1:
         assert a < b  # canonical orientation
 
