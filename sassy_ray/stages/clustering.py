@@ -12,20 +12,21 @@ shared-nothing algorithm, re-expressed on Ray Data groupbys):
     until the edge-set signature stops changing (or max_iters)
     labels: one groupby-min over (self rows ∪ converged star edges)
 
-Each star step is ``sort(node)`` + two vectorized block passes — NOT a
-``groupby().aggregate()``: Ray's aggregate machinery invokes Python per
-GROUP, and star steps have one group per node (measured: a 1 M-edge round
-through ``Unique(nbr)`` took minutes of pure per-group overhead, while
-``Dataset.sort`` moves the same 2 M rows in ~1 s at 32 CPUs).  After the
-sort each node's rows are contiguous within range-partitioned blocks, so
-per-node minima are one C-speed pandas groupby per BLOCK; the only
-cross-block state is the first/last node of each block, fixed up with a
-driver-side correction map of O(2 × num_blocks) rows (scale-safe: blocks,
-not rows).  No ``Dataset.join`` anywhere (an earlier two-joins-per-round
-hash-min design measured 44 s/round at 100k rows / 8 CPUs, and hash-min
-needs O(diameter) rounds, which a chain-shaped component turns into
-hundreds of shuffles).  Alternating star converges in O(log² n) rounds
-regardless of diameter.  Convergence is exact, not a signature: a round
+Each star step needs rows grouped PER NODE, not globally ordered, so the
+rounds run on a manual hash exchange over raw Ray tasks (the same pattern
+as ``stages/pairs._pairs_exchange``): every edge block explodes and splits
+by ``hash(node)`` into NP sub-tables (num_returns=NP, ref-only — the
+driver holds ObjectRefs and one integer move-count per part per round),
+and each part's emit sees COMPLETE node groups — one local C-speed sort +
+vectorized group-min per part, no boundary state anywhere.  Two earlier
+designs this replaces, both measured: ``groupby().aggregate(Unique)``
+(minutes of per-group Python at 1M edges) and ``Dataset.sort(node)`` +
+driver-side block-boundary correction (~150k rows/s sort constants
+regardless of CPUs — it had become the ER pipeline's dominant stage at 7M
+docs once the native kernel sped scoring 4x).  No ``Dataset.join``
+anywhere (two-joins-per-round hash-min measured 44 s/round at 100k rows /
+8 CPUs, and hash-min needs O(diameter) rounds).  Alternating star
+converges in O(log² n) rounds regardless of diameter.  Convergence is exact, not a signature: a round
 with zero "merge moves" (large-star: emitted edge whose per-group min !=
 the node; small-star: any emitted strictly-smaller-neighbor row) proves
 the edge set is already a union of minimum-rooted stars.  At 10^12-doc
@@ -41,9 +42,6 @@ import pyarrow as pa
 
 __all__ = ["connected_components"]
 
-
-def _precombine(df: pd.DataFrame) -> pd.DataFrame:
-    return df.groupby("node", as_index=False)["label"].min()
 
 
 def _numpy_components(ea: np.ndarray, eb: np.ndarray, n: int) -> np.ndarray:
@@ -160,12 +158,6 @@ def connected_components(
             }
         )
 
-    def _explode(b: pa.Table) -> pa.Table:
-        a = b.column("lo").combine_chunks()
-        c = b.column("hi").combine_chunks()
-        return pa.table(
-            {"node": pa.concat_arrays([a, c]), "nbr": pa.concat_arrays([c, a])}
-        )
 
     def _cols(b: pa.Table, names):
         return tuple(
@@ -181,9 +173,6 @@ def connected_components(
         starts = np.concatenate([np.zeros(1, np.int64), change])
         return codes, starts
 
-    _EMPTY_PARTIAL = pa.table(
-        {"node": pa.array([], pa.string()), "pmin": pa.array([], pa.string())}
-    )
     _EMPTY_EDGES = pa.table(
         {
             "lo": pa.array([], pa.string()),
@@ -192,41 +181,7 @@ def connected_components(
         }
     )
 
-    def _boundary_partials(b: pa.Table, small: bool, val_col: str) -> pa.Table:
-        """Per-block min of ``val_col`` for the block's FIRST and LAST node
-        groups only — the driver merges these O(2 x num_blocks) rows into
-        the cross-block correction map."""
-        if b.num_rows == 0:
-            return _EMPTY_PARTIAL
-        node, val = _cols(b, ["node", val_col])
-        sel = (node == node[0]) | (node == node[-1])
-        nds, vals = node[sel], val[sel]
-        if small:
-            keep = vals < nds
-            nds, vals = nds[keep], vals[keep]
-        if not len(nds):
-            return _EMPTY_PARTIAL
-        df = pd.DataFrame({"node": nds, "pmin": vals}).groupby(
-            "node", as_index=False
-        )["pmin"].min()
-        return pa.table(
-            {
-                "node": pa.array(df["node"], pa.string()),
-                "pmin": pa.array(df["pmin"], pa.string()),
-            }
-        )
 
-    def _collect_corr(sorted_ds, small: bool, val_col: str) -> dict:
-        parts = sorted_ds.map_batches(
-            lambda b: _boundary_partials(b, small, val_col),
-            batch_format="pyarrow",
-        ).take_all()
-        corr: dict = {}
-        for row in parts:
-            n, v = row["node"], row["pmin"]
-            if n not in corr or v < corr[n]:
-                corr[n] = v
-        return corr
 
     def _group_mins(node, codes, starts, vals, mask, corr):
         """m[g] = min over masked vals in group g, the group's node, and the
@@ -245,7 +200,7 @@ def connected_components(
                 m[g] = c
         return m
 
-    def _star_emit(b: pa.Table, small: bool, corr: dict) -> pa.Table:
+    def _star_emit(b: pa.Table, small: bool, corr: dict, full_groups: bool = False) -> pa.Table:
         if b.num_rows == 0:
             return _EMPTY_EDGES
         node, nbr = _cols(b, ["node", "nbr"])
@@ -267,9 +222,12 @@ def connected_components(
             mvrow = v != m[g]
             lo_a, hi_a = m[g[mvrow]], v[mvrow]
             # self rows (m, u) for strictly-interior groups; boundary groups'
-            # self rows are emitted once by the driver from the corr map
+            # self rows are emitted once by the driver from the corr map.
+            # Under the hash exchange every part holds COMPLETE node groups,
+            # so all groups are interior and no correction map exists.
             interior = np.ones(len(m), bool)
-            interior[0] = interior[-1] = False
+            if not full_groups:
+                interior[0] = interior[-1] = False
             selfg = interior & (m != grp_node)
             lo = np.concatenate([lo_a, m[selfg]])
             hi = np.concatenate([hi_a, grp_node[selfg]])
@@ -291,74 +249,7 @@ def connected_components(
             }
         )
 
-    def _star(edges, small: bool):
-        """One star step = sort + boundary-correction map + vectorized emit.
-        Returns (emitted edges [materialized], total merge moves)."""
-        sorted_ds = (
-            edges.map_batches(_explode, batch_format="pyarrow")
-            .sort("node")
-            .materialize()
-        )
-        corr = _collect_corr(sorted_ds, small, "nbr")
-        out = sorted_ds.map_batches(
-            lambda b: _star_emit(b, small, corr), batch_format="pyarrow"
-        )
-        if small and corr:
-            bnodes = sorted(corr)
-            drv = pa.table(
-                {
-                    "lo": pa.array([corr[n] for n in bnodes], pa.string()),
-                    "hi": pa.array(bnodes, pa.string()),
-                    "mv": pa.array(np.zeros(len(bnodes), np.int64)),
-                }
-            )
-            out = out.union(rd.from_arrow(drv))
-        out = out.materialize()
-        moves = out.sum("mv") or 0
-        return out, int(moves)
-
-    edges = edges_ds.map_batches(
-        _local_contract, batch_format="pyarrow"
-    ).materialize()
-
-    converged = False
-    for _ in range(max_iters):
-        mid, lg_moves = _star(edges, small=False)
-        edges, sm_moves = _star(mid, small=True)
-        if lg_moves == 0 and sm_moves == 0:
-            converged = True
-            break
-    if not converged:
-        # the final labeling pass is only correct on a union of min-rooted
-        # stars (the zero-move fixpoint); finishing early would silently
-        # mislabel.  Alternating-star converges in O(log^2 n) rounds, so
-        # hitting the cap means the caller's max_iters is too small.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} star rounds; "
-            "raise max_iters (alternating-star needs O(log^2 n) rounds)"
-        )
-
-    # converged: one minimum-rooted star per component.  Label = per-node
-    # min over self rows + (hi -> lo) rows, via the same sorted-pass trick.
-    label_rows = nodes_ds.map_batches(
-        lambda b: pa.table(
-            {"node": b.column("doc_id"), "label": b.column("doc_id")}
-        ),
-        batch_format="pyarrow",
-    ).union(
-        edges.map_batches(
-            lambda b: pa.table({"node": b.column("hi"), "label": b.column("lo")}),
-            batch_format="pyarrow",
-        )
-    )
-    sorted_lab = (
-        label_rows.map_batches(_precombine, batch_format="pandas")
-        .sort("node")
-        .materialize()
-    )
-    lab_corr = _collect_corr(sorted_lab, small=False, val_col="label")
-
-    def _label_emit(b: pa.Table) -> pa.Table:
+    def _label_emit(b: pa.Table, full_groups: bool = False) -> pa.Table:
         if b.num_rows == 0:
             return pa.table(
                 {
@@ -373,7 +264,8 @@ def connected_components(
         )
         grp_node = node[starts]
         interior = np.ones(len(m), bool)
-        interior[0] = interior[-1] = False
+        if not full_groups:
+            interior[0] = interior[-1] = False
         return pa.table(
             {
                 "doc_id": pa.array(grp_node[interior], pa.string()),
@@ -381,16 +273,146 @@ def connected_components(
             }
         )
 
-    out = sorted_lab.map_batches(_label_emit, batch_format="pyarrow")
-    if lab_corr:
-        bnodes = sorted(lab_corr)
-        drv = pa.table(
+    # ---- hash-exchange rounds (raw Ray tasks) ---------------------------
+    # Each star step needs rows grouped PER NODE, not globally ordered:
+    # a hash exchange on the node column co-locates every node's rows in
+    # one part, so the per-part emit sees complete groups — the Dataset
+    # sort (the stage's former cost center: ~150k rows/s regardless of
+    # CPUs) and the whole boundary-correction machinery disappear.  Ref
+    # orchestration mirrors stages/pairs._pairs_exchange: the driver holds
+    # only ObjectRefs; per-round sync is one ray.get of NP move COUNTS.
+    NP = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) * 2))
+
+    def _node_parts(node_pd: pd.Series) -> np.ndarray:
+        h = pd.util.hash_pandas_object(node_pd, index=False).to_numpy()
+        return (h % np.uint64(NP)).astype(np.int64)
+
+    def _split_table(t: pa.Table, part: np.ndarray):
+        order = np.argsort(part, kind="stable")
+        t = t.take(pa.array(order))
+        bounds = np.searchsorted(part[order], np.arange(NP + 1))
+        return tuple(
+            t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+            for i in range(NP)
+        )
+
+    _EMPTY_NN = pa.table(
+        {"node": pa.array([], pa.string()), "nbr": pa.array([], pa.string())}
+    )
+
+    @ray.remote
+    def _split_star(tbl: pa.Table):
+        if tbl.num_rows == 0 or "lo" not in tbl.schema.names:
+            return tuple(_EMPTY_NN for _ in range(NP))
+        a = tbl.column("lo").combine_chunks()
+        c = tbl.column("hi").combine_chunks()
+        node = pa.concat_arrays([a, c])
+        nbr = pa.concat_arrays([c, a])
+        t = pa.table({"node": node, "nbr": nbr})
+        return _split_table(t, _node_parts(pd.Series(node.to_pandas())))
+
+    @ray.remote(num_returns=2)
+    def _part_star(small: bool, *tables):
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _EMPTY_EDGES, 0
+        b = pa.concat_tables(live)
+        node, nbr = _cols(b, ["node", "nbr"])
+        order = np.lexsort((nbr, node))
+        b = pa.table(
             {
-                "doc_id": pa.array(bnodes, pa.string()),
-                "cluster_id": pa.array(
-                    [min(lab_corr[n], n) for n in bnodes], pa.string()
-                ),
+                "node": pa.array(node[order], pa.string()),
+                "nbr": pa.array(nbr[order], pa.string()),
             }
         )
-        out = out.union(rd.from_arrow(drv))
-    return out
+        out = _star_emit(b, small, {}, full_groups=True)
+        mv = int(pa.compute.sum(out.column("mv")).as_py() or 0) if out.num_rows else 0
+        return out, mv
+
+    edges0 = edges_ds.map_batches(
+        _local_contract, batch_format="pyarrow"
+    ).materialize()
+    edge_refs = list(edges0.to_arrow_refs())
+
+    converged = False
+    for _ in range(max_iters):
+        round_moves = []
+        for small in (False, True):
+            splits = [
+                _split_star.options(num_returns=NP).remote(r) for r in edge_refs
+            ]
+            rets = [
+                _part_star.options(num_returns=2).remote(
+                    small, *[s[p] for s in splits]
+                )
+                for p in range(NP)
+            ]
+            edge_refs = [r[0] for r in rets]
+            round_moves.append(sum(ray.get([r[1] for r in rets])))
+        if round_moves[0] == 0 and round_moves[1] == 0:
+            converged = True
+            break
+    if not converged:
+        # the final labeling pass is only correct on a union of min-rooted
+        # stars (the zero-move fixpoint); finishing early would silently
+        # mislabel.  Alternating-star converges in O(log^2 n) rounds, so
+        # hitting the cap means the caller's max_iters is too small.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} star rounds; "
+            "raise max_iters (alternating-star needs O(log^2 n) rounds)"
+        )
+
+    # converged: one minimum-rooted star per component.  Label = per-node
+    # min over self rows + (hi -> lo) rows, via the same exchange.
+    _EMPTY_LAB = pa.table(
+        {"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}
+    )
+
+    @ray.remote
+    def _split_nodes(tbl: pa.Table):
+        if tbl.num_rows == 0 or "doc_id" not in tbl.schema.names:
+            return tuple(_EMPTY_LAB for _ in range(NP))
+        ids = tbl.column("doc_id").combine_chunks()
+        t = pa.table({"node": ids, "label": ids})
+        return _split_table(t, _node_parts(pd.Series(ids.to_pandas())))
+
+    @ray.remote
+    def _split_star_labels(tbl: pa.Table):
+        if tbl.num_rows == 0 or "hi" not in tbl.schema.names:
+            return tuple(_EMPTY_LAB for _ in range(NP))
+        hi = tbl.column("hi").combine_chunks()
+        t = pa.table({"node": hi, "label": tbl.column("lo").combine_chunks()})
+        return _split_table(t, _node_parts(pd.Series(hi.to_pandas())))
+
+    @ray.remote
+    def _part_label(*tables):
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "cluster_id": pa.array([], pa.string()),
+                }
+            )
+        b = pa.concat_tables(live)
+        node, label = _cols(b, ["node", "label"])
+        order = np.lexsort((label, node))
+        b = pa.table(
+            {
+                "node": pa.array(node[order], pa.string()),
+                "label": pa.array(label[order], pa.string()),
+            }
+        )
+        return _label_emit(b, full_groups=True)
+
+    node_refs = list(nodes_ds.materialize().to_arrow_refs())
+    lab_splits = [
+        _split_nodes.options(num_returns=NP).remote(r) for r in node_refs
+    ] + [
+        _split_star_labels.options(num_returns=NP).remote(r) for r in edge_refs
+    ]
+    final_refs = [
+        _part_label.remote(*[s[p] for s in lab_splits]) for p in range(NP)
+    ]
+    return rd.from_arrow_refs(final_refs)
+
