@@ -250,11 +250,16 @@ def make_pairs_dataset(block_rows_ds, cfg: PairGenConfig):
     cpus_now = int(ray.cluster_resources().get("CPU", 8))
     block_rows_ds = block_rows_ds.materialize()
     n_rows = block_rows_ds.count()
-    if cpus_now >= 2 and 0 < n_rows <= cfg.exchange_rows_limit:
+    if 0 < n_rows <= cfg.exchange_rows_limit and (
+        cpus_now >= 2 or n_rows > cfg.single_task_rows_limit
+    ):
         # parallel manual hash exchange (see _pairs_exchange): part count
         # scales with CPUs but never exceeds ~100k rows per part's fair
-        # share, so tiny inputs pay only a 2-part exchange
-        nparts = max(2, min(64, cpus_now * 2, -(-n_rows // 100_000)))
+        # share, so tiny inputs pay only a 2-part exchange.  At 1 CPU the
+        # single task is cheaper below its row limit; above it the exchange
+        # still wins (sequential parts, each heap-bounded — strictly better
+        # than one giant pandas task or the sort-groupby shuffle)
+        nparts = max(2, min(64, max(2, cpus_now) * 2, -(-n_rows // 100_000)))
         return _pairs_exchange(block_rows_ds, cfg, nparts)
     if n_rows <= cfg.single_task_rows_limit:
         return (
