@@ -59,6 +59,24 @@ void sassy_remap_u8(const uint8_t *x, int64_t n, const uint8_t *lut,
     out[i] = lut[x[i]];
 }
 
+/* Padded (n, width) rows matrix straight from Arrow offsets+data buffers:
+ * per-row memcpy + tail memset.  The NumPy equivalent (np.repeat row/col
+ * index vectors + fancy scatter) moves ~24 bytes of int64 index traffic per
+ * text byte and measured ~10 MB/s of payload on big scorer batches — this
+ * runs at memory speed.  `out` may be uninitialized; rows are zero-padded
+ * to `width`. */
+void sassy_rows_from_offsets(const uint8_t *data, const int64_t *off,
+                             int64_t n, int64_t width, uint8_t *out) {
+  for (int64_t i = 0; i < n; i++) {
+    int64_t len = off[i + 1] - off[i];
+    if (len > width)
+      len = width;
+    uint8_t *dst = out + i * width;
+    memcpy(dst, data + off[i], (size_t)len);
+    memset(dst + len, 0, (size_t)(width - len));
+  }
+}
+
 /* PEQ tables: peq[(p*A + a)*L + l] bit j iff pattern p char (64l+j) matches
  * alphabet byte ab[a].  mm is the 256x256 match matrix (row = pattern char);
  * canon, when non-NULL, is a 256-entry equivalence-class LUT with

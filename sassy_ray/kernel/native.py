@@ -86,6 +86,8 @@ def _build() -> ctypes.CDLL | None:
     lib.sassy_byte_hist.restype = None
     lib.sassy_remap_u8.argtypes = [P, I, P, P]
     lib.sassy_remap_u8.restype = None
+    lib.sassy_rows_from_offsets.argtypes = [P, P, I, I, P]
+    lib.sassy_rows_from_offsets.restype = None
     lib.sassy_scan.argtypes = [
         P, I, P,          # txt, Wt, n_arr
         P, I, I,          # peq, A, L
@@ -115,6 +117,18 @@ def available() -> bool:
 
 def _ptr(a: np.ndarray | None):
     return None if a is None else ctypes.c_void_p(a.ctypes.data)
+
+
+def rows_from_offsets(data: np.ndarray, off: np.ndarray, width: int) -> np.ndarray:
+    """(n, width) zero-padded uint8 matrix from variable-length rows laid out
+    as Arrow offsets+data — per-row memcpy in C (the NumPy index-vector
+    scatter moved ~24 B of int64 index traffic per payload byte and was the
+    dominant cost of big scorer batches).  Caller guarantees native
+    availability, contiguous int64 ``off`` (n+1 entries) and uint8 ``data``."""
+    n = len(off) - 1
+    out = np.empty((n, width), dtype=np.uint8)
+    _lib.sassy_rows_from_offsets(_ptr(data), _ptr(off), n, int(width), _ptr(out))
+    return out
 
 
 class NativeBatch:

@@ -152,7 +152,7 @@ def _pair_part_hashes(df: pd.DataFrame) -> np.ndarray:
     return h1 ^ (h2 * np.uint64(0x9E3779B97F4A7C15))
 
 
-def _pairs_exchange(block_rows_ds, cfg: PairGenConfig, nparts: int):
+def _pairs_exchange(block_rows_ds, cfg: PairGenConfig, nparts: int, split_out: int = 1):
     """Manual hash exchange, raw Ray tasks (the Dataset API's sort-based
     groupby costs ~100k rows/s at these sizes; this path is a plain
     two-round hash shuffle at memory speed):
@@ -207,15 +207,29 @@ def _pairs_exchange(block_rows_ds, cfg: PairGenConfig, nparts: int):
 
     @ray.remote
     def dedup_part(*tables):
+        empty = pa.table({"doc_id_a": pa.array([], pa.string()),
+                          "doc_id_b": pa.array([], pa.string())})
         live = [t for t in tables if t.num_rows]
         if not live:
-            return pa.table({"doc_id_a": pa.array([], pa.string()),
-                             "doc_id_b": pa.array([], pa.string())})
+            return empty if split_out == 1 else tuple(empty for _ in range(split_out))
         df = pa.concat_tables(live).to_pandas()
         h = _pair_part_hashes(df)
         h2 = pd.util.hash_pandas_object(df["doc_id_b"], index=False).to_numpy()
         keep = ~pd.DataFrame({"h": h, "h2": h2}).duplicated().to_numpy()
-        return pa.Table.from_pandas(df.loc[keep], preserve_index=False)
+        tbl = pa.Table.from_pandas(df.loc[keep], preserve_index=False)
+        if split_out == 1:
+            return tbl
+        # even row slices so the DOWNSTREAM map stage (scoring) gets one
+        # task per ~fair share of pairs — Ray Data's task granularity is
+        # the input block, so nparts blocks alone would cap the scored
+        # stage's parallelism at nparts tasks.  Blocks under ~2048 rows
+        # stop amortizing kernel dispatch: clamp, pad with empty slices
+        # (num_returns is fixed at call time).
+        nsl = min(split_out, max(1, -(-tbl.num_rows // 2048)))
+        bounds = [tbl.num_rows * i // nsl for i in range(nsl + 1)]
+        out = [tbl.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nsl)]
+        out.extend(empty for _ in range(split_out - nsl))
+        return tuple(out)
 
     # ref-only orchestration: the driver never holds data, every part flows
     # object-store -> task -> object-store (num_returns=nparts per round)
@@ -227,9 +241,18 @@ def _pairs_exchange(block_rows_ds, cfg: PairGenConfig, nparts: int):
         emit_part.options(num_returns=nparts).remote(*[sr[p] for sr in split_refs])
         for p in range(nparts)
     ]
-    final_refs = [
-        dedup_part.remote(*[er[q] for er in emit_refs]) for q in range(nparts)
-    ]
+    if split_out == 1:
+        final_refs = [
+            dedup_part.remote(*[er[q] for er in emit_refs]) for q in range(nparts)
+        ]
+    else:
+        final_refs = [
+            r
+            for q in range(nparts)
+            for r in dedup_part.options(num_returns=split_out).remote(
+                *[er[q] for er in emit_refs]
+            )
+        ]
     import ray.data as rd
 
     return rd.from_arrow_refs(final_refs)
@@ -260,7 +283,12 @@ def make_pairs_dataset(block_rows_ds, cfg: PairGenConfig):
         # still wins (sequential parts, each heap-bounded — strictly better
         # than one giant pandas task or the sort-groupby shuffle)
         nparts = max(2, min(64, max(2, cpus_now) * 2, -(-n_rows // 100_000)))
-        return _pairs_exchange(block_rows_ds, cfg, nparts)
+        # output block count targets ~2 blocks per CPU: Ray Data's map task
+        # granularity is the input block, so the SCORED stage's parallelism
+        # equals the pair dataset's block count — nparts alone (3-4 at bench
+        # sizes) left 28 of 32 CPUs idle during scoring
+        split_out = max(1, -(-max(2, cpus_now) * 2 // nparts))
+        return _pairs_exchange(block_rows_ds, cfg, nparts, split_out)
     if n_rows <= cfg.single_task_rows_limit:
         return (
             block_rows_ds.repartition(1)
