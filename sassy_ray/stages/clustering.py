@@ -66,38 +66,49 @@ def _numpy_components(ea: np.ndarray, eb: np.ndarray, n: int) -> np.ndarray:
 
 def _driver_union_find(edges_ds, nodes_ds):
     """Small-edge-set fast path: vectorized components over the edge list on
-    the driver, then a broadcast Arrow label table + index_in attach (no
-    per-row Python anywhere)."""
-    import pandas as pd
+    the driver, then a broadcast Arrow label table attached through the
+    per-worker-cached sorted-hash lookup (no per-row Python anywhere).
+
+    Two measured serial/overhead sinks this path used to have at ~1.5M
+    edges / 1.2M docs: pandas ``factorize(sort=True)`` boxed every edge
+    endpoint into a Python object (~3 s serial — replaced by Arrow
+    dictionary_encode + a sorted-rank remap, all C), and the per-batch
+    ``pc.index_in`` attach rebuilt a corpus-sized hash table for every
+    node batch (~0.3 s x 96 batches — replaced by ``scoring._DocLookup``,
+    whose polars sorted-hash index builds once per worker)."""
     import pyarrow.compute as pc
     import ray
+
+    from sassy_ray.stages.pairs import _sorted_string_codes
+    from sassy_ray.stages.scoring import _resolve_docs
 
     parts = list(edges_ds.iter_batches(batch_size=262144, batch_format="pyarrow"))
     if parts:
         et = pa.concat_tables(parts)
         both = pa.concat_arrays(
-            [et.column("doc_id_a").combine_chunks(), et.column("doc_id_b").combine_chunks()]
+            [
+                pc.cast(et.column("doc_id_a"), pa.string()).combine_chunks(),
+                pc.cast(et.column("doc_id_b"), pa.string()).combine_chunks(),
+            ]
         )
-        codes, uniq = pd.factorize(both.to_pandas(), sort=True)
+        codes, uniq_arr = _sorted_string_codes(both)
         E = len(et)
-        label = _numpy_components(codes[:E], codes[E:], len(uniq))
-        uniq_arr = pa.array(uniq, pa.string())
+        label = _numpy_components(codes[:E], codes[E:], len(uniq_arr))
+        # "text" column name: reuses the scorer's broadcast-lookup cache
+        # machinery (_resolve_docs -> _DocLookup) verbatim
         comp_tbl = pa.table(
-            {"doc_id": uniq_arr, "cluster_id": uniq_arr.take(pa.array(label))}
+            {"doc_id": uniq_arr, "text": uniq_arr.take(pa.array(label))}
         )
     else:
         comp_tbl = pa.table(
-            {"doc_id": pa.array([], pa.string()), "cluster_id": pa.array([], pa.string())}
+            {"doc_id": pa.array([], pa.string()), "text": pa.array([], pa.string())}
         )
     comp_ref = ray.put(comp_tbl)
 
     def label_batch(batch: pa.Table) -> pa.Table:
-        lt = ray.get(comp_ref)
+        lk = _resolve_docs(comp_ref)
         ids = pc.cast(batch.column("doc_id"), pa.string())
-        taken = pc.take(
-            lt.column("cluster_id").combine_chunks(),
-            pc.index_in(ids, value_set=lt.column("doc_id").combine_chunks()),
-        )
+        taken = lk.take_arrow(ids, fill=None)
         return pa.table(
             {"doc_id": batch.column("doc_id"), "cluster_id": pc.coalesce(taken, ids)}
         )

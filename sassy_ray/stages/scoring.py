@@ -104,8 +104,10 @@ class _DocLookup:
         ]
         return cls(pa.array(list(d.keys())), pa.array(vals, pa.string()))
 
-    def take_arrow(self, ids) -> pa.Array:
-        """Batch ids (pa.Array) -> text pa.Array; misses resolve to ""."""
+    def take_arrow(self, ids, fill: str | None = "") -> pa.Array:
+        """Batch ids (pa.Array) -> text pa.Array; misses resolve to ``fill``
+        ("" by default; pass ``fill=None`` to keep them as nulls — the label
+        attach path coalesces them to the id itself)."""
         import pyarrow.compute as pc
 
         if isinstance(ids, pa.ChunkedArray):
@@ -133,7 +135,7 @@ class _DocLookup:
         else:
             idx = pc.index_in(ids, value_set=self.ids)
         got = pc.take(self.texts, idx)
-        return pc.fill_null(got, "")
+        return got if fill is None else pc.fill_null(got, fill)
 
     def get_many(self, ids: list) -> list[bytes]:
         got = self.take_arrow(pa.array(ids)).to_pylist()
