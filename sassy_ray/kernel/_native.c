@@ -77,6 +77,86 @@ void sassy_rows_from_offsets(const uint8_t *data, const int64_t *off,
   }
 }
 
+/* One-permutation-hashing minhash bucket minima, the blocking stage's hot
+ * loop: for each row (starts[i]..starts[i+1] of buf), hash every q-byte
+ * window with the polynomial rolling hash h = sum buf[w+j] * B^(q-1-j)
+ * (B = 1099511628211, mod 2^64), optionally canonicalized against the
+ * reverse-complement window hash hr = sum comp(buf[w+j]) * B^j, finalize
+ * with splitmix64, and keep the min per (row, h & (P-1)) bucket.  sig is
+ * (n_docs, P) uint64 pre-filled by the caller (0xFFF..F); rows shorter
+ * than q are left untouched (the Python wrapper's single-shingle rule).
+ * Bit-identical to blocking._shingle_hashes + np.minimum.at — the NumPy
+ * version pays ~24 B of traffic per text byte per polynomial step plus a
+ * ufunc.at scatter (~20M elem/s); this is one pass at compute speed. */
+static inline uint64_t sassy_splitmix64_(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ULL;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+  return x ^ (x >> 31);
+}
+
+void sassy_minhash_rows(const uint8_t *buf, const int64_t *starts,
+                        int64_t n_docs, int64_t q, int64_t P, int rc,
+                        const uint8_t *comp_lut, uint64_t *sig) {
+  const uint64_t B = 1099511628211ULL;
+  uint64_t bq = 1; /* B^(q-1) */
+  for (int64_t j = 0; j + 1 < q; j++)
+    bq *= B;
+  uint64_t mask = (uint64_t)(P - 1);
+  for (int64_t i = 0; i < n_docs; i++) {
+    int64_t lo = starts[i], hi = starts[i + 1];
+    int64_t n = hi - lo - q + 1;
+    if (n <= 0)
+      continue;
+    uint64_t *row = sig + i * P;
+    const uint8_t *p = buf + lo;
+    /* forward rolling state */
+    uint64_t h = 0;
+    for (int64_t j = 0; j < q; j++)
+      h = h * B + p[j];
+    if (!rc) {
+      for (int64_t w = 0;;) {
+        uint64_t f = sassy_splitmix64_(h);
+        uint64_t *slot = row + (f & mask);
+        if (f < *slot)
+          *slot = f;
+        if (++w >= n)
+          break;
+        h = (h - (uint64_t)p[w - 1] * bq) * B + p[w + q - 1];
+      }
+    } else {
+      /* reverse-complement window hash hr_w = sum_j comp(p[w+j]) * B^j,
+       * rolled with B's modular inverse mod 2^64 (B is odd, so binv
+       * exists; multiplication by binv is exact in mod-2^64 arithmetic):
+       * hr_{w+1} = (hr_w - comp(p[w])) * binv + comp(p[w+q-1+1]) * B^(q-1) */
+      uint64_t binv = 1; /* Newton: 1 correct bit, doubles per iteration */
+      for (int it = 0; it < 6; it++)
+        binv *= 2 - B * binv;
+      uint64_t hr = 0;
+      uint64_t pw = 1;
+      for (int64_t j = 0; j < q; j++) {
+        hr += (uint64_t)comp_lut[p[j]] * pw;
+        pw *= B;
+      }
+      /* pw now B^q */
+      for (int64_t w = 0;;) {
+        uint64_t fh = h, fr = hr;
+        uint64_t m = fh < fr ? fh : fr;
+        uint64_t f = sassy_splitmix64_(m);
+        uint64_t *slot = row + (f & mask);
+        if (f < *slot)
+          *slot = f;
+        if (++w >= n)
+          break;
+        h = (h - (uint64_t)p[w - 1] * bq) * B + p[w + q - 1];
+        /* hr_{w+1} = (hr_w - comp(p[w-1])) * binv + comp(p[w+q-1]) * B^(q-1) */
+        hr = (hr - (uint64_t)comp_lut[p[w - 1]]) * binv +
+             (uint64_t)comp_lut[p[w + q - 1]] * bq;
+      }
+    }
+  }
+}
+
 /* PEQ tables: peq[(p*A + a)*L + l] bit j iff pattern p char (64l+j) matches
  * alphabet byte ab[a].  mm is the 256x256 match matrix (row = pattern char);
  * canon, when non-NULL, is a 256-entry equivalence-class LUT with

@@ -88,6 +88,8 @@ def _build() -> ctypes.CDLL | None:
     lib.sassy_remap_u8.restype = None
     lib.sassy_rows_from_offsets.argtypes = [P, P, I, I, P]
     lib.sassy_rows_from_offsets.restype = None
+    lib.sassy_minhash_rows.argtypes = [P, P, I, I, I, ctypes.c_int, P, P]
+    lib.sassy_minhash_rows.restype = None
     lib.sassy_scan.argtypes = [
         P, I, P,          # txt, Wt, n_arr
         P, I, I,          # peq, A, L
@@ -117,6 +119,28 @@ def available() -> bool:
 
 def _ptr(a: np.ndarray | None):
     return None if a is None else ctypes.c_void_p(a.ctypes.data)
+
+
+def minhash_rows(
+    buf: np.ndarray,
+    starts: np.ndarray,
+    q: int,
+    num_perm: int,
+    rc_canonical: bool,
+    comp_lut: np.ndarray,
+    sig: np.ndarray,
+) -> None:
+    """Fill ``sig`` (n_docs x num_perm uint64, pre-filled with 2^64-1) with
+    per-(row, bucket) minima of the splitmix-finalized rolling q-gram
+    hashes — the OPH blocking stage's hot loop, bit-identical to
+    ``blocking._shingle_hashes`` + ``np.minimum.at``.  Rows shorter than q
+    are left untouched (the wrapper's single-shingle rule handles them).
+    Caller guarantees contiguity and native availability."""
+    n_docs = len(starts) - 1
+    _lib.sassy_minhash_rows(
+        _ptr(buf), _ptr(starts), n_docs, int(q), int(num_perm),
+        ctypes.c_int(1 if rc_canonical else 0), _ptr(comp_lut), _ptr(sig),
+    )
 
 
 def rows_from_offsets(data: np.ndarray, off: np.ndarray, width: int) -> np.ndarray:

@@ -124,17 +124,31 @@ def minhash_signatures_buf(buf: np.ndarray, starts: np.ndarray, cfg: BlockingCon
     if n_docs == 0:
         return sig
     lens = np.diff(starts)
-    h = _shingle_hashes(buf, cfg.q, cfg.rc_canonical)
-    if len(h):
-        idx = np.arange(len(h))
-        row_of = np.searchsorted(starts[1:], idx, side="right")
-        # windows crossing a row boundary must not contribute to either row
-        seg_stop = np.maximum(starts[1:] - cfg.q + 1, starts[:-1])
-        valid = idx < seg_stop[np.minimum(row_of, n_docs - 1)]
-        hv = h[valid]
-        rv = row_of[valid]
-        bucket = (hv & np.uint64(P - 1)).astype(np.int64)
-        np.minimum.at(sig.reshape(-1), rv * P + bucket, hv)
+    from sassy_ray.kernel import native as _native
+
+    if _native.available():
+        # per-row rolling hash + bucket-min in one C pass (bit-identical;
+        # per-row processing also makes the cross-row-window masking moot).
+        # The NumPy path below pays ~24 B of index/arange traffic per text
+        # byte per polynomial step plus a ufunc.at scatter (~20M elem/s) —
+        # it was the ER pipeline's largest stage at the gate corpus.
+        _native.minhash_rows(
+            np.ascontiguousarray(buf),
+            np.ascontiguousarray(starts, dtype=np.int64),
+            cfg.q, P, cfg.rc_canonical, _DNA_COMP, sig,
+        )
+    else:
+        h = _shingle_hashes(buf, cfg.q, cfg.rc_canonical)
+        if len(h):
+            idx = np.arange(len(h))
+            row_of = np.searchsorted(starts[1:], idx, side="right")
+            # windows crossing a row boundary must not contribute to either row
+            seg_stop = np.maximum(starts[1:] - cfg.q + 1, starts[:-1])
+            valid = idx < seg_stop[np.minimum(row_of, n_docs - 1)]
+            hv = h[valid]
+            rv = row_of[valid]
+            bucket = (hv & np.uint64(P - 1)).astype(np.int64)
+            np.minimum.at(sig.reshape(-1), rv * P + bucket, hv)
     has = sig != _MASK  # (n_docs, P)
     # densification: empty buckets borrow the next non-empty bucket's value
     # (rotate right), re-mixed with the bucket index so borrowed values

@@ -153,3 +153,29 @@ def test_run_minima_job_major_order():
     assert (np.diff(ji) >= 0).all()
     same = np.diff(ji) == 0
     assert (np.diff(jp)[same] > 0).all()
+
+
+def test_minhash_rows_matches_numpy():
+    """The C OPH minhash bucket-min pass (blocking's hot loop) must be
+    bit-identical to _shingle_hashes + np.minimum.at across row lengths
+    (incl. < q), q values, bucket counts, and both rc modes."""
+    from sassy_ray.stages import blocking as B
+
+    rng = np.random.default_rng(1234)
+    for _ in range(25):
+        n_docs = int(rng.integers(1, 40))
+        texts = [
+            bytes(rng.choice(list(b"ACGTacgtxyz "), size=int(rng.integers(0, 60))))
+            for _ in range(n_docs)
+        ]
+        q = int(rng.integers(2, 14))
+        P = int(2 ** rng.integers(1, 6))
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        for rc in (False, True):
+            cfg = B.BlockingConfig(q=q, num_perm=P, bands=P, rc_canonical=rc)
+            got = B.minhash_signatures_buf(buf, starts, cfg)
+            with force_numpy():
+                ref = B.minhash_signatures_buf(buf, starts, cfg)
+            assert np.array_equal(got, ref), (q, P, rc)
