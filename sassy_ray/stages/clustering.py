@@ -37,7 +37,6 @@ wires StageCheckpoint through).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 __all__ = ["connected_components"]
@@ -147,6 +146,8 @@ def connected_components(
     import ray
     import ray.data as rd
 
+    from sassy_ray.stages.pairs import _sorted_string_codes
+
     def _local_contract(b: pa.Table) -> pa.Table:
         """Contract each edge batch to its LOCAL spanning stars before any
         shuffle (vectorized numpy union-find per batch).  Pairs arrive
@@ -156,33 +157,17 @@ def connected_components(
         a = b.column("doc_id_a").combine_chunks()
         c = b.column("doc_id_b").combine_chunks()
         both = pa.concat_arrays([a, c])
-        codes, uniq = pd.factorize(both.to_pandas(), sort=True)
+        codes, uniq_arr = _sorted_string_codes(both)
         E = len(a)
-        label = _numpy_components(codes[:E], codes[E:], len(uniq))
-        uniq_np = np.asarray(uniq, dtype=object)
-        node = np.arange(len(uniq), dtype=np.int64)
+        label = _numpy_components(codes[:E], codes[E:], len(uniq_arr))
+        node = np.arange(len(uniq_arr), dtype=np.int64)
         keep = label != node  # roots need no edge
         return pa.table(
             {
-                "lo": pa.array(uniq_np[label[keep]], pa.string()),
-                "hi": pa.array(uniq_np[keep], pa.string()),
+                "lo": uniq_arr.take(pa.array(label[keep])),
+                "hi": uniq_arr.take(pa.array(node[keep])),
             }
         )
-
-
-    def _cols(b: pa.Table, names):
-        return tuple(
-            np.asarray(b.column(n).to_pandas(), dtype=object) for n in names
-        )
-
-    def _groups(node: np.ndarray):
-        """Group codes + start offsets for an array already sorted by node."""
-        change = np.flatnonzero(node[1:] != node[:-1]) + 1
-        codes = np.zeros(len(node), np.int64)
-        codes[change] = 1
-        np.cumsum(codes, out=codes)
-        starts = np.concatenate([np.zeros(1, np.int64), change])
-        return codes, starts
 
     _EMPTY_EDGES = pa.table(
         {
@@ -192,54 +177,38 @@ def connected_components(
         }
     )
 
+    _I64_MAX = np.iinfo(np.int64).max
 
-
-    def _group_mins(node, codes, starts, vals, mask, corr):
-        """m[g] = min over masked vals in group g, the group's node, and the
-        boundary correction (first/last groups only).  Object-dtype strings;
-        the groupby is pandas C, the rest O(num_groups) fancy indexing."""
-        m = node[starts].copy()
-        if mask.any():
-            gmin = pd.Series(vals[mask]).groupby(codes[mask]).min()
-            gi = gmin.index.to_numpy()
-            gv = gmin.to_numpy()
-            lt = gv < m[gi]
-            m[gi[lt]] = gv[lt]
-        for g in (0, len(m) - 1):
-            c = corr.get(node[starts[g]])
-            if c is not None and c < m[g]:
-                m[g] = c
-        return m
-
-    def _star_emit(b: pa.Table, small: bool, corr: dict, full_groups: bool = False) -> pa.Table:
-        if b.num_rows == 0:
-            return _EMPTY_EDGES
-        node, nbr = _cols(b, ["node", "nbr"])
-        codes, starts = _groups(node)
-        # local exact dedup of (node, nbr) rows (groups stay contiguous)
-        dup = pd.DataFrame({"c": codes, "v": nbr}).duplicated().to_numpy()
-        if dup.any():
-            keep = ~dup
-            node, nbr, codes = node[keep], nbr[keep], codes[keep]
-            starts = np.concatenate(
-                [np.zeros(1, np.int64), np.flatnonzero(codes[1:] != codes[:-1]) + 1]
-            )
-        mask = (nbr < node) if small else np.ones(len(nbr), bool)
-        m = _group_mins(node, codes, starts, nbr, mask, corr)
+    def _star_emit_codes(node, nbr, small: bool):
+        """One star step over a part's COMPLETE node groups, on int64 codes
+        sorted by (node, nbr) — all group math is reduceat/fancy-indexing C.
+        (The previous object-dtype version np.lexsorted Python strings —
+        ~150 s of the 4-CPU clusters stage at 2.4M docs was element-wise
+        PyUnicode comparisons.)  Returns (lo, hi, mv) code arrays."""
+        keep = np.empty(len(node), dtype=bool)
+        keep[0] = True
+        keep[1:] = (node[1:] != node[:-1]) | (nbr[1:] != nbr[:-1])
+        node, nbr = node[keep], nbr[keep]
+        gb = np.empty(len(node), dtype=bool)
+        gb[0] = True
+        gb[1:] = node[1:] != node[:-1]
+        starts = np.nonzero(gb)[0]
+        codes = np.cumsum(gb) - 1
         grp_node = node[starts]
+        if small:
+            mask = nbr < node
+            vals = np.where(mask, nbr, _I64_MAX)
+        else:
+            vals = nbr
+        m = np.minimum(np.minimum.reduceat(vals, starts), grp_node)
         if small:
             g = codes[mask]
             v = nbr[mask]
             mvrow = v != m[g]
             lo_a, hi_a = m[g[mvrow]], v[mvrow]
-            # self rows (m, u) for strictly-interior groups; boundary groups'
-            # self rows are emitted once by the driver from the corr map.
-            # Under the hash exchange every part holds COMPLETE node groups,
-            # so all groups are interior and no correction map exists.
-            interior = np.ones(len(m), bool)
-            if not full_groups:
-                interior[0] = interior[-1] = False
-            selfg = interior & (m != grp_node)
+            # self rows (m, u) for every group whose min beat the node
+            # (the exchange guarantees complete groups — no boundary cases)
+            selfg = m != grp_node
             lo = np.concatenate([lo_a, m[selfg]])
             hi = np.concatenate([hi_a, grp_node[selfg]])
             mv = np.concatenate(
@@ -250,39 +219,7 @@ def connected_components(
             g = codes[emit]
             lo, hi = m[g], nbr[emit]
             mv = (lo != node[emit]).astype(np.int64)
-        if not len(lo):
-            return _EMPTY_EDGES
-        return pa.table(
-            {
-                "lo": pa.array(lo, pa.string()),
-                "hi": pa.array(hi, pa.string()),
-                "mv": pa.array(mv, pa.int64()),
-            }
-        )
-
-    def _label_emit(b: pa.Table, full_groups: bool = False) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.string()),
-                    "cluster_id": pa.array([], pa.string()),
-                }
-            )
-        node, label = _cols(b, ["node", "label"])
-        codes, starts = _groups(node)
-        m = _group_mins(
-            node, codes, starts, label, np.ones(len(label), bool), {}
-        )
-        grp_node = node[starts]
-        interior = np.ones(len(m), bool)
-        if not full_groups:
-            interior[0] = interior[-1] = False
-        return pa.table(
-            {
-                "doc_id": pa.array(grp_node[interior], pa.string()),
-                "cluster_id": pa.array(m[interior], pa.string()),
-            }
-        )
+        return lo, hi, mv
 
     # ---- hash-exchange rounds (raw Ray tasks) ---------------------------
     # Each star step needs rows grouped PER NODE, not globally ordered:
@@ -294,8 +231,13 @@ def connected_components(
     # only ObjectRefs; per-round sync is one ray.get of NP move COUNTS.
     NP = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) * 2))
 
-    def _node_parts(node_pd: pd.Series) -> np.ndarray:
-        h = pd.util.hash_pandas_object(node_pd, index=False).to_numpy()
+    def _node_parts(arr: pa.Array) -> np.ndarray:
+        """Partition of each node string — polars' vectorized hash (no
+        per-value Python objects; deterministic across worker processes for
+        a fixed polars version, which is all the within-job exchange needs)."""
+        import polars as pl
+
+        h = pl.from_arrow(arr).hash(seed=7).to_numpy()
         return (h % np.uint64(NP)).astype(np.int64)
 
     def _split_table(t: pa.Table, part: np.ndarray):
@@ -320,25 +262,33 @@ def connected_components(
         node = pa.concat_arrays([a, c])
         nbr = pa.concat_arrays([c, a])
         t = pa.table({"node": node, "nbr": nbr})
-        return _split_table(t, _node_parts(pd.Series(node.to_pandas())))
+        return _split_table(t, _node_parts(node))
 
     @ray.remote(num_returns=2)
     def _part_star(small: bool, *tables):
         live = [t for t in tables if t.num_rows]
         if not live:
             return _EMPTY_EDGES, 0
-        b = pa.concat_tables(live)
-        node, nbr = _cols(b, ["node", "nbr"])
-        order = np.lexsort((nbr, node))
-        b = pa.table(
+        b = pa.concat_tables(live).combine_chunks()
+        n = b.num_rows
+        both, uniq_arr = _sorted_string_codes(
+            pa.concat_arrays(
+                [b.column("node").combine_chunks(), b.column("nbr").combine_chunks()]
+            )
+        )
+        node_c, nbr_c = both[:n], both[n:]
+        order = np.lexsort((nbr_c, node_c))
+        lo, hi, mv = _star_emit_codes(node_c[order], nbr_c[order], small)
+        if not len(lo):
+            return _EMPTY_EDGES, 0
+        out = pa.table(
             {
-                "node": pa.array(node[order], pa.string()),
-                "nbr": pa.array(nbr[order], pa.string()),
+                "lo": uniq_arr.take(pa.array(lo)),
+                "hi": uniq_arr.take(pa.array(hi)),
+                "mv": pa.array(mv, pa.int64()),
             }
         )
-        out = _star_emit(b, small, {}, full_groups=True)
-        mv = int(pa.compute.sum(out.column("mv")).as_py() or 0) if out.num_rows else 0
-        return out, mv
+        return out, int(mv.sum())
 
     edges0 = edges_ds.map_batches(
         _local_contract, batch_format="pyarrow"
@@ -385,7 +335,7 @@ def connected_components(
             return tuple(_EMPTY_LAB for _ in range(NP))
         ids = tbl.column("doc_id").combine_chunks()
         t = pa.table({"node": ids, "label": ids})
-        return _split_table(t, _node_parts(pd.Series(ids.to_pandas())))
+        return _split_table(t, _node_parts(ids))
 
     @ray.remote
     def _split_star_labels(tbl: pa.Table):
@@ -393,7 +343,7 @@ def connected_components(
             return tuple(_EMPTY_LAB for _ in range(NP))
         hi = tbl.column("hi").combine_chunks()
         t = pa.table({"node": hi, "label": tbl.column("lo").combine_chunks()})
-        return _split_table(t, _node_parts(pd.Series(hi.to_pandas())))
+        return _split_table(t, _node_parts(hi))
 
     @ray.remote
     def _part_label(*tables):
@@ -405,16 +355,28 @@ def connected_components(
                     "cluster_id": pa.array([], pa.string()),
                 }
             )
-        b = pa.concat_tables(live)
-        node, label = _cols(b, ["node", "label"])
-        order = np.lexsort((label, node))
-        b = pa.table(
+        b = pa.concat_tables(live).combine_chunks()
+        n = b.num_rows
+        both, uniq_arr = _sorted_string_codes(
+            pa.concat_arrays(
+                [b.column("node").combine_chunks(), b.column("label").combine_chunks()]
+            )
+        )
+        node_c, lab_c = both[:n], both[n:]
+        order = np.lexsort((lab_c, node_c))
+        node_c, lab_c = node_c[order], lab_c[order]
+        gb = np.empty(n, dtype=bool)
+        gb[0] = True
+        gb[1:] = node_c[1:] != node_c[:-1]
+        starts = np.nonzero(gb)[0]
+        grp_node = node_c[starts]
+        m = np.minimum(np.minimum.reduceat(lab_c, starts), grp_node)
+        return pa.table(
             {
-                "node": pa.array(node[order], pa.string()),
-                "label": pa.array(label[order], pa.string()),
+                "doc_id": uniq_arr.take(pa.array(grp_node)),
+                "cluster_id": uniq_arr.take(pa.array(m)),
             }
         )
-        return _label_emit(b, full_groups=True)
 
     node_refs = list(nodes_ds.materialize().to_arrow_refs())
     lab_splits = [
