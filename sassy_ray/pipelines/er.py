@@ -152,7 +152,24 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
                 batch_format="pyarrow",
             )
             scorer_kwargs["pre_lowercased"] = True
-        scorer_kwargs["docs_ref"] = proj.materialize().to_arrow_refs()
+        doc_refs = proj.materialize().to_arrow_refs()
+        scorer_kwargs["docs_ref"] = doc_refs
+        # sorted-hash id index built ONCE driver-side and broadcast: every
+        # scorer worker otherwise pays the polars hash + argsort of the
+        # whole id column itself (~0.5 s per worker at 2.4M docs) before
+        # its first batch.  The id chunks read zero-copy from plasma; only
+        # the (hs, order) int64 arrays ship (16 B/doc, one plasma copy).
+        try:
+            from sassy_ray.stages.scoring import build_hash_index
+
+            chunks = [
+                c for t in ray.get(list(doc_refs)) for c in t.column("doc_id").chunks
+            ]
+            hidx = build_hash_index(pa.chunked_array(chunks)) if chunks else False
+            if hidx:
+                scorer_kwargs["docs_hidx"] = ray.put(hidx)
+        except Exception:
+            pass
         join_input = pairs_ds
     elif cfg.text_mode == "join":
         txt = texts_ds.select_columns(["doc_id", "text"])

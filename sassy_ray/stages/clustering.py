@@ -103,9 +103,15 @@ def _driver_union_find(edges_ds, nodes_ds):
             {"doc_id": pa.array([], pa.string()), "text": pa.array([], pa.string())}
         )
     comp_ref = ray.put(comp_tbl)
+    # the sorted-hash index over the label ids builds once HERE (driver) and
+    # broadcasts — not once per worker (scoring.build_hash_index docstring)
+    from sassy_ray.stages.scoring import build_hash_index
+
+    hidx = build_hash_index(comp_tbl.column("doc_id"))
+    hidx_ref = ray.put(hidx) if hidx else None
 
     def label_batch(batch: pa.Table) -> pa.Table:
-        lk = _resolve_docs(comp_ref)
+        lk = _resolve_docs(comp_ref, hidx_ref)
         ids = pc.cast(batch.column("doc_id"), pa.string())
         taken = lk.take_arrow(ids, fill=None)
         return pa.table(

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from sassy_ray.kernel.myers import batch_best_costs
 from sassy_ray.kernel.profiles import get_profile
@@ -54,6 +55,87 @@ class ScoreConfig:
                 f"rc={self.rc},em={self.emit_matches})")
 
 
+def _combined(arr):
+    """Collapse a (batch-small) ChunkedArray take result to a plain Array."""
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _gather(col, rows: np.ndarray, offs: np.ndarray | None = None) -> pa.Array:
+    """take() with global row indices, resolving chunks MANUALLY.
+
+    Arrow's own ``pc.take`` on a ChunkedArray reassembles the whole column
+    per call (measured 921 ms per 8k-row take at a 2.4M-row/192-chunk string
+    column vs 1.26 ms combined) — a per-batch disaster against a broadcast
+    corpus.  Grouping the indices by owning chunk and taking per chunk is
+    ~200 small plain-array takes + one concat + one reorder take (~2-4 ms).
+    ``offs`` is the cached np.cumsum of chunk lengths (len nchunks+1)."""
+    if isinstance(col, pa.Array):
+        return pc.take(col, pa.array(rows, pa.int64()))
+    if offs is None:
+        offs = np.cumsum([0] + [len(c) for c in col.chunks])
+    nr = len(rows)
+    if nr == 0:
+        return pa.array([], col.type)
+    ci = np.searchsorted(offs, rows, "right") - 1
+    orderp = np.argsort(ci, kind="stable")
+    sci = ci[orderp]
+    bounds = np.flatnonzero(np.r_[True, sci[1:] != sci[:-1], True])
+    parts = []
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        c = int(sci[b0])
+        sel = rows[orderp[b0:b1]] - offs[c]
+        parts.append(pc.take(col.chunk(c), pa.array(sel, pa.int64())))
+    gathered = parts[0] if len(parts) == 1 else pa.concat_arrays(parts)
+    if bool(np.all(orderp[1:] > orderp[:-1])):
+        return gathered  # indices were already chunk-sorted
+    inv = np.empty(nr, np.int64)
+    inv[orderp] = np.arange(nr)
+    return pc.take(gathered, pa.array(inv, pa.int64()))
+
+
+def _take_nullable(col, idx: pa.Array, offs: np.ndarray | None = None) -> pa.Array:
+    """``pc.take`` honoring null indices, routed through :func:`_gather`."""
+    if isinstance(col, pa.Array):
+        return pc.take(col, idx)
+    if idx.null_count == 0:
+        return _gather(col, idx.to_numpy().astype(np.int64, copy=False), offs)
+    valid = np.asarray(pc.is_valid(idx))
+    rows = pc.fill_null(idx, 0).to_numpy().astype(np.int64, copy=False)
+    vals = _gather(col, rows[valid], offs)
+    sel = np.cumsum(valid) - 1
+    return pc.take(vals, pa.array(sel, pa.int64(), mask=~valid))
+
+
+def build_hash_index(ids):
+    """Sorted polars-hash index over an id Array/ChunkedArray: returns
+    (sorted_hashes int64, row_order int64) or False when unusable (empty,
+    64-bit collision between stored ids, or no polars).  Hashing is
+    per-chunk (polars' xxhash is row-wise, so chunked == combined —
+    pinned by a test) so a plasma-backed chunked id column is never
+    rechunked/copied.  Built once per worker — or once on the DRIVER and
+    broadcast (see ``docs_hidx`` in the scorer kwargs) so multi-M-doc
+    corpora don't pay the hash+argsort in every worker process."""
+    try:
+        import polars as pl
+
+        if len(ids) == 0:
+            return False
+        chunks = ids.chunks if isinstance(ids, pa.ChunkedArray) else [ids]
+        parts = [
+            pl.from_arrow(c).hash(seed=7).to_numpy().view(np.int64)
+            for c in chunks
+            if len(c)
+        ]
+        h = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        if hs.size > 1 and bool(np.any(hs[1:] == hs[:-1])):
+            return False  # 64-bit collision: use index_in path
+        return hs, order
+    except Exception:
+        return False
+
+
 class _DocLookup:
     """Broadcast id->text lookup that does NOT copy the text payload into
     the worker heap: ids and texts stay in (plasma-backed) Arrow arrays and
@@ -63,39 +145,38 @@ class _DocLookup:
     this holds ~10% of that."""
 
     def __init__(self, ids, texts):
-        self.ids = ids  # pa.Array of doc_id (combined)
-        self.texts = texts  # pa.Array of str (combined)
+        # ids/texts may be pa.Array OR pa.ChunkedArray.  Chunked inputs are
+        # kept AS-IS: combining a multi-GB broadcast text column would copy
+        # it into every worker's private heap (measured: the dominant cost
+        # of the scored stage's worker ramp at 2.4M docs x 30 workers was
+        # exactly these 30 private ~710 MB copies) — pc.take gathers
+        # per-batch rows straight from the plasma-backed chunks instead.
+        self.ids = ids
+        self.texts = texts
         # lazy sorted-hash index: pc.index_in rebuilds its hash table of the
         # ENTIRE value_set on every call (~70 ms at 600k ids), so per-batch
         # lookups pay corpus-sized work; hashing the ids ONCE and binary-
         # searching per batch is ~100x cheaper per call
         self._hidx = None
+        self._offs = (
+            np.cumsum([0] + [len(c) for c in texts.chunks])
+            if isinstance(texts, pa.ChunkedArray)
+            else None
+        )
+        self._id_offs = (
+            np.cumsum([0] + [len(c) for c in ids.chunks])
+            if isinstance(ids, pa.ChunkedArray)
+            else None
+        )
 
     def _hash_index(self):
         if self._hidx is None:
-            try:
-                import polars as pl
-
-                if len(self.ids) == 0:
-                    self._hidx = False
-                    return self._hidx
-                h = pl.from_arrow(self.ids).hash(seed=7).to_numpy().view(np.int64)
-                order = np.argsort(h, kind="stable")
-                hs = h[order]
-                if hs.size > 1 and bool(np.any(hs[1:] == hs[:-1])):
-                    self._hidx = False  # 64-bit collision: use index_in path
-                else:
-                    self._hidx = (hs, order)
-            except Exception:
-                self._hidx = False
+            self._hidx = build_hash_index(self.ids)
         return self._hidx
 
     @classmethod
     def from_table(cls, tbl: pa.Table) -> "_DocLookup":
-        return cls(
-            tbl.column("doc_id").combine_chunks(),
-            tbl.column("text").combine_chunks(),
-        )
+        return cls(tbl.column("doc_id"), tbl.column("text"))
 
     @classmethod
     def from_dict(cls, d: dict) -> "_DocLookup":
@@ -129,12 +210,13 @@ class _DocLookup:
             # within the set) — confirm the gathered ids actually equal the
             # probes (one vectorized pc.equal) before trusting the hit
             if hit.any():
-                eq = pc.fill_null(pc.equal(pc.take(self.ids, idx), ids), False)
+                got_ids = _take_nullable(self.ids, idx, self._id_offs)
+                eq = pc.fill_null(pc.equal(got_ids, ids), False)
                 if not pc.all(eq).as_py():
                     idx = pc.if_else(eq, idx, pa.scalar(None, pa.int64()))
         else:
             idx = pc.index_in(ids, value_set=self.ids)
-        got = pc.take(self.texts, idx)
+        got = _take_nullable(self.texts, idx, self._offs)
         return got if fill is None else pc.fill_null(got, fill)
 
     def get_many(self, ids: list) -> list[bytes]:
@@ -147,7 +229,7 @@ class _DocLookup:
 _BCAST_CACHE: dict[str, _DocLookup] = {}
 
 
-def _resolve_docs(docs_ref) -> _DocLookup:
+def _resolve_docs(docs_ref, hidx_ref=None) -> _DocLookup:
     if isinstance(docs_ref, _DocLookup):
         return docs_ref
     if isinstance(docs_ref, dict):
@@ -171,30 +253,48 @@ def _resolve_docs(docs_ref) -> _DocLookup:
                 return hit
             tbl = obj
         hit = _DocLookup.from_table(tbl)
+        if hidx_ref is not None:
+            # driver-built sorted-hash index, read zero-copy from plasma —
+            # skips the per-worker hash+argsort (~0.5 s at 2.4M ids)
+            try:
+                hs, order = ray.get(hidx_ref)
+                hit._hidx = (np.asarray(hs), np.asarray(order))
+            except Exception:
+                pass
         _BCAST_CACHE.clear()
         _BCAST_CACHE[key] = hit
     return hit
 
 
 def score_pairs_batch(
-    batch: pa.Table, cfg: ScoreConfig, docs_ref=None, pre_lowercased: bool = False
+    batch: pa.Table,
+    cfg: ScoreConfig,
+    docs_ref=None,
+    pre_lowercased: bool = False,
+    docs_hidx=None,
 ) -> pa.Table:
     """Stateless-task variant of the scorer: runs in Ray's pre-started warm
     workers (no actor spin-up).  The broadcast lookup resolves through a
     per-worker cache (one plasma fetch + one dict build per process).  Use
     the actor-pool ``PairScorer`` when per-worker state is genuinely
     expensive to build."""
-    return PairScorer(cfg, docs_ref, pre_lowercased)(batch)
+    return PairScorer(cfg, docs_ref, pre_lowercased, docs_hidx)(batch)
 
 
 class PairScorer:
-    def __init__(self, cfg: ScoreConfig, docs_ref=None, pre_lowercased: bool = False) -> None:
+    def __init__(
+        self,
+        cfg: ScoreConfig,
+        docs_ref=None,
+        pre_lowercased: bool = False,
+        docs_hidx=None,
+    ) -> None:
         self.cfg = cfg
         self.prof = get_profile(cfg.profile)
         self.pre_lowercased = pre_lowercased
         self.docs: dict[str, bytes] | None = None
         if docs_ref is not None:
-            self.docs = _resolve_docs(docs_ref)
+            self.docs = _resolve_docs(docs_ref, docs_hidx)
 
     def _texts_arrow(self, batch: pa.Table, col: str, id_col: str) -> pa.Array:
         if col in batch.column_names:
@@ -270,25 +370,40 @@ class PairScorer:
 
         if _native.available():
             # compiled scorer: every pair walks its own text start-to-finish
-            # with its own band (per-job k), so the limb buckets, length
-            # sub-chunks and the 63-char suffix screen — all of which exist
-            # to keep the BATCH-axis NumPy kernel dense and cache-resident —
-            # collapse into ONE call per Ray batch (screen A/B measured
-            # slower with the C band: a 1-limb screen pass + banded verify
-            # ~= the banded full scan the screen tries to avoid, minus the
-            # extra prep).  RC patterns build vectorized off the Arrow
-            # buffers (complement LUT + reversed TextRows).
+            # with its own band (per-job k), so the limb buckets and the
+            # 63-char suffix screen — which exist to keep the BATCH-axis
+            # NumPy kernel dense and cache-resident — collapse away (screen
+            # A/B measured slower with the C band: a 1-limb screen pass +
+            # banded verify ~= the banded full scan the screen tries to
+            # avoid, minus the extra prep).  LENGTH sub-chunks survive in
+            # coarse form: NativeBatch pads its rows matrix to the batch max
+            # text AND sizes every pattern's PEQ at the batch-max limb
+            # count, so one 5k-char pair in an 8k batch multiplies the
+            # setup's memset/remap traffic ~10x (measured 53 -> ~8 ms per
+            # 8192-pair batch on the sf0.1 corpus).  RC patterns build
+            # vectorized off the Arrow buffers (complement LUT + reversed
+            # TextRows).
             from sassy_ray.kernel.myers import TextRows
             from sassy_ray.kernel.native import NativeBatch
 
             k_arr = k_pair.astype(np.int64)
-            nb = NativeBatch(pats_arr, txts_arr, self.prof, k_max)
-            cost = nb.run_best(k_arr=k_arr)
-            if rc:
-                tr = TextRows.from_any(pats_arr)
-                comp = TextRows(self.prof.complement_lut[tr.mat], tr.lens)
-                nbr = NativeBatch(comp.reversed(), txts_arr, self.prof, k_max)
-                cost = np.minimum(cost, nbr.run_best(k_arr=k_arr))
+            tl = np.maximum(la, lb)
+            order = np.argsort(tl, kind="stable")
+            chunks = self._length_chunks(tl, order, ratio=1.6, min_chunk=2048)
+            cost = np.empty(n, dtype=np.int64)
+            for ch in chunks:
+                ch_pa = pa.array(ch)
+                sub_p = pc.take(pats_arr, ch_pa)
+                sub_t = pc.take(txts_arr, ch_pa)
+                sub_k = k_arr[ch]
+                nb = NativeBatch(sub_p, sub_t, self.prof, int(sub_k.max()))
+                c = nb.run_best(k_arr=sub_k)
+                if rc:
+                    tr = TextRows.from_any(sub_p)
+                    comp = TextRows(self.prof.complement_lut[tr.mat], tr.lens)
+                    nbr = NativeBatch(comp.reversed(), sub_t, self.prof, int(sub_k.max()))
+                    c = np.minimum(c, nbr.run_best(k_arr=sub_k))
+                cost[ch] = c
             cost = np.minimum(cost.astype(np.int32), k_pair + 1)
             return self._emit(batch, cost, k_pair, pats_arr, txts_arr, k_max, n)
 

@@ -109,6 +109,50 @@ def test_doc_lookup_missing_and_types():
     assert lk2.get_many(["d2", "zz", "d1"]) == [b"t2", b"", b"t1"]
 
 
+def test_doc_lookup_chunked_zero_copy_paths():
+    """The broadcast lookup must give identical answers when its id/text
+    columns are MULTI-CHUNK (plasma-backed blocks are never combined into
+    the worker heap) and the per-chunk polars hash index must equal the
+    combined-column one (polars' hash is row-wise; chunked == combined)."""
+    import numpy as np
+
+    from sassy_ray.stages.scoring import _DocLookup, build_hash_index
+
+    ids = [f"doc-{i:05d}" for i in range(3000)]
+    txts = [f"text-{i}" for i in range(3000)]
+    # three uneven chunks
+    cuts = [0, 700, 1900, 3000]
+    id_col = pa.chunked_array(
+        [pa.array(ids[a:b]) for a, b in zip(cuts, cuts[1:])]
+    )
+    tx_col = pa.chunked_array(
+        [pa.array(txts[a:b]) for a, b in zip(cuts, cuts[1:])]
+    )
+    h_chunked = build_hash_index(id_col)
+    h_combined = build_hash_index(id_col.combine_chunks())
+    assert h_chunked and h_combined
+    assert (h_chunked[0] == h_combined[0]).all()
+    assert (h_chunked[1] == h_combined[1]).all()
+
+    lk = _DocLookup(id_col, tx_col)
+    probe = ["doc-02900", "missing", "doc-00000", "doc-00699", "doc-00700"]
+    got = lk.take_arrow(pa.array(probe)).to_pylist()
+    assert got == ["text-2900", "", "text-0", "text-699", "text-700"]
+    assert isinstance(lk.texts, pa.ChunkedArray)  # corpus stayed chunked
+    # nulls preserved with fill=None (label-attach contract)
+    got2 = lk.take_arrow(pa.array(probe), fill=None)
+    assert got2.null_count == 1
+    # pre-attached index (the driver-broadcast path) short-circuits build
+    lk3 = _DocLookup(id_col, tx_col)
+    lk3._hidx = h_combined
+    assert lk3.take_arrow(pa.array(probe)).to_pylist() == got
+    # index_in fallback (hash index disabled) agrees
+    lk4 = _DocLookup(id_col, tx_col)
+    lk4._hidx = False
+    assert lk4.take_arrow(pa.array(probe)).to_pylist() == got
+    assert np.asarray(h_chunked[0]).dtype == np.int64
+
+
 def test_fasta_gz_whole_file_fallback(ray_session, tmp_path):
     """gz inputs are not range-seekable: plan must be one whole-file chunk
     and still parse correctly."""
