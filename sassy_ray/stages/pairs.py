@@ -244,10 +244,13 @@ def _pairs_exchange(block_rows_ds, cfg: PairGenConfig, nparts: int, split_out: i
     import ray
 
     @ray.remote
-    def split_block(tbl: pa.Table):
-        if tbl.num_rows == 0 or "block_key" not in tbl.schema.names:
+    def split_block(*tbls: pa.Table):
+        live = [t for t in tbls if t.num_rows and "block_key" in t.schema.names]
+        if not live:
             # empty blocks may carry an empty schema; emit_part drops them
-            return tuple(tbl.slice(0, 0) for _ in range(nparts))
+            empty = tbls[0].slice(0, 0)
+            return tuple(empty for _ in range(nparts))
+        tbl = live[0] if len(live) == 1 else pa.concat_tables(live).combine_chunks()
         bk = tbl.column("block_key").to_numpy().astype(np.uint64, copy=False)
         part = (bk % np.uint64(nparts)).astype(np.int64)
         order = np.argsort(part, kind="stable")
@@ -304,10 +307,21 @@ def _pairs_exchange(block_rows_ds, cfg: PairGenConfig, nparts: int, split_out: i
         return tuple(out)
 
     # ref-only orchestration: the driver never holds data, every part flows
-    # object-store -> task -> object-store (num_returns=nparts per round)
+    # object-store -> task -> object-store (num_returns=nparts per round).
+    # Input blocks coalesce into ~nparts split tasks: per-input-block split
+    # tasks at a 560-block corpus produced 560 x nparts = 36k sub-table
+    # objects and a 560-ref fan-in per emit task — object-store metadata
+    # and fetch overhead, not compute (split wave itself was 3 s).
     blocks = block_rows_ds.to_arrow_refs()
+    ngroups = min(len(blocks), max(2, nparts))
+    groups = [
+        blocks[len(blocks) * g // ngroups : len(blocks) * (g + 1) // ngroups]
+        for g in range(ngroups)
+    ]
     split_refs = [
-        split_block.options(num_returns=nparts).remote(b) for b in blocks
+        split_block.options(num_returns=nparts).remote(*grp)
+        for grp in groups
+        if grp
     ]
     emit_refs = [
         emit_part.options(num_returns=nparts).remote(*[sr[p] for sr in split_refs])
