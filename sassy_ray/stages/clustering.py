@@ -235,7 +235,14 @@ def connected_components(
     # CPUs) and the whole boundary-correction machinery disappear.  Ref
     # orchestration mirrors stages/pairs._pairs_exchange: the driver holds
     # only ObjectRefs; per-round sync is one ray.get of NP move COUNTS.
-    NP = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) * 2))
+    import os as _os
+
+    _np_env = _os.environ.get("SASSY_CC_NP")
+    NP = (
+        int(_np_env)
+        if _np_env
+        else max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) * 2))
+    )
 
     def _node_parts(arr: pa.Array) -> np.ndarray:
         """Partition of each node string — polars' vectorized hash (no
