@@ -138,11 +138,15 @@ def build_hash_index(ids):
 
 class _DocLookup:
     """Broadcast id->text lookup that does NOT copy the text payload into
-    the worker heap: ids and texts stay in (plasma-backed) Arrow arrays and
-    only the batch's rows are gathered per call (``pc.index_in`` hash
-    lookup + ``take`` — all C++).  A per-worker python dict of the whole
-    corpus cost ~1 GB heap + a GC-heavy build per worker at 600k docs —
-    this holds ~10% of that."""
+    the worker heap: ids and texts stay in plasma-backed Arrow arrays
+    (chunked columns are kept chunked — combining was 30 x 710 MB of
+    private copies at the 2.4M-doc gate corpus) and only the batch's rows
+    are gathered per call, through the manual chunk-resolving
+    :func:`_gather` (Arrow's own chunked take reassembles the whole column
+    per call).  The sorted-hash id index is either attached pre-built from
+    a driver broadcast (``docs_hidx``) or built once per worker.  A
+    per-worker python dict of the whole corpus cost ~1 GB heap + a
+    GC-heavy build per worker at 600k docs; this holds O(16 B/doc)."""
 
     def __init__(self, ids, texts):
         # ids/texts may be pa.Array OR pa.ChunkedArray.  Chunked inputs are
