@@ -70,9 +70,10 @@ def cmd_grep(args) -> None:
         patterns.append(("p0", args.pattern.encode()))
     if args.pattern_file:
         with open(args.pattern_file) as f:
-            for i, line in enumerate(x.strip() for x in f):
-                if line:
-                    patterns.append((f"p{i + 1}" if args.pattern else f"p{i}", line.encode()))
+            # enumerate only non-empty stripped lines so blank lines never
+            # leave gaps in the generated pN ids (same rule as barcode lists)
+            for i, line in enumerate(l for l in (x.strip() for x in f) if l):
+                patterns.append((f"p{i + 1}" if args.pattern else f"p{i}", line.encode()))
     if args.pattern_fasta:
         # the reference's --pattern-fasta: record ids become pat_ids
         from sassy_ray.sources.fasta import parse_fasta_bytes
