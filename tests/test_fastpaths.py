@@ -153,6 +153,46 @@ def test_doc_lookup_chunked_zero_copy_paths():
     assert np.asarray(h_chunked[0]).dtype == np.int64
 
 
+def test_gather_equals_arrow_take_fuzz():
+    """_gather (manual chunk-resolving take) must equal pc.take on the
+    combined column for random chunk layouts and index patterns —
+    duplicates, repeats within one chunk, chunk-sorted (fast path that
+    skips the reorder take) and reverse-sorted probes."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from sassy_ray.stages.scoring import _gather
+
+    rng = np.random.default_rng(17)
+    vals = pa.array([f"v{i:04d}" for i in range(2500)])
+    for trial in range(20):
+        ncuts = int(rng.integers(1, 9))
+        cuts = np.unique(rng.integers(0, 2500, size=ncuts)).tolist()
+        bounds = [0] + cuts + [2500]
+        col = pa.chunked_array(
+            [vals.slice(a, b - a) for a, b in zip(bounds, bounds[1:]) if b > a]
+        )
+        n = int(rng.integers(0, 400))
+        rows = rng.integers(0, 2500, size=n).astype(np.int64)
+        if trial % 4 == 1:
+            rows = np.sort(rows)  # chunk-sorted: no-reorder fast path
+        elif trial % 4 == 2:
+            rows = np.sort(rows)[::-1].copy()
+        want = pc.take(vals, pa.array(rows, pa.int64())).to_pylist()
+        got = _gather(col, rows).to_pylist()
+        assert got == want, f"trial {trial}: layout {bounds}"
+        offs = np.cumsum([0] + [len(c) for c in col.chunks])
+        got2 = _gather(col, rows, offs).to_pylist()
+        assert got2 == want
+    # plain (non-chunked) Array passthrough
+    assert _gather(vals, np.array([3, 1, 1, 2499], np.int64)).to_pylist() == [
+        "v0003",
+        "v0001",
+        "v0001",
+        "v2499",
+    ]
+
+
 def test_fasta_gz_whole_file_fallback(ray_session, tmp_path):
     """gz inputs are not range-seekable: plan must be one whole-file chunk
     and still parse correctly."""
