@@ -179,3 +179,30 @@ def test_minhash_rows_matches_numpy():
             with force_numpy():
                 ref = B.minhash_signatures_buf(buf, starts, cfg)
             assert np.array_equal(got, ref), (q, P, rc)
+
+
+def test_rows_from_offsets_matches_numpy_scatter():
+    """The C padded-rows builder (`sassy_rows_from_offsets`, used by
+    myers._rows_matrix on Arrow string input) must equal the NumPy
+    index-scatter fallback for random row layouts: empty rows, empty
+    batches, min_width padding wider than every row, and sliced arrays
+    (nonzero Arrow offset)."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(77)
+    for trial in range(30):
+        n = int(rng.integers(0, 50))
+        texts = [
+            bytes(rng.integers(1, 255, size=int(rng.integers(0, 90)), dtype=np.uint8))
+            for _ in range(n)
+        ]
+        arr = pa.array(texts, pa.large_binary() if trial % 2 else pa.binary())
+        if n > 4 and trial % 3 == 0:
+            arr = arr.slice(2, n - 3)  # exercise the arr.offset != 0 rebase
+        min_width = int(rng.integers(1, 140))
+        got_mat, got_lens = myers._rows_matrix(arr, min_width=min_width)
+        with force_numpy():
+            ref_mat, ref_lens = myers._rows_matrix(arr, min_width=min_width)
+        assert np.array_equal(got_lens, ref_lens), trial
+        assert got_mat.shape == ref_mat.shape, trial
+        assert np.array_equal(got_mat, ref_mat), trial
