@@ -47,7 +47,13 @@ class ERConfig:
         join_partitions: int = 32,
         input_blocks: int = 32,
         score_mode: str = "tasks",  # 'tasks' (warm workers) | 'actors'
+        # edge count above which clustering runs the DISTRIBUTED star-round
+        # exchange instead of the driver DSU fast path; lowered to 0 to
+        # force the 10^12-scale route at test sizes (queries.er_clusters_
+        # scale_paths, the forced-distributed CC tests)
+        cc_driver_edge_limit: int = 2_000_000,
     ) -> None:
+        self.cc_driver_edge_limit = cc_driver_edge_limit
         self.score_mode = score_mode
         self.join_partitions = join_partitions
         self.input_blocks = input_blocks
@@ -244,7 +250,12 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
 
     ck = _ckpt(checkpoint_dir, "clusters", fp)
     clusters, resumed = _maybe(
-        lambda: connected_components(edges, nodes, max_iters=cfg.max_cc_iters),
+        lambda: connected_components(
+            edges,
+            nodes,
+            max_iters=cfg.max_cc_iters,
+            driver_edge_limit=cfg.cc_driver_edge_limit,
+        ),
         ck,
         stats,
         "clusters",

@@ -1216,6 +1216,58 @@ def er_clusters_dna(sf_dir: str):
 ER_CLUSTERS_DNA_SQL = _er_closure_sql("er_clusters_dna")
 
 
+def er_clusters_scale_paths(sf_dir: str):
+    """Same corpus + scoring semantics as ``er_clusters``, forced through
+    every BEYOND-HEAP scale route at once — the code a 10^12-doc cluster
+    deployment actually runs, hash-verified against the same DuckDB
+    recursive-closure twin instead of only equality-tested vs the fast
+    paths (`tests/test_fastpaths.py`, `test_er_pipeline.py`):
+
+    - pair generation + exact dedup via the spill-capable Dataset-groupby
+      shuffle (``PairGenConfig`` limits zeroed — not the manual exchange,
+      not the single vectorized task);
+    - ``text_mode='join'``: the pair->text attach as two hash-partitioned
+      ``Dataset.join`` passes (no fits-in-a-node broadcast assumption);
+    - distributed alternating-star connected components
+      (``cc_driver_edge_limit=0`` — no driver DSU fast path).
+    """
+    import pyarrow.parquet as pq
+
+    from sassy_ray.pipelines.er import ERConfig, run_er_pipeline
+    from sassy_ray.sources.synth import interleave_flat_documents
+    from sassy_ray.stages.blocking import BlockingConfig
+    from sassy_ray.stages.pairs import PairGenConfig
+    from sassy_ray.stages.scoring import ScoreConfig
+
+    key = ("er_scale_paths", os.path.abspath(sf_dir), _session_token())
+    hit = _GATE_CACHE.get(key)
+    if hit is None:
+        flat = pq.read_table(_path(sf_dir, "documents"))
+        docs, _truth = interleave_flat_documents(flat, seed=7)
+        cfg = ERConfig(
+            blocking=BlockingConfig(q=12),
+            score=ScoreConfig(profile="ascii_ci", k_min=3, rel_k=0.03, lowercase=True),
+            pairs=PairGenConfig(
+                single_task_dedup_limit=0,
+                single_task_rows_limit=0,
+                exchange_rows_limit=0,
+            ),
+            text_mode="join",
+            cc_driver_edge_limit=0,
+            score_concurrency=4,
+        )
+        res = run_er_pipeline(_rd().from_arrow(docs), cfg)
+        hit = (docs, res)
+        _GATE_CACHE[key] = hit
+    docs, res = hit
+    if docs.num_rows <= 4 * _ORACLE_EXPORT_MAX_DOCS:
+        _export_er_closure_inputs("er_clusters_scale_paths", res, docs)
+    return res["clusters"].sort("doc_id")
+
+
+ER_CLUSTERS_SCALE_PATHS_SQL = _er_closure_sql("er_clusters_scale_paths")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1245,6 +1297,7 @@ QUERIES = {
     "er_clusters": er_clusters,
     "er_match_edges": er_match_edges,
     "er_clusters_dna": er_clusters_dna,
+    "er_clusters_scale_paths": er_clusters_scale_paths,
     "er_match_alignments": er_match_alignments,
 }
 
@@ -1267,6 +1320,7 @@ ORACLE_SQL = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "er_clusters": ER_CLUSTERS_SQL,
     "er_clusters_dna": ER_CLUSTERS_DNA_SQL,
+    "er_clusters_scale_paths": ER_CLUSTERS_SCALE_PATHS_SQL,
     "er_match_edges": ER_MATCH_EDGES_SQL,
     "er_match_alignments": ER_MATCH_ALIGNMENTS_SQL,
     "ann_topk": ANN_TOPK_SQL,
