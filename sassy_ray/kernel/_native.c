@@ -77,6 +77,156 @@ void sassy_rows_from_offsets(const uint8_t *data, const int64_t *off,
   }
 }
 
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
+static void hist_acc_(const uint8_t *x, int64_t n, int64_t h[4][256]) {
+  int64_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    h[0][x[i]]++;
+    h[1][x[i + 1]]++;
+    h[2][x[i + 2]]++;
+    h[3][x[i + 3]]++;
+  }
+  for (; i < n; i++)
+    h[0][x[i]]++;
+}
+
+/* byte histogram over a pointer-array text column (no concat copy) */
+void sassy_byte_hist_ptrs(const uint8_t **texts, const int64_t *tlens,
+                          int64_t n_texts, int64_t *hist256) {
+  int64_t h[4][256];
+  memset(h, 0, sizeof(h));
+  for (int64_t t = 0; t < n_texts; t++)
+    hist_acc_(texts[t], tlens[t], h);
+  for (int b = 0; b < 256; b++)
+    hist256[b] = h[0][b] + h[1][b] + h[2][b] + h[3][b];
+}
+
+/* copy `l` bytes forward, applying the dense remap lut (NULL = verbatim).
+ * For A <= 8 the remap runs as an AVX2 cmpeq-select sweep over the present
+ * bytes (ab[j] -> code j) — a scalar LUT gather defeats vectorization and
+ * runs ~1 GB/s; this runs at memory speed on DNA-like alphabets. */
+static inline void copy_remap_fwd_(const uint8_t *src, int64_t l,
+                                   const uint8_t *ab, int64_t A,
+                                   const uint8_t *lut, uint8_t *dst) {
+  if (!lut) {
+    memcpy(dst, src, (size_t)l);
+    return;
+  }
+  int64_t i = 0;
+#ifdef __AVX2__
+  if (A <= 8) {
+    __m256i bv[8], cv[8];
+    for (int64_t a = 0; a < A; a++) {
+      bv[a] = _mm256_set1_epi8((char)ab[a]);
+      cv[a] = _mm256_set1_epi8((char)a);
+    }
+    for (; i + 32 <= l; i += 32) {
+      __m256i v = _mm256_loadu_si256((const __m256i *)(src + i));
+      __m256i acc = _mm256_setzero_si256();
+      for (int64_t a = 0; a < A; a++)
+        acc = _mm256_or_si256(
+            acc, _mm256_and_si256(_mm256_cmpeq_epi8(v, bv[a]), cv[a]));
+      _mm256_storeu_si256((__m256i *)(dst + i), acc);
+    }
+  }
+#endif
+  for (; i < l; i++)
+    dst[i] = lut[src[i]];
+}
+
+/* reversed copy: dst[j] = remap(src[l-1-j]).  AVX2 path loads from the
+ * tail, byte-reverses in-register (per-lane pshufb + lane swap) and
+ * optionally remaps with the same cmpeq-select sweep. */
+static inline void copy_remap_rev_(const uint8_t *src, int64_t l,
+                                   const uint8_t *ab, int64_t A,
+                                   const uint8_t *lut, uint8_t *dst) {
+  int64_t i = 0;
+#ifdef __AVX2__
+  if (!lut || A <= 8) {
+    const __m256i revm = _mm256_setr_epi8(
+        15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0, 15, 14, 13, 12,
+        11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+    __m256i bv[8], cv[8];
+    if (lut)
+      for (int64_t a = 0; a < A; a++) {
+        bv[a] = _mm256_set1_epi8((char)ab[a]);
+        cv[a] = _mm256_set1_epi8((char)a);
+      }
+    for (; i + 32 <= l; i += 32) {
+      __m256i v = _mm256_loadu_si256((const __m256i *)(src + l - 32 - i));
+      v = _mm256_shuffle_epi8(v, revm);
+      v = _mm256_permute2x128_si256(v, v, 1);
+      if (lut) {
+        __m256i acc = _mm256_setzero_si256();
+        for (int64_t a = 0; a < A; a++)
+          acc = _mm256_or_si256(
+              acc, _mm256_and_si256(_mm256_cmpeq_epi8(v, bv[a]), cv[a]));
+        v = acc;
+      }
+      _mm256_storeu_si256((__m256i *)(dst + i), v);
+    }
+  }
+#endif
+  if (lut)
+    for (; i < l; i++)
+      dst[i] = lut[src[l - 1 - i]];
+  else
+    for (; i < l; i++)
+      dst[i] = src[l - 1 - i];
+}
+
+/* Fused overlapping-chunk-row builder for the long-text scan paths: one
+ * read pass over the texts, one write pass into the padded row matrix,
+ * with the dense alphabet remap (and, for rc, the text reversal) applied
+ * during the copy.  Replaces a NumPy chain that moved ~6 passes per
+ * payload byte (per-text reversal bytes, sliding_window_view copy, byte
+ * histogram, LUT remap).  Chunk c owns end positions (overlap, chunk_len]
+ * (the first chunk owns from 0) — same starts/lengths/ownership as
+ * search._fill_chunk_rows.  With emit_rc, row R+r holds chunk r of the
+ * REVERSED text (pattern side is complemented by the caller); lens/owner
+ * of the rc half mirror the fwd half.  Short-row tails are zero-padded.
+ * Returns the number of fwd rows written (the caller asserts == R). */
+int64_t sassy_chunk_remap(const uint8_t **texts, const int64_t *tlens,
+                          int64_t n_texts, int64_t chunk_len, int64_t overlap,
+                          const uint8_t *ab, int64_t A, const uint8_t *lut,
+                          int emit_rc, int64_t R, uint8_t *mat, int64_t *lens,
+                          int64_t *owner_ti, int64_t *owner_start) {
+  int64_t r = 0;
+  for (int64_t ti = 0; ti < n_texts; ti++) {
+    const uint8_t *t = texts[ti];
+    int64_t n = tlens[ti];
+    int64_t start = 0;
+    for (;;) {
+      int64_t end = start + chunk_len;
+      if (end > n)
+        end = n;
+      int64_t l = end - start;
+      uint8_t *dst = mat + r * chunk_len;
+      copy_remap_fwd_(t + start, l, ab, A, lut, dst);
+      memset(dst + l, 0, (size_t)(chunk_len - l));
+      lens[r] = l;
+      owner_ti[r] = ti;
+      owner_start[r] = start;
+      if (emit_rc) {
+        uint8_t *dr = mat + (R + r) * chunk_len;
+        /* chunk [start, end) of the reversed text = t[n-end, n-start)
+         * reversed */
+        copy_remap_rev_(t + (n - end), l, ab, A, lut, dr);
+        memset(dr + l, 0, (size_t)(chunk_len - l));
+        lens[R + r] = l;
+      }
+      r++;
+      if (end >= n)
+        break;
+      start = end - overlap;
+    }
+  }
+  return r;
+}
+
 /* One-permutation-hashing minhash bucket minima, the blocking stage's hot
  * loop: for each row (starts[i]..starts[i+1] of buf), hash every q-byte
  * window with the polynomial rolling hash h = sum buf[w+j] * B^(q-1-j)

@@ -76,13 +76,22 @@ class TextRows:
     search paths index individual texts (traceback windows, n-filters) —
     only those rows ever materialize Python bytes.  RC passes use
     ``reversed()``: one vectorized take_along_axis gather instead of a
-    per-row Python ``t[::-1]`` pass over the whole batch."""
+    per-row Python ``t[::-1]`` pass over the whole batch.
 
-    __slots__ = ("mat", "lens")
+    ``codes_ab`` marks a PRE-REMAPPED matrix: ``mat`` holds dense alphabet
+    codes and ``codes_ab[code]`` is the original byte (the fused C chunk
+    builder writes codes during the copy, so NativeBatch skips its own
+    histogram + remap passes).  Byte materialization (``__getitem__``)
+    inverse-maps, so traceback / n-filter / filter_fn consumers still see
+    raw bytes; the byte-domain NumPy kernels refuse coded input loudly
+    (``_rows_matrix``)."""
 
-    def __init__(self, mat: np.ndarray, lens: np.ndarray):
+    __slots__ = ("mat", "lens", "codes_ab")
+
+    def __init__(self, mat: np.ndarray, lens: np.ndarray, codes_ab: np.ndarray | None = None):
         self.mat = mat
         self.lens = np.asarray(lens, dtype=np.int64)
+        self.codes_ab = codes_ab
 
     @classmethod
     def from_any(cls, rows) -> "TextRows":
@@ -95,7 +104,10 @@ class TextRows:
         return len(self.lens)
 
     def __getitem__(self, i: int) -> bytes:
-        return self.mat[i, : self.lens[i]].tobytes()
+        row = self.mat[i, : self.lens[i]]
+        if self.codes_ab is not None:
+            row = self.codes_ab[row]
+        return row.tobytes()
 
     def __iter__(self):
         return (self[i] for i in range(len(self)))
@@ -106,13 +118,13 @@ class TextRows:
         np.maximum(idx, 0, out=idx)
         rev = np.take_along_axis(self.mat, idx, axis=1)
         rev[np.arange(w)[None, :] >= self.lens[:, None]] = 0
-        return TextRows(rev, self.lens)
+        return TextRows(rev, self.lens, self.codes_ab)
 
     def take(self, idx) -> "TextRows":
         idx = np.asarray(idx, dtype=np.int64)
         lens = self.lens[idx]
         w = max(1, int(lens.max()) if len(lens) else 1)
-        return TextRows(np.ascontiguousarray(self.mat[idx, :w]), lens)
+        return TextRows(np.ascontiguousarray(self.mat[idx, :w]), lens, self.codes_ab)
 
 
 def _rows_matrix(rows, min_width: int = 1) -> tuple[np.ndarray, np.ndarray]:
@@ -124,6 +136,12 @@ def _rows_matrix(rows, min_width: int = 1) -> tuple[np.ndarray, np.ndarray]:
     Python), which is how the scorer stages feed batches in without a
     to_pylist round-trip."""
     if isinstance(rows, TextRows):
+        if rows.codes_ab is not None and not (
+            len(rows.codes_ab) == 256 and rows.codes_ab[255] == 255
+        ):
+            # dense-coded rows are only legible to NativeBatch's codes path;
+            # a byte-domain kernel reading them would be silently wrong
+            raise RuntimeError("coded TextRows fed to a byte-domain kernel")
         if rows.mat.shape[1] < min_width:
             mat = np.zeros((len(rows.lens), min_width), dtype=np.uint8)
             mat[:, : rows.mat.shape[1]] = rows.mat

@@ -25,7 +25,14 @@ import tempfile
 
 import numpy as np
 
-__all__ = ["available", "scan_pairs", "scan_jobs", "best_jobs", "NativeBatch"]
+__all__ = [
+    "available",
+    "scan_pairs",
+    "scan_jobs",
+    "best_jobs",
+    "NativeBatch",
+    "chunk_rows_coded",
+]
 
 _ALL_BYTES = np.arange(256, dtype=np.uint8)
 
@@ -88,6 +95,16 @@ def _build() -> ctypes.CDLL | None:
     lib.sassy_remap_u8.restype = None
     lib.sassy_rows_from_offsets.argtypes = [P, P, I, I, P]
     lib.sassy_rows_from_offsets.restype = None
+    lib.sassy_byte_hist_ptrs.argtypes = [P, P, I, P]
+    lib.sassy_byte_hist_ptrs.restype = None
+    lib.sassy_chunk_remap.argtypes = [
+        P, P, I,          # texts (ptr array), tlens, n_texts
+        I, I,             # chunk_len, overlap
+        P, I, P,          # ab, A, lut (NULL = identity copy)
+        ctypes.c_int, I,  # emit_rc, R (rows per strand)
+        P, P, P, P,       # mat, lens, owner_ti, owner_start
+    ]
+    lib.sassy_chunk_remap.restype = ctypes.c_int64
     lib.sassy_minhash_rows.argtypes = [P, P, I, I, I, ctypes.c_int, P, P]
     lib.sassy_minhash_rows.restype = None
     lib.sassy_scan.argtypes = [
@@ -155,6 +172,87 @@ def rows_from_offsets(data: np.ndarray, off: np.ndarray, width: int) -> np.ndarr
     return out
 
 
+def _identity_wins(padded_bytes: int, n_upats: int, L: int, n_distinct: int) -> bool:
+    """Shared identity-vs-dense-remap decision (NativeBatch.__init__ and the
+    fused chunk builder must agree so prep work is never redone): identity
+    skips the remap passes when its 256-wide PEQ is cheaper, EXCEPT for
+    DNA-like inputs (<= 8 distinct bytes, single limb) where the dense code
+    alphabet unlocks the AVX2 cmpeq-select scan path."""
+    if 2 * padded_bytes <= n_upats * 256 * L * 8:
+        return False
+    return not (L == 1 and n_distinct <= 8)
+
+
+def chunk_rows_coded(
+    texts: list[bytes],
+    chunk_len: int,
+    overlap: int,
+    emit_rc: bool,
+    n_upats: int,
+    m_max: int,
+    remap: str = "auto",
+):
+    """Fused chunk-row builder for the long-text scan paths: ONE C pass
+    builds the overlapping chunk-row matrix (and, with ``emit_rc``, the
+    reversed-text rows in the same matrix at row offset R) with the dense
+    alphabet remap applied during the copy.  Returns ``(TextRows, owner)``
+    where ``owner`` is the fwd half's ``(text_idx, chunk_start, is_first)``
+    list (the rc half mirrors it).  Same starts/lengths/ownership as
+    ``search._fill_chunk_rows``.
+
+    ``remap='auto'`` replicates NativeBatch's identity-vs-dense decision and
+    marks the rows with ``codes_ab`` so NativeBatch skips its histogram +
+    remap passes; ``remap='never'`` copies verbatim and leaves ``codes_ab``
+    unset (for consumers that read raw bytes, e.g. the SWAR prefilters).
+    Caller guarantees native availability."""
+    from sassy_ray.kernel.myers import TextRows
+
+    n = len(texts)
+    step = chunk_len - overlap
+    tlens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    assert step > 0, "chunk_len must exceed overlap"
+    if n:
+        extra = np.maximum(tlens - chunk_len, 0)
+        # ceil-div of 0 is 0, so short texts contribute exactly 1 row
+        R = int(n + (-(-extra // step)).sum())
+    else:
+        R = 0
+    strands = 2 if emit_rc else 1
+    if R == 0:
+        rows = TextRows(np.zeros((0, max(1, chunk_len)), np.uint8), np.zeros(0, np.int64))
+        return rows, []
+    ptrs = (ctypes.c_char_p * n)(*texts)
+
+    ab = None
+    lut = None
+    codes_ab = None
+    if remap == "auto":
+        hist = np.zeros(256, dtype=np.int64)
+        _lib.sassy_byte_hist_ptrs(ptrs, _ptr(tlens), n, _ptr(hist))
+        present = _ALL_BYTES[hist > 0]
+        L = max(1, -(-int(m_max) // 64))
+        if _identity_wins(strands * R * chunk_len, n_upats, L, len(present)):
+            codes_ab = _ALL_BYTES
+        else:
+            ab = present if len(present) else _ALL_BYTES[:1]
+            lut = np.zeros(256, dtype=np.uint8)
+            lut[ab] = np.arange(len(ab), dtype=np.uint8)
+            codes_ab = ab
+    mat = np.empty((strands * R, chunk_len), dtype=np.uint8)
+    lens = np.empty(strands * R, dtype=np.int64)
+    owner_ti = np.empty(R, dtype=np.int64)
+    owner_start = np.empty(R, dtype=np.int64)
+    got = _lib.sassy_chunk_remap(
+        ptrs, _ptr(tlens), n, int(chunk_len), int(overlap),
+        _ptr(ab), 0 if ab is None else len(ab), _ptr(lut),
+        ctypes.c_int(1 if emit_rc else 0), R,
+        _ptr(mat), _ptr(lens), _ptr(owner_ti), _ptr(owner_start),
+    )
+    assert got == R, f"chunk row count mismatch: C wrote {got}, planned {R}"
+    owner = list(zip(owner_ti.tolist(), owner_start.tolist(), (owner_start == 0).tolist()))
+    return TextRows(mat, lens, codes_ab), owner
+
+
 class NativeBatch:
     """One prepared (patterns x texts) native call context.
 
@@ -185,7 +283,14 @@ class NativeBatch:
         )
 
         self.k = int(k)
-        raw, n_arr = _pad_texts(texts)
+        cab = getattr(texts, "codes_ab", None)
+        if cab is not None:
+            # pre-remapped rows from the fused chunk builder: the matrix
+            # already holds dense codes, so the histogram/remap passes below
+            # are skipped entirely
+            raw, n_arr = texts.mat, texts.lens
+        else:
+            raw, n_arr = _pad_texts(texts)
         self.n_arr = np.ascontiguousarray(n_arr, dtype=np.int64)
         self.T = len(self.n_arr)
 
@@ -220,12 +325,17 @@ class NativeBatch:
         # always remap — a dense code alphabet unlocks the AVX2
         # cmpeq-select scan path in the C engine (measured ~2-3x over the
         # scalar interleave on the 1x23bp scan shape)
-        use_identity = 2 * raw.size > self.P * 256 * self.L * 8
-        if use_identity and self.L == 1 and raw.size:
-            sample = raw.reshape(-1)[:65536]
-            if len(np.unique(sample)) <= 8:
-                use_identity = False
-        if use_identity:
+        if cab is not None:
+            # pre-coded input: the fused builder already made (and applied)
+            # the identity-vs-dense decision via the same _identity_wins
+            ab = cab
+            self.txt = np.ascontiguousarray(raw)
+        elif _identity_wins(
+            raw.size,
+            self.P,
+            self.L,
+            len(np.unique(raw.reshape(-1)[:65536])) if self.L == 1 and raw.size else 256,
+        ):
             ab = _ALL_BYTES
             self.txt = np.ascontiguousarray(raw)
         else:

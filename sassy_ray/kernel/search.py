@@ -950,8 +950,24 @@ def chunked_search_multi(
     overlap = m_max + k
     P, T = len(patterns), len(texts)
 
+    pre = None  # (fwd_rows, rc_rows_or_None, owner) from the fused C builder
+    if _nat.available():
+        rows, owner0 = _nat.chunk_rows_coded(
+            texts, chunk_len, overlap, searcher.rc, max(1, P * (2 if searcher.rc else 1)), m_max
+        )
+        nf = len(owner0)
+        if searcher.rc:
+            fwd = TextRows(rows.mat[:nf], rows.lens[:nf], rows.codes_ab)
+            rcr = TextRows(rows.mat[nf:], rows.lens[nf:], rows.codes_ab)
+        else:
+            fwd, rcr = rows, None
+        pre = (fwd, rcr, owner0)
+
     def strand_pass(pats: list[bytes], txts: list[bytes], strand: str):
-        chunks, owner = _build_chunk_rows_tr(txts, overlap, chunk_len)
+        if pre is not None:
+            chunks, owner = (pre[0] if strand == FWD else pre[1]), pre[2]
+        else:
+            chunks, owner = _build_chunk_rows_tr(txts, overlap, chunk_len)
         got = searcher._cartesian_strand(pats, chunks, k, False, strand)
         out: list[list[list[Match]]] = [[[] for _ in range(T)] for _ in range(P)]
         for (pi, ci), ms in got.items():
@@ -969,7 +985,9 @@ def chunked_search_multi(
     out = strand_pass(patterns, texts, FWD)
     if searcher.rc:
         comp = [searcher.profile.complement(p) for p in patterns]
-        rev = [t[::-1] for t in texts]
+        # with the fused builder the reversed rows were already emitted by
+        # the same C pass; the python per-text reversal only runs on fallback
+        rev = [] if pre is not None else [t[::-1] for t in texts]
         rc = strand_pass(comp, rev, RC)
         for pi in range(P):
             for ti in range(T):
@@ -1042,22 +1060,38 @@ def chunked_search(
 
     overlap = m + k
     if not searcher.rc:
-        out = _chunk_strand(searcher, pattern, texts, k, FWD, chunk_len)
+        if _nat.available():
+            # fused C builder: chunk rows + dense remap in one read+write
+            # pass (codes_ab marks the matrix pre-remapped for NativeBatch)
+            rows, owner = _nat.chunk_rows_coded(texts, chunk_len, overlap, False, 1, m)
+            res = searcher._strand_matches([pattern] * len(owner), rows, k, False, FWD)
+            out = _collect_chunk_matches(len(texts), owner, res, overlap)
+        else:
+            out = _chunk_strand(searcher, pattern, texts, k, FWD, chunk_len)
     else:
         # fuse fwd + rc rows into ONE kernel batch: double the batch axis,
         # half the per-step dispatch count of two separate passes
         comp = searcher.profile.complement(pattern)
-        rev = [t[::-1] for t in texts]
-        # both strands land in ONE preallocated matrix (fwd rows then rc
-        # rows — same row count, texts and their reversals are equal-length)
-        nf = _chunk_row_count(texts, overlap, chunk_len)
-        mat = np.zeros((2 * nf, max(1, chunk_len)), dtype=np.uint8)
-        lens = np.zeros(2 * nf, dtype=np.int64)
-        f_owner: list[tuple[int, int, bool]] = []
-        r_owner: list[tuple[int, int, bool]] = []
-        _fill_chunk_rows(texts, overlap, chunk_len, mat, lens, 0, f_owner)
-        _fill_chunk_rows(rev, overlap, chunk_len, mat, lens, nf, r_owner)
-        fused = TextRows(mat, lens)
+        if _nat.available():
+            # one C pass builds BOTH strands' rows (rc = reversed-text copy
+            # fused into the chunk walk) already remapped to dense codes —
+            # replaces the per-text t[::-1] bytes, the sliding-window copy
+            # and NativeBatch's histogram+remap passes
+            fused, f_owner = _nat.chunk_rows_coded(texts, chunk_len, overlap, True, 2, m)
+            nf = len(f_owner)
+            r_owner = f_owner  # reversed texts share lengths, hence owners
+        else:
+            rev = [t[::-1] for t in texts]
+            # both strands land in ONE preallocated matrix (fwd rows then rc
+            # rows — same row count, texts and their reversals are equal-length)
+            nf = _chunk_row_count(texts, overlap, chunk_len)
+            mat = np.zeros((2 * nf, max(1, chunk_len)), dtype=np.uint8)
+            lens = np.zeros(2 * nf, dtype=np.int64)
+            f_owner = []
+            r_owner = []
+            _fill_chunk_rows(texts, overlap, chunk_len, mat, lens, 0, f_owner)
+            _fill_chunk_rows(rev, overlap, chunk_len, mat, lens, nf, r_owner)
+            fused = TextRows(mat, lens)
         res = searcher._strand_matches(
             [pattern] * nf + [comp] * nf,
             fused,

@@ -206,3 +206,110 @@ def test_rows_from_offsets_matches_numpy_scatter():
         assert np.array_equal(got_lens, ref_lens), trial
         assert got_mat.shape == ref_mat.shape, trial
         assert np.array_equal(got_mat, ref_mat), trial
+
+
+def test_chunk_rows_coded_builder_equivalence():
+    """The fused C chunk builder (`sassy_chunk_remap` via chunk_rows_coded)
+    must reproduce search._build_chunk_rows_tr exactly — same row starts,
+    lengths, ownership — for both strands, across text-length edge cases
+    (empty, shorter than overlap, == chunk_len, multi-chunk with and without
+    a short tail).  'auto' mode is checked through the codes_ab inverse map
+    (decoded bytes == raw rows); 'never' mode byte-for-byte."""
+    from sassy_ray.kernel.search import _build_chunk_rows_tr
+
+    rng = np.random.default_rng(5)
+    for trial in range(25):
+        chunk_len = int(rng.integers(40, 200))
+        overlap = int(rng.integers(1, chunk_len // 2))
+        n = int(rng.integers(0, 14))
+        ab = b"ACGT" if trial % 2 else bytes(range(32, 127))
+        lens = [
+            int(rng.choice([0, 1, overlap, chunk_len - 1, chunk_len, chunk_len + 1,
+                            2 * chunk_len - overlap, int(rng.integers(0, 5 * chunk_len))]))
+            for _ in range(n)
+        ]
+        texts = [bytes(rng.choice(list(ab), size=l).astype(np.uint8)) for l in lens]
+        ref_rows, ref_owner = _build_chunk_rows_tr(texts, overlap, chunk_len)
+        rev = [t[::-1] for t in texts]
+        ref_rev, _ = _build_chunk_rows_tr(rev, overlap, chunk_len)
+        for mode in ("auto", "never"):
+            for emit_rc in (False, True):
+                rows, owner = native.chunk_rows_coded(
+                    texts, chunk_len, overlap, emit_rc, 2, 23, remap=mode
+                )
+                assert owner == ref_owner, (trial, mode, emit_rc)
+                nf = len(ref_owner)
+                assert np.array_equal(rows.lens[:nf], ref_rows.lens), (trial, mode)
+                got_fwd = [rows[i] for i in range(nf)]
+                exp_fwd = [ref_rows[i] for i in range(nf)]
+                assert got_fwd == exp_fwd, (trial, mode, emit_rc)
+                if emit_rc:
+                    assert len(rows) == 2 * nf
+                    got_rc = [rows[nf + i] for i in range(nf)]
+                    exp_rc = [ref_rev[i] for i in range(nf)]
+                    assert got_rc == exp_rc, (trial, mode)
+                if mode == "never":
+                    assert rows.codes_ab is None
+                    assert np.array_equal(rows.mat[:nf], ref_rows.mat)
+
+
+def test_chunked_search_fused_vs_numpy():
+    """End-to-end: chunked_search / chunked_search_multi through the fused
+    C builder (pre-remapped rows, fused rc reversal) must give identical
+    matches to the pure-NumPy fallback path, including traceback cigars,
+    across seam-straddling planted hits, rc, only_best and ascii (identity
+    alphabet) inputs."""
+    from sassy_ray.kernel.search import Searcher, chunked_search, chunked_search_multi
+
+    rng = random.Random(3)
+    pat = _rnd(rng, 23)
+    texts = []
+    for i in range(12):
+        t = bytearray(_rnd(rng, rng.randint(0, 700)))
+        if len(t) > 60:  # plant a hit, sometimes near the chunk seam
+            p = bytearray(pat)
+            p[rng.randrange(len(p))] = rng.choice(b"ACGT")
+            pos = rng.choice([5, 80, 95, 100, 105, max(0, len(t) - 30)])
+            pos = min(pos, len(t))
+            t[pos:pos] = p
+        texts.append(bytes(t))
+
+    def key(ms_per_text):
+        return [
+            sorted((m.text_start, m.text_end, m.cost, m.strand, m.cigar) for m in ms)
+            for ms in ms_per_text
+        ]
+
+    for rc, only_best in ((True, False), (True, True), (False, False)):
+        s = Searcher("dna", rc=rc, only_best_match=only_best)
+        nat = key(chunked_search(s, pat, texts, 3, chunk_len=100))
+        with force_numpy():
+            ref = key(chunked_search(s, pat, texts, 3, chunk_len=100))
+        assert nat == ref, (rc, only_best)
+        assert any(nat), (rc, only_best)
+
+    # ascii texts: identity-alphabet route through the fused builder
+    apat = b"hello world"
+    atexts = [b" " * 90 + b"hxllo world" + b"_" * 90, b"hello world", b""]
+    sa = Searcher("ascii")
+    nat = key(chunked_search(sa, apat, atexts, 2, chunk_len=64))
+    with force_numpy():
+        ref = key(chunked_search(sa, apat, atexts, 2, chunk_len=64))
+    assert nat == ref and any(nat)
+
+    # multi-pattern: fused rows feed the native cartesian scan
+    pats = [pat, _rnd(rng, 9), _rnd(rng, 31), _rnd(rng, 40)]
+    s = Searcher("dna", rc=True)
+    nat = chunked_search_multi(s, pats, texts, 3, chunk_len=120)
+    with force_numpy():
+        ref = chunked_search_multi(s, pats, texts, 3, chunk_len=120)
+    flat_nat = [
+        (pi, ti, m.text_start, m.text_end, m.cost, m.strand, m.cigar)
+        for pi, per in enumerate(nat) for ti, ms in enumerate(per) for m in ms
+    ]
+    flat_ref = [
+        (pi, ti, m.text_start, m.text_end, m.cost, m.strand, m.cigar)
+        for pi, per in enumerate(ref) for ti, ms in enumerate(per) for m in ms
+    ]
+    assert sorted(flat_nat) == sorted(flat_ref)
+    assert flat_nat
