@@ -53,11 +53,9 @@ void sassy_byte_hist(const uint8_t *x, int64_t n, int64_t *hist256) {
     hist256[b] = h[0][b] + h[1][b] + h[2][b] + h[3][b];
 }
 
-void sassy_remap_u8(const uint8_t *x, int64_t n, const uint8_t *lut,
-                    uint8_t *out) {
-  for (int64_t i = 0; i < n; i++)
-    out[i] = lut[x[i]];
-}
+/* definition follows the copy helpers below (shares their AVX2 sweep) */
+void sassy_remap_u8(const uint8_t *x, int64_t n, const uint8_t *ab, int64_t A,
+                    const uint8_t *lut, uint8_t *out);
 
 /* Padded (n, width) rows matrix straight from Arrow offsets+data buffers:
  * per-row memcpy + tail memset.  The NumPy equivalent (np.repeat row/col
@@ -135,6 +133,14 @@ static inline void copy_remap_fwd_(const uint8_t *src, int64_t l,
 #endif
   for (; i < l; i++)
     dst[i] = lut[src[i]];
+}
+
+/* dense-alphabet remap used by NativeBatch's text prep: AVX2 cmpeq-select
+ * for <= 8 distinct bytes (a scalar LUT gather defeats vectorization),
+ * scalar LUT otherwise. */
+void sassy_remap_u8(const uint8_t *x, int64_t n, const uint8_t *ab, int64_t A,
+                    const uint8_t *lut, uint8_t *out) {
+  copy_remap_fwd_(x, n, ab, A, lut, out);
 }
 
 /* reversed copy: dst[j] = remap(src[l-1-j]).  AVX2 path loads from the

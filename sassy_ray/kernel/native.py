@@ -91,7 +91,7 @@ def _build() -> ctypes.CDLL | None:
     lib.sassy_build_peq.restype = None
     lib.sassy_byte_hist.argtypes = [P, I, P]
     lib.sassy_byte_hist.restype = None
-    lib.sassy_remap_u8.argtypes = [P, I, P, P]
+    lib.sassy_remap_u8.argtypes = [P, I, P, I, P, P]
     lib.sassy_remap_u8.restype = None
     lib.sassy_rows_from_offsets.argtypes = [P, P, I, I, P]
     lib.sassy_rows_from_offsets.restype = None
@@ -348,7 +348,10 @@ class NativeBatch:
             lut[ab] = np.arange(len(ab), dtype=np.uint8)
             self.txt = np.empty_like(raw)
             if raw.size:
-                _lib.sassy_remap_u8(_ptr(raw), raw.size, _ptr(lut), _ptr(self.txt))
+                _lib.sassy_remap_u8(
+                    _ptr(raw), raw.size, _ptr(np.ascontiguousarray(ab)), len(ab),
+                    _ptr(lut), _ptr(self.txt),
+                )
         self.Wt = self.txt.shape[1] if self.txt.ndim == 2 else 0
         self.A = max(1, len(ab))
 
