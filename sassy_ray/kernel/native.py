@@ -183,8 +183,59 @@ def _identity_wins(padded_bytes: int, n_upats: int, L: int, n_distinct: int) -> 
     return not (L == 1 and n_distinct <= 8)
 
 
+def _arrow_binary(arr):
+    """Normalize an Arrow string/binary (Chunked)Array to a zero-offset
+    binary array with nulls filled — the shared precondition for reading
+    its offsets/data buffers directly."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type):
+        arr = arr.cast(pa.binary())
+    elif pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_binary())
+    if arr.null_count:
+        arr = arr.fill_null(b"")
+    if arr.offset != 0:
+        import pyarrow as pa2
+
+        arr = pa2.concat_arrays([arr])
+    return arr
+
+
+def _text_ptrs(texts):
+    """(ptr_array, tlens, keepalive) for the pointer-array C entry points.
+
+    list[bytes] -> c_char_p array over the bytes' own buffers; Arrow
+    string/binary arrays -> data-buffer base + offsets (ZERO copy, no
+    to_pylist); TextRows -> row addresses into the padded matrix."""
+    import pyarrow as pa
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = _arrow_binary(texts)
+        n = len(arr)
+        off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        bufs = arr.buffers()
+        off = np.frombuffer(bufs[1], off_dt, n + 1).astype(np.int64) if n else np.zeros(1, np.int64)
+        tlens = np.diff(off)
+        base = bufs[2].address if bufs[2] is not None else _ptr(np.zeros(1, np.uint8)).value
+        ptrs = (ctypes.c_void_p * max(1, n))(*(int(base) + off[:-1]).tolist())
+        return ptrs, tlens, arr
+    mat = getattr(texts, "mat", None)
+    if mat is not None:  # TextRows
+        n = len(texts)
+        base = mat.ctypes.data
+        w = mat.shape[1]
+        ptrs = (ctypes.c_void_p * max(1, n))(*[base + i * w for i in range(n)])
+        return ptrs, np.ascontiguousarray(texts.lens, np.int64), mat
+    n = len(texts)
+    tlens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    return (ctypes.c_char_p * max(1, n))(*texts), tlens, texts
+
+
 def chunk_rows_coded(
-    texts: list[bytes],
+    texts,
     chunk_len: int,
     overlap: int,
     emit_rc: bool,
@@ -204,12 +255,14 @@ def chunk_rows_coded(
     marks the rows with ``codes_ab`` so NativeBatch skips its histogram +
     remap passes; ``remap='never'`` copies verbatim and leaves ``codes_ab``
     unset (for consumers that read raw bytes, e.g. the SWAR prefilters).
-    Caller guarantees native availability."""
+    ``texts`` may be a list[bytes], an Arrow string/binary array (read
+    zero-copy off its offsets/data buffers — no to_pylist) or a raw-byte
+    TextRows.  Caller guarantees native availability."""
     from sassy_ray.kernel.myers import TextRows
 
-    n = len(texts)
+    ptrs, tlens, _keep = _text_ptrs(texts)
+    n = len(tlens)
     step = chunk_len - overlap
-    tlens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
     assert step > 0, "chunk_len must exceed overlap"
     if n:
         extra = np.maximum(tlens - chunk_len, 0)
@@ -221,7 +274,6 @@ def chunk_rows_coded(
     if R == 0:
         rows = TextRows(np.zeros((0, max(1, chunk_len)), np.uint8), np.zeros(0, np.int64))
         return rows, []
-    ptrs = (ctypes.c_char_p * n)(*texts)
 
     ab = None
     lut = None

@@ -937,9 +937,17 @@ def chunked_search_multi(
     pay the full kernel.  Returns out[pattern_idx][text_idx] -> matches.
 
     Chunk ownership uses the max pattern length (overlap >= m+k holds for
-    every pattern, so end-position ownership stays disjoint and exact)."""
+    every pattern, so end-position ownership stays disjoint and exact).
+
+    ``texts`` may be a list of bytes/str or an Arrow string/binary array —
+    the Arrow form feeds the fused C chunk builder zero-copy (no to_pylist
+    round-trip; the fallback NumPy path materializes bytes lazily)."""
+    import pyarrow as pa
+
     patterns = [_b(p) for p in patterns]
-    texts = [_b(t) for t in texts]
+    is_arrow = isinstance(texts, (pa.Array, pa.ChunkedArray))
+    if not is_arrow:
+        texts = [_b(t) for t in texts]
     m_max = max((len(p) for p in patterns), default=0)
     from sassy_ray.kernel import native as _nat
 
@@ -948,7 +956,19 @@ def chunked_search_multi(
     if chunk_len <= 2 * (m_max + k):
         chunk_len = 2 * (m_max + k) + 64
     overlap = m_max + k
+    if is_arrow and not _nat.available():
+        # the NumPy fallback builders want bytes rows; the native path below
+        # never materializes them
+        texts = _nat._arrow_binary(texts).to_pylist()
+        is_arrow = False
     P, T = len(patterns), len(texts)
+    if is_arrow:
+        import pyarrow.compute as pc_
+
+        _tlens = np.asarray(pc_.binary_length(_nat._arrow_binary(texts)))
+
+    def text_len(ti: int) -> int:
+        return int(_tlens[ti]) if is_arrow else len(texts[ti])
 
     pre = None  # (fwd_rows, rc_rows_or_None, owner) from the fused C builder
     if _nat.available():
@@ -991,7 +1011,7 @@ def chunked_search_multi(
         rc = strand_pass(comp, rev, RC)
         for pi in range(P):
             for ti in range(T):
-                n = len(texts[ti])
+                n = text_len(ti)
                 for mm in rc[pi][ti]:
                     s_, e = mm.text_start, mm.text_end
                     mm.text_start = n - e if e != UNSET else UNSET
@@ -1004,7 +1024,7 @@ def chunked_search_multi(
         for pi in range(P):
             for ti in range(T):
                 if out[pi][ti]:
-                    out[pi][ti] = _only_best_per_strand(out[pi][ti], len(texts[ti]))
+                    out[pi][ti] = _only_best_per_strand(out[pi][ti], text_len(ti))
     return out
 
 

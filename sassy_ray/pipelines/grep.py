@@ -73,33 +73,58 @@ class GrepConfig:
         )
 
 
+class _LazyTexts:
+    """Per-index bytes view over an Arrow binary array: texts stay in the
+    Arrow buffers and only MATCHED rows ever materialize Python bytes (the
+    emission side slices a match region out of them).  The scan side reads
+    the same buffers zero-copy."""
+
+    def __init__(self, arr: pa.Array):
+        self.arr = arr
+
+    def __len__(self) -> int:
+        return len(self.arr)
+
+    def __getitem__(self, i: int) -> bytes:
+        return self.arr[i].as_py()
+
+
 def grep_matches_batch(
     batch: pa.Table, cfg: GrepConfig, id_col: str = "doc_id", text_col: str = "text"
 ) -> pa.Table:
+    import pyarrow.compute as _pc
+
+    from sassy_ray.kernel.native import _arrow_binary
+
     searcher = cfg.make_searcher()
     ids = [str(x) for x in batch.column(id_col).to_pylist()]
-    seqs = [(t or "").encode() for t in batch.column(text_col).to_pylist()]
+    tarr = _arrow_binary(batch.column(text_col))
+    seqs = _LazyTexts(tarr)
     pat_seqs = [s for _, s in cfg.patterns]
-    long_texts = max((len(t) for t in seqs), default=0) > 2 * CHUNK_LEN
+    max_len = int(_pc.max(_pc.binary_length(tarr)).as_py() or 0) if len(tarr) else 0
+    long_texts = max_len > 2 * CHUNK_LEN
     if long_texts and not cfg.all_minima:
         # genome-scale texts: ONE overlapping-chunk scan for the whole
-        # pattern set, suffix-prefiltered (kernel/search.chunked_search_multi)
+        # pattern set (kernel/search.chunked_search_multi); the Arrow array
+        # feeds the fused C chunk builder straight from its buffers
         from sassy_ray.kernel.search import chunked_search_multi
 
-        per = chunked_search_multi(searcher, pat_seqs, seqs, cfg.k)
+        per = chunked_search_multi(searcher, pat_seqs, tarr, cfg.k)
         rows = []
         for pi in range(len(pat_seqs)):
             for ti in range(len(seqs)):
-                for m in per[pi][ti]:
-                    rows.append((cfg.patterns[pi][0], ids[ti], seqs[ti], m))
+                if per[pi][ti]:
+                    seq = seqs[ti]
+                    rows.extend((cfg.patterns[pi][0], ids[ti], seq, m) for m in per[pi][ti])
     elif cfg.all_minima:
         rows = []
-        for ti, seq in enumerate(seqs):
+        for ti in range(len(seqs)):
+            seq = seqs[ti]
             for pi, pseq in enumerate(pat_seqs):
                 for m in searcher.search_all(pseq, seq, cfg.k):
                     rows.append((cfg.patterns[pi][0], ids[ti], seq, m))
     else:
-        ms = searcher.search_many(pat_seqs, seqs, cfg.k)
+        ms = searcher.search_many(pat_seqs, tarr, cfg.k)
         rows = [(cfg.patterns[m.pattern_idx][0], ids[m.text_idx], seqs[m.text_idx], m) for m in ms]
     return matches_to_table(rows, "iupac" if cfg.alphabet == "dna" else cfg.alphabet, cfg.sam)
 

@@ -313,3 +313,43 @@ def test_chunked_search_fused_vs_numpy():
     ]
     assert sorted(flat_nat) == sorted(flat_ref)
     assert flat_nat
+
+
+def test_chunked_search_multi_arrow_input():
+    """chunked_search_multi accepts an Arrow string/binary column and gives
+    byte-identical matches to the list[bytes] form — including nulls (read
+    as empty), a sliced array (nonzero offset) and a ChunkedArray — without
+    a to_pylist round-trip on the native path."""
+    import pyarrow as pa
+
+    from sassy_ray.kernel.search import Searcher, chunked_search_multi
+
+    rng = random.Random(1)
+    texts = [bytearray(_rnd(rng, rng.randint(200, 6000))) for _ in range(14)]
+    pats = [_rnd(rng, 23) for _ in range(4)]
+    for i, t in enumerate(texts):
+        p = bytearray(pats[i % 4])
+        p[3] = ord("A")
+        pos = rng.randrange(0, len(t) - 23)
+        t[pos : pos + 23] = p
+    blist = [bytes(t) for t in texts] + [b""]
+
+    def flat(per):
+        return sorted(
+            (pi, ti, m.text_start, m.text_end, m.cost, m.strand, m.cigar)
+            for pi, pp in enumerate(per)
+            for ti, ms in enumerate(pp)
+            for m in ms
+        )
+
+    s = Searcher("dna", rc=True)
+    ref = flat(chunked_search_multi(s, pats, blist, 3, chunk_len=150))
+    assert ref
+
+    plain = pa.array([t.decode() for t in blist[:-1]] + [None], pa.string())
+    sliced = pa.array(["xx"] + [t.decode() for t in blist[:-1]] + [None]).slice(1, len(blist))
+    chunked = pa.chunked_array(
+        [[t.decode() for t in blist[:7]], [t.decode() for t in blist[7:-1]] + [None]]
+    )
+    for arr in (plain, sliced, chunked):
+        assert flat(chunked_search_multi(s, pats, arr, 3, chunk_len=150)) == ref
