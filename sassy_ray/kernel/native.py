@@ -198,9 +198,7 @@ def _arrow_binary(arr):
     if arr.null_count:
         arr = arr.fill_null(b"")
     if arr.offset != 0:
-        import pyarrow as pa2
-
-        arr = pa2.concat_arrays([arr])
+        arr = pa.concat_arrays([arr])
     return arr
 
 
@@ -223,7 +221,8 @@ def _text_ptrs(texts):
         ptrs = (ctypes.c_void_p * max(1, n))(*(int(base) + off[:-1]).tolist())
         return ptrs, tlens, arr
     mat = getattr(texts, "mat", None)
-    if mat is not None:  # TextRows
+    if mat is not None:  # TextRows (raw bytes only — coded rows would re-remap)
+        assert getattr(texts, "codes_ab", None) is None, "coded TextRows into _text_ptrs"
         n = len(texts)
         base = mat.ctypes.data
         w = mat.shape[1]

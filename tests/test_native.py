@@ -353,3 +353,11 @@ def test_chunked_search_multi_arrow_input():
     )
     for arr in (plain, sliced, chunked):
         assert flat(chunked_search_multi(s, pats, arr, 3, chunk_len=150)) == ref
+
+    # P=1 routes through _verify_pairs (not the cartesian scan) — the
+    # production single-pattern grep shape over coded rows
+    ref1 = flat(chunked_search_multi(s, pats[:1], blist, 3, chunk_len=150))
+    assert flat(chunked_search_multi(s, pats[:1], plain, 3, chunk_len=150)) == ref1
+    with force_numpy():
+        assert flat(chunked_search_multi(s, pats[:1], blist, 3, chunk_len=150)) == ref1
+    assert ref1
