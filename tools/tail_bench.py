@@ -84,8 +84,10 @@ def synth_grep_docs(n_docs: int, doc_len: int, pat_len: int = 23, seed: int = 7)
     lib.rs:259-263 normalization: text MB / sec)."""
     rng = np.random.default_rng(seed)
     dna = np.frombuffer(b"ACGT", np.uint8)
-    mat = dna[rng.integers(0, 4, size=(n_docs, doc_len))]
-    pat = dna[rng.integers(0, 4, size=pat_len)]
+    # uint8 draws: the default int64 stream spent ~10 min generating the
+    # 3.2 GB corpus (25.6 GB of random words); this is ~seconds
+    mat = dna[rng.integers(0, 4, size=(n_docs, doc_len), dtype=np.uint8)]
+    pat = dna[rng.integers(0, 4, size=pat_len, dtype=np.uint8)]
     hit_rows = np.nonzero(rng.random(n_docs) < 0.10)[0]
     offs_hit = rng.integers(0, doc_len - pat_len, size=len(hit_rows))
     planted = np.broadcast_to(pat, (len(hit_rows), pat_len)).copy()
