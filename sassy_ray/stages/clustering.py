@@ -175,14 +175,6 @@ def connected_components(
             }
         )
 
-    _EMPTY_EDGES = pa.table(
-        {
-            "lo": pa.array([], pa.string()),
-            "hi": pa.array([], pa.string()),
-            "mv": pa.array([], pa.int64()),
-        }
-    )
-
     _I64_MAX = np.iinfo(np.int64).max
 
     def _star_emit_codes(node, nbr, small: bool):
@@ -217,15 +209,13 @@ def connected_components(
             selfg = m != grp_node
             lo = np.concatenate([lo_a, m[selfg]])
             hi = np.concatenate([hi_a, grp_node[selfg]])
-            mv = np.concatenate(
-                [np.ones(len(lo_a), np.int64), np.zeros(int(selfg.sum()), np.int64)]
-            )
+            n_moves = int(len(lo_a))
         else:
             emit = nbr > node
             g = codes[emit]
             lo, hi = m[g], nbr[emit]
-            mv = (lo != node[emit]).astype(np.int64)
-        return lo, hi, mv
+            n_moves = int((lo != node[emit]).sum())
+        return lo, hi, n_moves
 
     # ---- hash-exchange rounds (raw Ray tasks) ---------------------------
     # Each star step needs rows grouped PER NODE, not globally ordered:
@@ -266,22 +256,41 @@ def connected_components(
         {"node": pa.array([], pa.string()), "nbr": pa.array([], pa.string())}
     )
 
-    @ray.remote
-    def _split_star(tbl: pa.Table):
-        if tbl.num_rows == 0 or "lo" not in tbl.schema.names:
-            return tuple(_EMPTY_NN for _ in range(NP))
-        a = tbl.column("lo").combine_chunks()
-        c = tbl.column("hi").combine_chunks()
-        node = pa.concat_arrays([a, c])
-        nbr = pa.concat_arrays([c, a])
+    def _explode_split(lo_arr: pa.Array, hi_arr: pa.Array):
+        """(lo, hi) edge arrays -> NP (node, nbr) sub-tables split by
+        hash(node): every edge contributes both directions, so each part
+        sees the COMPLETE neighbor group of its nodes next round."""
+        node = pa.concat_arrays([lo_arr, hi_arr])
+        nbr = pa.concat_arrays([hi_arr, lo_arr])
         t = pa.table({"node": node, "nbr": nbr})
         return _split_table(t, _node_parts(node))
 
-    @ray.remote(num_returns=2)
+    @ray.remote
+    def _split_star(*tbls):
+        """Round-0 entry split over a GROUP of contracted edge blocks (the
+        pairs-exchange coalescing lesson: per-block split tasks at a
+        hundreds-of-blocks corpus create blocks x NP tiny objects and a
+        blocks-wide fan-in per part)."""
+        live = [t for t in tbls if t.num_rows and "lo" in t.schema.names]
+        if not live:
+            return tuple(_EMPTY_NN for _ in range(NP))
+        tbl = live[0] if len(live) == 1 else pa.concat_tables(live)
+        return _explode_split(
+            tbl.column("lo").combine_chunks(), tbl.column("hi").combine_chunks()
+        )
+
+    @ray.remote
     def _part_star(small: bool, *tables):
+        """One star step over a part's complete node groups, FUSED with the
+        next round's exchange: the emitted edges leave this task already
+        exploded and hash-split by node (num_returns=NP+1; the last return
+        is the part's merge-move count).  The unfused form shipped each
+        round's edge set through the object store twice (part -> split ->
+        part); this is the same halving the pairs exchange got from
+        coalescing, applied to the per-round hop count."""
         live = [t for t in tables if t.num_rows]
         if not live:
-            return _EMPTY_EDGES, 0
+            return (*(_EMPTY_NN for _ in range(NP)), 0)
         b = pa.concat_tables(live).combine_chunks()
         n = b.num_rows
         both, uniq_arr = _sorted_string_codes(
@@ -291,38 +300,65 @@ def connected_components(
         )
         node_c, nbr_c = both[:n], both[n:]
         order = np.lexsort((nbr_c, node_c))
-        lo, hi, mv = _star_emit_codes(node_c[order], nbr_c[order], small)
+        lo, hi, n_moves = _star_emit_codes(node_c[order], nbr_c[order], small)
         if not len(lo):
-            return _EMPTY_EDGES, 0
-        out = pa.table(
-            {
-                "lo": uniq_arr.take(pa.array(lo)),
-                "hi": uniq_arr.take(pa.array(hi)),
-                "mv": pa.array(mv, pa.int64()),
-            }
+            return (*(_EMPTY_NN for _ in range(NP)), 0)
+        return (
+            *_explode_split(uniq_arr.take(pa.array(lo)), uniq_arr.take(pa.array(hi))),
+            n_moves,
         )
-        return out, int(mv.sum())
 
+    import sys as _sys
+    import time as _time
+
+    _prof = bool(_os.environ.get("SASSY_CC_PROF"))
+
+    def _grouped(refs: list) -> list[list]:
+        """Coalesce N ObjectRefs into <= NP contiguous groups (ref lists)."""
+        ng = min(len(refs), NP)
+        return [
+            refs[len(refs) * g // ng : len(refs) * (g + 1) // ng]
+            for g in range(ng)
+            if refs[len(refs) * g // ng : len(refs) * (g + 1) // ng]
+        ]
+
+    _t0 = _time.time()
     edges0 = edges_ds.map_batches(
         _local_contract, batch_format="pyarrow"
     ).materialize()
-    edge_refs = list(edges0.to_arrow_refs())
+    if _prof:
+        print(
+            f"[cc] contract {_time.time() - _t0:.2f}s "
+            f"({edges0.count()} star edges, NP={NP})",
+            file=_sys.stderr,
+        )
+
+    # round-0 split over coalesced input groups; afterwards every star step
+    # is ONE task wave (the split rides inside _part_star's returns)
+    splits = [
+        _split_star.options(num_returns=NP).remote(*grp)
+        for grp in _grouped(list(edges0.to_arrow_refs()))
+    ]
 
     converged = False
-    for _ in range(max_iters):
+    for _r in range(max_iters):
         round_moves = []
         for small in (False, True):
-            splits = [
-                _split_star.options(num_returns=NP).remote(r) for r in edge_refs
-            ]
+            _ts = _time.time()
             rets = [
-                _part_star.options(num_returns=2).remote(
+                _part_star.options(num_returns=NP + 1).remote(
                     small, *[s[p] for s in splits]
                 )
                 for p in range(NP)
             ]
-            edge_refs = [r[0] for r in rets]
-            round_moves.append(sum(ray.get([r[1] for r in rets])))
+            splits = [r[:NP] for r in rets]
+            round_moves.append(sum(ray.get([r[NP] for r in rets])))
+            if _prof:
+                print(
+                    f"[cc] round {_r} {'small' if small else 'large'}-star "
+                    f"{_time.time() - _ts:.2f}s moves={round_moves[-1]}",
+                    file=_sys.stderr,
+                )
         if round_moves[0] == 0 and round_moves[1] == 0:
             converged = True
             break
@@ -337,30 +373,41 @@ def connected_components(
         )
 
     # converged: one minimum-rooted star per component.  Label = per-node
-    # min over self rows + (hi -> lo) rows, via the same exchange.
+    # min over self rows + (hi -> lo) rows.  The last star round's fused
+    # outputs are ALREADY the exploded star edges split by hash(node): every
+    # converged edge is strictly lo < hi, so a part's rows with node > nbr
+    # are exactly its (hi -> lo) label rows — no label re-exchange of the
+    # edge set at all; only the node self rows split here.
     _EMPTY_LAB = pa.table(
         {"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}
     )
 
     @ray.remote
-    def _split_nodes(tbl: pa.Table):
-        if tbl.num_rows == 0 or "doc_id" not in tbl.schema.names:
+    def _split_nodes(*tbls):
+        live = [t for t in tbls if t.num_rows and "doc_id" in t.schema.names]
+        if not live:
             return tuple(_EMPTY_LAB for _ in range(NP))
+        tbl = live[0] if len(live) == 1 else pa.concat_tables(live)
         ids = tbl.column("doc_id").combine_chunks()
         t = pa.table({"node": ids, "label": ids})
         return _split_table(t, _node_parts(ids))
 
     @ray.remote
-    def _split_star_labels(tbl: pa.Table):
-        if tbl.num_rows == 0 or "hi" not in tbl.schema.names:
-            return tuple(_EMPTY_LAB for _ in range(NP))
-        hi = tbl.column("hi").combine_chunks()
-        t = pa.table({"node": hi, "label": tbl.column("lo").combine_chunks()})
-        return _split_table(t, _node_parts(hi))
-
-    @ray.remote
     def _part_label(*tables):
-        live = [t for t in tables if t.num_rows]
+        live = []
+        for t in tables:
+            if not t.num_rows:
+                continue
+            if "nbr" in t.schema.names:  # fused star split: keep hi -> lo rows
+                node = t.column("node").combine_chunks()
+                nbr = t.column("nbr").combine_chunks()
+                import pyarrow.compute as pc
+
+                mask = pc.greater(node, nbr)
+                t = pa.table({"node": node.filter(mask), "label": nbr.filter(mask)})
+                if not t.num_rows:
+                    continue
+            live.append(t)
         if not live:
             return pa.table(
                 {
@@ -391,12 +438,10 @@ def connected_components(
             }
         )
 
-    node_refs = list(nodes_ds.materialize().to_arrow_refs())
     lab_splits = [
-        _split_nodes.options(num_returns=NP).remote(r) for r in node_refs
-    ] + [
-        _split_star_labels.options(num_returns=NP).remote(r) for r in edge_refs
-    ]
+        _split_nodes.options(num_returns=NP).remote(*grp)
+        for grp in _grouped(list(nodes_ds.materialize().to_arrow_refs()))
+    ] + list(splits)
     final_refs = [
         _part_label.remote(*[s[p] for s in lab_splits]) for p in range(NP)
     ]
