@@ -92,12 +92,20 @@ def _maybe(stage_fn, ck, stats=None, name=None):
         return ck.load(), True
     t0 = time.time()
     ds = stage_fn()
+    t1 = time.time()
     if ck is not None:
         ds = ck.save(ds)
     else:
         ds = ds.materialize()
     if stats is not None and name:
         stats.setdefault("stage_sec", {})[name] = round(time.time() - t0, 3)
+    if os.environ.get("SASSY_ER_PROF"):
+        import sys
+
+        print(
+            f"[er] {name}: fn {t1 - t0:.2f}s save/mat {time.time() - t1:.2f}s",
+            file=sys.stderr,
+        )
     return ds, False
 
 
@@ -121,7 +129,15 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
         if nb is None or nb < max(2, cfg.input_blocks // 2):
             docs_ds = docs_ds.repartition(cfg.input_blocks)
     # consumed by both the blocking stage and the broadcast text lookup
+    import time as _time
+
+    _prof = bool(os.environ.get("SASSY_ER_PROF"))
+    _t0 = _time.time()
     texts_ds = docs_ds.map_batches(add_doc_text, batch_format="pyarrow").materialize()
+    if _prof:
+        import sys as _sys
+
+        print(f"[er] texts mat {_time.time() - _t0:.2f}s", file=_sys.stderr)
 
     # --- blocking ---------------------------------------------------------
     bcfg = cfg.blocking
@@ -158,8 +174,13 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
                 batch_format="pyarrow",
             )
             scorer_kwargs["pre_lowercased"] = True
+        _t0 = _time.time()
         doc_refs = proj.materialize().to_arrow_refs()
         scorer_kwargs["docs_ref"] = doc_refs
+        if _prof:
+            import sys as _sys
+
+            print(f"[er] broadcast proj mat {_time.time() - _t0:.2f}s", file=_sys.stderr)
         # sorted-hash id index built ONCE driver-side and broadcast: every
         # scorer worker otherwise pays the polars hash + argsort of the
         # whole id column itself (~0.5 s per worker at 2.4M docs) before

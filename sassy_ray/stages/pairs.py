@@ -354,11 +354,19 @@ def make_pairs_dataset(block_rows_ds, cfg: PairGenConfig):
     ONE groupby(block_key) collect-set aggregate, then a plain map_batches
     emitting pairs — singleton keys (the vast majority) cost nothing — and
     a second groupby on the pair key for exact dedup."""
+    import os
+    import sys
+    import time
+
     import ray
 
+    _prof = bool(os.environ.get("SASSY_PAIRS_PROF"))
+    _t0 = time.time()
     cpus_now = int(ray.cluster_resources().get("CPU", 8))
     block_rows_ds = block_rows_ds.materialize()
     n_rows = block_rows_ds.count()
+    if _prof:
+        print(f"[pairs] mat+count {time.time() - _t0:.2f}s ({n_rows} rows)", file=sys.stderr)
     if 0 < n_rows <= cfg.exchange_rows_limit and (
         cpus_now >= 2 or n_rows > cfg.single_task_rows_limit
     ):
@@ -374,7 +382,11 @@ def make_pairs_dataset(block_rows_ds, cfg: PairGenConfig):
         # equals the pair dataset's block count — nparts alone (3-4 at bench
         # sizes) left 28 of 32 CPUs idle during scoring
         split_out = max(1, -(-max(2, cpus_now) * 2 // nparts))
-        return _pairs_exchange(block_rows_ds, cfg, nparts, split_out)
+        _t1 = time.time()
+        out = _pairs_exchange(block_rows_ds, cfg, nparts, split_out)
+        if _prof:
+            print(f"[pairs] exchange {time.time() - _t1:.2f}s", file=sys.stderr)
+        return out
     if n_rows <= cfg.single_task_rows_limit:
         return (
             block_rows_ds.repartition(1)
