@@ -287,7 +287,15 @@ def connected_components(
         is the part's merge-move count).  The unfused form shipped each
         round's edge set through the object store twice (part -> split ->
         part); this is the same halving the pairs exchange got from
-        coalescing, applied to the per-round hop count."""
+        coalescing, applied to the per-round hop count.
+
+        (A per-part zero-move passthrough — return the input at slot p —
+        was tried and is UNSOUND: when a neighboring part rewrites an edge
+        in the same step, the zero-move part keeps its stale direction row,
+        the graph goes direction-asymmetric, and the zero-move fixpoint can
+        then certify a non-star graph — the label-propagation test caught
+        real mislabels.  Cheap convergence checks must be GLOBAL:
+        ``_part_star_detect`` below.)"""
         live = [t for t in tables if t.num_rows]
         if not live:
             return (*(_EMPTY_NN for _ in range(NP)), 0)
@@ -307,6 +315,29 @@ def connected_components(
             *_explode_split(uniq_arr.take(pa.array(lo)), uniq_arr.take(pa.array(hi))),
             n_moves,
         )
+
+    @ray.remote
+    def _part_star_detect(small: bool, *tables) -> int:
+        """Detect-only star step: group mins + move count WITHOUT the
+        emit/explode/split half.  Mutates nothing, so it is sound at any
+        time; when ALL parts report zero the full step would have been
+        graph-identity and the caller keeps its current splits.  Used for
+        the convergence-verification rounds, which otherwise pay a full
+        re-exchange of an unchanged edge set just to prove zero moves."""
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return 0
+        b = pa.concat_tables(live).combine_chunks()
+        n = b.num_rows
+        both, _uniq = _sorted_string_codes(
+            pa.concat_arrays(
+                [b.column("node").combine_chunks(), b.column("nbr").combine_chunks()]
+            )
+        )
+        node_c, nbr_c = both[:n], both[n:]
+        order = np.lexsort((nbr_c, node_c))
+        _lo, _hi, n_moves = _star_emit_codes(node_c[order], nbr_c[order], small)
+        return n_moves
 
     import sys as _sys
     import time as _time
@@ -341,10 +372,35 @@ def connected_components(
     ]
 
     converged = False
+    prev_round_moves = None
     for _r in range(max_iters):
         round_moves = []
         for small in (False, True):
             _ts = _time.time()
+            # detect-first once the previous round nearly stalled: the next
+            # round is then almost certainly the zero-move verification
+            # round, and a global zero detect proves the full step would be
+            # graph-identity — splits stay as they are.  A wrong guess costs
+            # one detect pass (~the sort half of the step) before the full
+            # step runs; the threshold keeps that to the convergence tail.
+            if prev_round_moves is not None and prev_round_moves <= NP:
+                mv = sum(
+                    ray.get(
+                        [
+                            _part_star_detect.remote(small, *[s[p] for s in splits])
+                            for p in range(NP)
+                        ]
+                    )
+                )
+                if mv == 0:
+                    round_moves.append(0)
+                    if _prof:
+                        print(
+                            f"[cc] round {_r} {'small' if small else 'large'}-star "
+                            f"detect {_time.time() - _ts:.2f}s moves=0",
+                            file=_sys.stderr,
+                        )
+                    continue
             rets = [
                 _part_star.options(num_returns=NP + 1).remote(
                     small, *[s[p] for s in splits]
@@ -362,6 +418,7 @@ def connected_components(
         if round_moves[0] == 0 and round_moves[1] == 0:
             converged = True
             break
+        prev_round_moves = round_moves[0] + round_moves[1]
     if not converged:
         # the final labeling pass is only correct on a union of min-rooted
         # stars (the zero-move fixpoint); finishing early would silently
