@@ -84,10 +84,14 @@ def _driver_union_find(edges_ds, nodes_ds):
     parts = list(edges_ds.iter_batches(batch_size=262144, batch_format="pyarrow"))
     if parts:
         et = pa.concat_tables(parts)
+        # accepts raw (doc_id_a, doc_id_b) or contracted (lo, hi) edges
+        ca, cb = (
+            ("doc_id_a", "doc_id_b") if "doc_id_a" in et.schema.names else ("lo", "hi")
+        )
         both = pa.concat_arrays(
             [
-                pc.cast(et.column("doc_id_a"), pa.string()).combine_chunks(),
-                pc.cast(et.column("doc_id_b"), pa.string()).combine_chunks(),
+                pc.cast(et.column(ca), pa.string()).combine_chunks(),
+                pc.cast(et.column(cb), pa.string()).combine_chunks(),
             ]
         )
         codes, uniq_arr = _sorted_string_codes(both)
@@ -129,37 +133,25 @@ def connected_components(
     ``cluster_id`` is the lexicographic min doc_id of the component.
 
     Two regimes (the guide's rule: union-find on the driver only when the
-    edge set is provably small):
-    - edge count <= ``driver_edge_limit``: pull ONLY the edge list (not the
-      corpus) to the driver, union-find there, broadcast the component map
-      back through ``ray.put`` and label nodes in one map_batches pass;
-    - larger: distributed alternating-star rounds (one groupby per star
-      step, O(log^2 n) rounds independent of component diameter), then one
-      groupby-min labeling pass.
+    edge set is provably small).  Every call first CONTRACTS each edge
+    batch to its local spanning stars in one parallel pass (vectorized
+    numpy union-find per batch — pairs arrive grouped by block key, so most
+    clusters collapse to one star edge right there), and the regime choice
+    compares the CONTRACTED edge count — which is exactly what the driver
+    path would have to hold:
+    - star edges <= ``driver_edge_limit``: pull ONLY the contracted edge
+      list (not the corpus) to the driver, union-find there, broadcast the
+      component map back through ``ray.put`` and label nodes in one
+      map_batches pass;
+    - larger: distributed alternating-star rounds (one hash exchange per
+      star step, O(log^2 n) rounds independent of component diameter), then
+      one per-node-min labeling pass.
     """
-    edges_ds = edges_ds.materialize()
-    n_edges_est = edges_ds.count()
-    if n_edges_est <= driver_edge_limit:
-        return _driver_union_find(edges_ds, nodes_ds)
-    if n_edges_est == 0:
-        return nodes_ds.map_batches(
-            lambda b: pa.table(
-                {"doc_id": b.column("doc_id"), "cluster_id": b.column("doc_id")}
-            ),
-            batch_format="pyarrow",
-        )
-
-    import ray
-    import ray.data as rd
-
     from sassy_ray.stages.pairs import _sorted_string_codes
 
     def _local_contract(b: pa.Table) -> pa.Table:
         """Contract each edge batch to its LOCAL spanning stars before any
-        shuffle (vectorized numpy union-find per batch).  Pairs arrive
-        grouped by block key, so most clusters collapse to one star edge
-        here and the global rounds only stitch across batches — fewer and
-        smaller distributed iterations."""
+        shuffle (vectorized numpy union-find per batch)."""
         a = b.column("doc_id_a").combine_chunks()
         c = b.column("doc_id_b").combine_chunks()
         both = pa.concat_arrays([a, c])
@@ -174,6 +166,32 @@ def connected_components(
                 "hi": uniq_arr.take(pa.array(node[keep])),
             }
         )
+
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _prof = bool(_os.environ.get("SASSY_CC_PROF"))
+    _t0 = _time.time()
+    # one pass over the raw edges: filter/lineage upstream, contract here —
+    # the former flow materialized the raw edge set once just to COUNT it,
+    # then contracted in a second pass
+    edges0 = edges_ds.map_batches(_local_contract, batch_format="pyarrow").materialize()
+    n_stars = edges0.count()
+    if _prof:
+        print(f"[cc] contract {_time.time() - _t0:.2f}s ({n_stars} star edges)", file=_sys.stderr)
+    if n_stars == 0:
+        return nodes_ds.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("doc_id"), "cluster_id": b.column("doc_id")}
+            ),
+            batch_format="pyarrow",
+        )
+    if n_stars <= driver_edge_limit:
+        return _driver_union_find(edges0, nodes_ds)
+
+    import ray
+    import ray.data as rd
 
     _I64_MAX = np.iinfo(np.int64).max
 
@@ -339,11 +357,6 @@ def connected_components(
         _lo, _hi, n_moves = _star_emit_codes(node_c[order], nbr_c[order], small)
         return n_moves
 
-    import sys as _sys
-    import time as _time
-
-    _prof = bool(_os.environ.get("SASSY_CC_PROF"))
-
     def _grouped(refs: list) -> list[list]:
         """Coalesce N ObjectRefs into <= NP contiguous groups (ref lists)."""
         ng = min(len(refs), NP)
@@ -353,18 +366,8 @@ def connected_components(
             if refs[len(refs) * g // ng : len(refs) * (g + 1) // ng]
         ]
 
-    _t0 = _time.time()
-    edges0 = edges_ds.map_batches(
-        _local_contract, batch_format="pyarrow"
-    ).materialize()
-    if _prof:
-        print(
-            f"[cc] contract {_time.time() - _t0:.2f}s "
-            f"({edges0.count()} star edges, NP={NP})",
-            file=_sys.stderr,
-        )
-
-    # round-0 split over coalesced input groups; afterwards every star step
+    # round-0 split over coalesced input groups (edges0 is the contracted
+    # star-edge set from the shared pass above); afterwards every star step
     # is ONE task wave (the split rides inside _part_star's returns)
     splits = [
         _split_star.options(num_returns=NP).remote(*grp)
