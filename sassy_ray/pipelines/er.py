@@ -133,7 +133,14 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
 
     _prof = bool(os.environ.get("SASSY_ER_PROF"))
     _t0 = _time.time()
-    texts_ds = docs_ds.map_batches(add_doc_text, batch_format="pyarrow").materialize()
+    # (doc_id, text) ONLY: every consumer (blocking, broadcast proj, join
+    # path) reads just these two columns, and the wide spans payload would
+    # otherwise be pinned a second time alongside the input
+    texts_ds = (
+        docs_ds.map_batches(add_doc_text, batch_format="pyarrow")
+        .select_columns(["doc_id", "text"])
+        .materialize()
+    )
     if _prof:
         import sys as _sys
 

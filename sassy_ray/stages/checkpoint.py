@@ -47,15 +47,18 @@ class StageCheckpoint:
         return rd.read_parquet(os.path.join(self.dir, "data"))
 
     def save(self, ds, counters: dict | None = None):
-        """Write ds + manifest atomically; returns a re-read Dataset (so the
-        downstream stages consume the checkpoint, not the live pipeline)."""
+        """Write ds + manifest atomically; returns the PINNED (materialized)
+        Dataset, not a disk re-read: the stage executes once into the object
+        store, the parquet streams from those blocks (no recompute), and the
+        downstream stages consume the plasma copy — a fresh run never pays
+        the read-back that resume pays.  Beyond-heap outputs are the object
+        store's spill problem, same as any pinned intermediate; on resume
+        ``load()`` still reads the durable parquet."""
+        out = ds.materialize()
         tmp = self.dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(os.path.join(tmp, "data"), exist_ok=True)
-        ds.write_parquet(os.path.join(tmp, "data"))
-        import ray.data as rd
-
-        out = rd.read_parquet(os.path.join(tmp, "data"))
+        out.write_parquet(os.path.join(tmp, "data"))
         man = {
             "stage": self.stage,
             "fingerprint": self.fingerprint,
@@ -68,4 +71,4 @@ class StageCheckpoint:
             json.dump(man, f, indent=2)
         shutil.rmtree(self.dir, ignore_errors=True)
         os.replace(tmp, self.dir)
-        return self.load()
+        return out
