@@ -274,7 +274,11 @@ def run_er_pipeline(docs_ds, cfg: ERConfig | None = None, checkpoint_dir: str | 
     edges = scored.map_batches(
         lambda b: b.filter(b.column("is_match")), batch_format="pyarrow"
     ).select_columns(["doc_id_a", "doc_id_b"])
-    nodes = docs_ds.select_columns(["doc_id"])
+    # project off the MATERIALIZED texts_ds, not docs_ds: the latter is the
+    # lazy input prefix (repartition over the wide spans payload) and
+    # consuming it again here re-executes that whole prefix (the
+    # consumed-twice trap) just to read 8-byte ids
+    nodes = texts_ds.select_columns(["doc_id"])
 
     ck = _ckpt(checkpoint_dir, "clusters", fp)
     clusters, resumed = _maybe(

@@ -498,9 +498,13 @@ def connected_components(
             }
         )
 
+    _tl = _time.time()
+    node_refs = list(nodes_ds.materialize().to_arrow_refs())
+    if _prof:
+        print(f"[cc] nodes mat {_time.time() - _tl:.2f}s", file=_sys.stderr)
     lab_splits = [
         _split_nodes.options(num_returns=NP).remote(*grp)
-        for grp in _grouped(list(nodes_ds.materialize().to_arrow_refs()))
+        for grp in _grouped(node_refs)
     ] + list(splits)
     final_refs = [
         _part_label.remote(*[s[p] for s in lab_splits]) for p in range(NP)
