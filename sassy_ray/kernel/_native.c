@@ -75,6 +75,47 @@ void sassy_rows_from_offsets(const uint8_t *data, const int64_t *off,
   }
 }
 
+/* Chunked-string gather: rows (chunk ci[i], chunk-local li[i]) out of a
+ * chunked Arrow string/binary column into ONE fresh contiguous
+ * offsets+data pair — the per-chunk pc.take + concat + reorder dance costs
+ * ~50us of Arrow call overhead PER CHUNK per batch (measured ~7 ms per
+ * 8k-row gather at a 560-chunk broadcast corpus; this is the scorer's
+ * per-batch text resolution).  offs[c] points at chunk c's raw offsets
+ * buffer (int32 when is64[c]==0, int64 when 1; li is pre-adjusted for the
+ * chunk's own slice offset), datas[c] at its data buffer.  Phase 1
+ * (out_data == NULL) fills out_off[0..n] cumulatively; the caller
+ * allocates out_off[n] bytes and phase 2 memcpys the payloads.  Output
+ * rows come back in request order — no reorder pass. */
+void sassy_gather_str(const uint8_t **datas, const void **offs,
+                      const uint8_t *is64, const int64_t *ci,
+                      const int64_t *li, int64_t n, int64_t *out_off,
+                      uint8_t *out_data) {
+  if (!out_data) {
+    out_off[0] = 0;
+    for (int64_t i = 0; i < n; i++) {
+      int64_t c = ci[i], l = li[i], len;
+      if (is64[c]) {
+        const int64_t *o = (const int64_t *)offs[c];
+        len = o[l + 1] - o[l];
+      } else {
+        const int32_t *o = (const int32_t *)offs[c];
+        len = (int64_t)o[l + 1] - (int64_t)o[l];
+      }
+      out_off[i + 1] = out_off[i] + len;
+    }
+    return;
+  }
+  for (int64_t i = 0; i < n; i++) {
+    int64_t c = ci[i], l = li[i], start;
+    if (is64[c])
+      start = ((const int64_t *)offs[c])[l];
+    else
+      start = (int64_t)((const int32_t *)offs[c])[l];
+    memcpy(out_data + out_off[i], datas[c] + start,
+           (size_t)(out_off[i + 1] - out_off[i]));
+  }
+}
+
 #ifdef __AVX2__
 #include <immintrin.h>
 #endif

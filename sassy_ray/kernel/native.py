@@ -95,6 +95,8 @@ def _build() -> ctypes.CDLL | None:
     lib.sassy_remap_u8.restype = None
     lib.sassy_rows_from_offsets.argtypes = [P, P, I, I, P]
     lib.sassy_rows_from_offsets.restype = None
+    lib.sassy_gather_str.argtypes = [P, P, P, P, P, I, P, P]
+    lib.sassy_gather_str.restype = None
     lib.sassy_byte_hist_ptrs.argtypes = [P, P, I, P]
     lib.sassy_byte_hist_ptrs.restype = None
     lib.sassy_chunk_remap.argtypes = [
@@ -136,6 +138,31 @@ def available() -> bool:
 
 def _ptr(a: np.ndarray | None):
     return None if a is None else ctypes.c_void_p(a.ctypes.data)
+
+
+def gather_str(
+    datas: np.ndarray,
+    offs: np.ndarray,
+    is64: np.ndarray,
+    ci: np.ndarray,
+    li: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Two-phase chunked-string gather (see C twin): returns (out_off int64
+    of len n+1, out_data uint8).  ``datas``/``offs`` are uint64 pointer
+    arrays to each chunk's data/offsets buffers; the caller keeps the
+    owning Arrow buffers alive and pre-adjusts ``li`` for chunk slice
+    offsets.  All inputs must be contiguous."""
+    n = len(ci)
+    out_off = np.empty(n + 1, dtype=np.int64)
+    _lib.sassy_gather_str(
+        _ptr(datas), _ptr(offs), _ptr(is64), _ptr(ci), _ptr(li), n, _ptr(out_off), None
+    )
+    out_data = np.empty(max(1, int(out_off[-1])), dtype=np.uint8)
+    _lib.sassy_gather_str(
+        _ptr(datas), _ptr(offs), _ptr(is64), _ptr(ci), _ptr(li), n, _ptr(out_off),
+        _ptr(out_data),
+    )
+    return out_off, out_data
 
 
 def minhash_rows(

@@ -60,14 +60,78 @@ def _combined(arr):
     return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
 
 
-def _gather(col, rows: np.ndarray, offs: np.ndarray | None = None) -> pa.Array:
+import time as _time
+
+_SCORE_PROF_ACC: dict[str, float] = {}
+
+
+def _score_prof() -> bool:
+    import os as _os
+
+    return bool(_os.environ.get("SASSY_SCORE_PROF"))
+
+
+def _prof_add(phase: str, dt: float) -> None:
+    """Per-process phase accumulator; one [scoreprof] line per batch (sum the
+    lines per phase across tasks — core-time, the load-robust metric)."""
+    _SCORE_PROF_ACC[phase] = _SCORE_PROF_ACC.get(phase, 0.0) + dt
+
+
+def _chunk_meta(col):
+    """Pointer-array view of a ChunkedArray's string/binary buffers for the
+    native C gather — built ONCE per column (the _DocLookup caches it) and
+    reused every batch.  Returns None when the column is unusable for the
+    fast path (plain Array, nulls anywhere, non-string type, or no native
+    kernel) — callers fall back to the per-chunk Arrow takes."""
+    from sassy_ray.kernel import native as _native
+
+    if not isinstance(col, pa.ChunkedArray) or not _native.available():
+        return None
+    t = col.type
+    big = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
+    if not (big or pa.types.is_string(t) or pa.types.is_binary(t)):
+        return None
+    chunks = list(col.chunks)
+    nc = max(1, len(chunks))
+    datas = np.zeros(nc, np.uint64)
+    offsp = np.zeros(nc, np.uint64)
+    is64 = np.zeros(nc, np.uint8)
+    base = np.zeros(nc, np.int64)
+    for i, c in enumerate(chunks):
+        if c.null_count:
+            return None
+        bufs = c.buffers()
+        if len(bufs) < 3 or bufs[1] is None:
+            return None
+        offsp[i] = bufs[1].address
+        # empty-data chunks may carry a NULL data buffer: every row length
+        # is 0, so any valid pointer works for the 0-byte memcpys
+        datas[i] = bufs[2].address if bufs[2] is not None else bufs[1].address
+        is64[i] = 1 if big else 0
+        base[i] = c.offset
+    return {
+        "datas": datas,
+        "offs": offsp,
+        "is64": is64,
+        "base": base,
+        "type": t,
+        "big": big,
+        "chunks": chunks,  # keeps the underlying buffers alive
+    }
+
+
+def _gather(col, rows: np.ndarray, offs: np.ndarray | None = None, meta=None) -> pa.Array:
     """take() with global row indices, resolving chunks MANUALLY.
 
     Arrow's own ``pc.take`` on a ChunkedArray reassembles the whole column
     per call (measured 921 ms per 8k-row take at a 2.4M-row/192-chunk string
     column vs 1.26 ms combined) — a per-batch disaster against a broadcast
-    corpus.  Grouping the indices by owning chunk and taking per chunk is
-    ~200 small plain-array takes + one concat + one reorder take (~2-4 ms).
+    corpus.  With ``meta`` (a cached :func:`_chunk_meta`) the gather is two
+    C passes over the chunk buffers (one output array, request order, zero
+    per-chunk Arrow calls — the per-chunk takes below cost ~50us of call
+    overhead EACH, ~7 ms/batch at a 560-chunk corpus).  Without it,
+    grouping the indices by owning chunk and taking per chunk is ~200 small
+    plain-array takes + one concat + one reorder take (~2-4 ms).
     ``offs`` is the cached np.cumsum of chunk lengths (len nchunks+1)."""
     if isinstance(col, pa.Array):
         return pc.take(col, pa.array(rows, pa.int64()))
@@ -76,6 +140,25 @@ def _gather(col, rows: np.ndarray, offs: np.ndarray | None = None) -> pa.Array:
     nr = len(rows)
     if nr == 0:
         return pa.array([], col.type)
+    if meta is not None:
+        from sassy_ray.kernel import native as _native
+
+        rows = np.ascontiguousarray(rows, dtype=np.int64)
+        ci = np.ascontiguousarray(np.searchsorted(offs, rows, "right") - 1)
+        li = np.ascontiguousarray(rows - offs[ci] + meta["base"][ci])
+        out_off, out_data = _native.gather_str(
+            meta["datas"], meta["offs"], meta["is64"], ci, li
+        )
+        if meta["big"]:
+            return pa.Array.from_buffers(
+                meta["type"], nr, [None, pa.py_buffer(out_off), pa.py_buffer(out_data)]
+            )
+        if int(out_off[-1]) < 2**31:
+            obuf = pa.py_buffer(np.ascontiguousarray(out_off.astype(np.int32)))
+            return pa.Array.from_buffers(
+                meta["type"], nr, [None, obuf, pa.py_buffer(out_data)]
+            )
+        # >2 GiB of gathered payload in one int32-offset batch: fall through
     ci = np.searchsorted(offs, rows, "right") - 1
     orderp = np.argsort(ci, kind="stable")
     sci = ci[orderp]
@@ -93,15 +176,15 @@ def _gather(col, rows: np.ndarray, offs: np.ndarray | None = None) -> pa.Array:
     return pc.take(gathered, pa.array(inv, pa.int64()))
 
 
-def _take_nullable(col, idx: pa.Array, offs: np.ndarray | None = None) -> pa.Array:
+def _take_nullable(col, idx: pa.Array, offs: np.ndarray | None = None, meta=None) -> pa.Array:
     """``pc.take`` honoring null indices, routed through :func:`_gather`."""
     if isinstance(col, pa.Array):
         return pc.take(col, idx)
     if idx.null_count == 0:
-        return _gather(col, idx.to_numpy().astype(np.int64, copy=False), offs)
+        return _gather(col, idx.to_numpy().astype(np.int64, copy=False), offs, meta)
     valid = np.asarray(pc.is_valid(idx))
     rows = pc.fill_null(idx, 0).to_numpy().astype(np.int64, copy=False)
-    vals = _gather(col, rows[valid], offs)
+    vals = _gather(col, rows[valid], offs, meta)
     sel = np.cumsum(valid) - 1
     return pc.take(vals, pa.array(sel, pa.int64(), mask=~valid))
 
@@ -172,6 +255,9 @@ class _DocLookup:
             if isinstance(ids, pa.ChunkedArray)
             else None
         )
+        # cached pointer-array views for the C gather (None = Arrow path)
+        self._tmeta = _chunk_meta(texts)
+        self._idmeta = _chunk_meta(ids)
 
     def _hash_index(self):
         if self._hidx is None:
@@ -205,7 +291,13 @@ class _DocLookup:
 
             hs, order = hidx
             bh = pl.from_arrow(ids).hash(seed=7).to_numpy().view(np.int64)
-            pos = np.searchsorted(hs, bh)
+            # sorted probes: consecutive binary searches then descend
+            # overlapping index paths (3.9 -> 1.3+argsort ms per 8k probes
+            # over a 7M-entry index, measured) — random-order probes miss
+            # DRAM on every lower level of the 56 MB array
+            so = np.argsort(bh, kind="stable")
+            pos = np.empty(bh.size, np.int64)
+            pos[so] = np.searchsorted(hs, bh[so])
             pos[pos >= hs.size] = 0
             hit = hs[pos] == bh
             idx = pa.array(order[pos], pa.int64(), mask=~hit)
@@ -214,13 +306,13 @@ class _DocLookup:
             # within the set) — confirm the gathered ids actually equal the
             # probes (one vectorized pc.equal) before trusting the hit
             if hit.any():
-                got_ids = _take_nullable(self.ids, idx, self._id_offs)
+                got_ids = _take_nullable(self.ids, idx, self._id_offs, self._idmeta)
                 eq = pc.fill_null(pc.equal(got_ids, ids), False)
                 if not pc.all(eq).as_py():
                     idx = pc.if_else(eq, idx, pa.scalar(None, pa.int64()))
         else:
             idx = pc.index_in(ids, value_set=self.ids)
-        got = _take_nullable(self.texts, idx, self._offs)
+        got = _take_nullable(self.texts, idx, self._offs, self._tmeta)
         return got if fill is None else pc.fill_null(got, fill)
 
     def get_many(self, ids: list) -> list[bytes]:
@@ -340,12 +432,16 @@ class PairScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        _prof = _score_prof()
+        _t0 = _prof and _time.time()
         cfg = self.cfg
         ta = self._texts_arrow(batch, "text_a", "doc_id_a")
         tb = self._texts_arrow(batch, "text_b", "doc_id_b")
         if cfg.lowercase and not self.pre_lowercased:
             ta = pc.utf8_lower(ta)
             tb = pc.utf8_lower(tb)
+        if _prof:
+            _prof_add("gather", _time.time() - _t0)
         n = len(ta)
         if n == 0:
             return pa.table(
@@ -360,6 +456,7 @@ class PairScorer:
         # orientation (pattern = shorter side): one vectorized if_else —
         # the batch never round-trips through Python lists; the kernel
         # consumes the Arrow arrays zero-copy (myers._rows_matrix)
+        _t0 = _prof and _time.time()
         la = pc.binary_length(ta).to_numpy()
         lb = pc.binary_length(tb).to_numpy()
         a_shorter = pa.array(la <= lb)
@@ -369,6 +466,8 @@ class PairScorer:
         k_pair = np.maximum(cfg.k_min, (cfg.rel_k * min_len).astype(np.int64)).astype(np.int32)
         k_max = int(k_pair.max())
         rc = cfg.rc and self.prof.supports_rc
+        if _prof:
+            _prof_add("orient", _time.time() - _t0)
 
         from sassy_ray.kernel import native as _native
 
@@ -396,12 +495,18 @@ class PairScorer:
             chunks = self._length_chunks(tl, order, ratio=1.6, min_chunk=2048)
             cost = np.empty(n, dtype=np.int64)
             for ch in chunks:
+                _t0 = _prof and _time.time()
                 ch_pa = pa.array(ch)
                 sub_p = pc.take(pats_arr, ch_pa)
                 sub_t = pc.take(txts_arr, ch_pa)
                 sub_k = k_arr[ch]
                 nb = NativeBatch(sub_p, sub_t, self.prof, int(sub_k.max()))
+                if _prof:
+                    _t1 = _time.time()
+                    _prof_add("setup", _t1 - _t0)
                 c = nb.run_best(k_arr=sub_k)
+                if _prof:
+                    _prof_add("kernel", _time.time() - _t1)
                 if rc:
                     tr = TextRows.from_any(sub_p)
                     comp = TextRows(self.prof.complement_lut[tr.mat], tr.lens)
@@ -409,7 +514,19 @@ class PairScorer:
                     c = np.minimum(c, nbr.run_best(k_arr=sub_k))
                 cost[ch] = c
             cost = np.minimum(cost.astype(np.int32), k_pair + 1)
-            return self._emit(batch, cost, k_pair, pats_arr, txts_arr, k_max, n)
+            _t0 = _prof and _time.time()
+            out = self._emit(batch, cost, k_pair, pats_arr, txts_arr, k_max, n)
+            if _prof:
+                _prof_add("emit", _time.time() - _t0)
+                import sys as _sys
+
+                print(
+                    "[scoreprof] "
+                    + " ".join(f"{k}={v:.3f}" for k, v in sorted(_SCORE_PROF_ACC.items())),
+                    file=_sys.stderr,
+                )
+                _SCORE_PROF_ACC.clear()
+            return out
 
         # --- stage 1: 63-char suffix screen (single-limb kernel) ----------
         # The suffix's best end-cost lower-bounds the full pattern's (the

@@ -184,6 +184,14 @@ def test_gather_equals_arrow_take_fuzz():
         offs = np.cumsum([0] + [len(c) for c in col.chunks])
         got2 = _gather(col, rows, offs).to_pylist()
         assert got2 == want
+        # native C gather (sliced chunks exercise the per-chunk offset
+        # rebase); meta is None when the native kernel is unavailable —
+        # then this just re-checks the Arrow path
+        from sassy_ray.stages.scoring import _chunk_meta
+
+        meta = _chunk_meta(col)
+        got3 = _gather(col, rows, offs, meta).to_pylist()
+        assert got3 == want, f"trial {trial} (C gather): layout {bounds}"
     # plain (non-chunked) Array passthrough
     assert _gather(vals, np.array([3, 1, 1, 2499], np.int64)).to_pylist() == [
         "v0003",
@@ -191,6 +199,38 @@ def test_gather_equals_arrow_take_fuzz():
         "v0001",
         "v2499",
     ]
+
+
+def test_gather_native_meta_variants():
+    """C-gather corner cases: large_string offsets (int64), empty strings,
+    an all-empty chunk, and a null chunk (meta must refuse)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from sassy_ray.kernel import native as _native
+    from sassy_ray.stages.scoring import _chunk_meta, _gather
+
+    col = pa.chunked_array(
+        [
+            pa.array(["", "a", "bb"], pa.large_string()),
+            pa.array(["", ""], pa.large_string()),
+            pa.array(["cccc", ""], pa.large_string()),
+        ]
+    )
+    meta = _chunk_meta(col)
+    if _native.available():
+        assert meta is not None and meta["big"]
+    rows = np.array([0, 2, 3, 4, 5, 6, 1, 0], np.int64)
+    want = pc.take(col.combine_chunks(), pa.array(rows)).to_pylist()
+    assert _gather(col, rows, None, meta).to_pylist() == want
+    assert _gather(col, rows, None, meta).type == pa.large_string()
+    # binary type round-trips too
+    bcol = pa.chunked_array([pa.array([b"xy", b""], pa.binary()), pa.array([b"z"], pa.binary())])
+    bmeta = _chunk_meta(bcol)
+    assert _gather(bcol, np.array([2, 0, 1], np.int64), None, bmeta).to_pylist() == [b"z", b"xy", b""]
+    # nulls anywhere -> no fast path
+    ncol = pa.chunked_array([pa.array(["a", None])])
+    assert _chunk_meta(ncol) is None
 
 
 def test_fasta_gz_whole_file_fallback(ray_session, tmp_path):
