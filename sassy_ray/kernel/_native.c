@@ -116,6 +116,52 @@ void sassy_gather_str(const uint8_t **datas, const void **offs,
   }
 }
 
+/* Padded rows matrix gathered straight out of TWO parallel Arrow string
+ * columns with a per-row side pick — the scorer's "pattern = shorter of
+ * (text_a, text_b)" orientation.  Replaces pc.if_else (two full-batch
+ * payload copies) + per-chunk pc.take (another copy + Arrow call
+ * overhead) + the separate rows build: one pass from the source buffers
+ * to the padded matrix.  offA/offB are the raw offsets buffers (int32
+ * when a64/b64 == 0); idx selects batch rows; pick_b[idx[i]] != 0 takes
+ * the B side. */
+void sassy_rows_sel2(const uint8_t *dataA, const void *offA, int32_t a64,
+                     const uint8_t *dataB, const void *offB, int32_t b64,
+                     const uint8_t *pick_b, const int64_t *idx, int64_t n,
+                     int64_t width, uint8_t *out) {
+  for (int64_t i = 0; i < n; i++) {
+    int64_t j = idx[i], start, len;
+    const uint8_t *data;
+    if (pick_b[j]) {
+      if (b64) {
+        const int64_t *o = (const int64_t *)offB;
+        start = o[j];
+        len = o[j + 1] - start;
+      } else {
+        const int32_t *o = (const int32_t *)offB;
+        start = o[j];
+        len = (int64_t)o[j + 1] - start;
+      }
+      data = dataB;
+    } else {
+      if (a64) {
+        const int64_t *o = (const int64_t *)offA;
+        start = o[j];
+        len = o[j + 1] - start;
+      } else {
+        const int32_t *o = (const int32_t *)offA;
+        start = o[j];
+        len = (int64_t)o[j + 1] - start;
+      }
+      data = dataA;
+    }
+    if (len > width)
+      len = width;
+    uint8_t *dst = out + i * width;
+    memcpy(dst, data + start, (size_t)len);
+    memset(dst + len, 0, (size_t)(width - len));
+  }
+}
+
 #ifdef __AVX2__
 #include <immintrin.h>
 #endif

@@ -85,6 +85,18 @@ def _build() -> ctypes.CDLL | None:
         lib = ctypes.CDLL(so_path)
     except OSError:
         return None
+    try:
+        # glibc: keep multi-MB scratch blocks in the heap instead of
+        # mmap/munmap per allocation — every NativeBatch allocates fresh
+        # rows/PEQ matrices (1-5 MB each) per length-chunk, and the default
+        # thresholds make each one a fresh mmap + page-fault sweep
+        # (measured: scorer-chunk NativeBatch setup 10 -> 7 ms/batch).
+        # M_MMAP_THRESHOLD = -3, M_TRIM_THRESHOLD = -1.
+        _libc = ctypes.CDLL("libc.so.6")
+        _libc.mallopt(-3, 256 * 1024 * 1024)
+        _libc.mallopt(-1, 256 * 1024 * 1024)
+    except Exception:
+        pass
     P = ctypes.c_void_p
     I = ctypes.c_int64
     lib.sassy_build_peq.argtypes = [P, I, I, P, P, P, I, P, I, P]
@@ -97,6 +109,10 @@ def _build() -> ctypes.CDLL | None:
     lib.sassy_rows_from_offsets.restype = None
     lib.sassy_gather_str.argtypes = [P, P, P, P, P, I, P, P]
     lib.sassy_gather_str.restype = None
+    lib.sassy_rows_sel2.argtypes = [
+        P, P, ctypes.c_int32, P, P, ctypes.c_int32, P, P, I, I, P,
+    ]
+    lib.sassy_rows_sel2.restype = None
     lib.sassy_byte_hist_ptrs.argtypes = [P, P, I, P]
     lib.sassy_byte_hist_ptrs.restype = None
     lib.sassy_chunk_remap.argtypes = [
@@ -163,6 +179,39 @@ def gather_str(
         _ptr(out_data),
     )
     return out_off, out_data
+
+
+def str_buf_meta(arr):
+    """(data_addr, off_addr, is64, keepalive) of a plain Arrow string/binary
+    Array for :func:`rows_sel2`; None when the array is unusable (nulls,
+    nonzero slice offset, wrong type)."""
+    import pyarrow as pa
+
+    if not isinstance(arr, pa.Array) or arr.null_count or arr.offset != 0:
+        return None
+    t = arr.type
+    big = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
+    if not (big or pa.types.is_string(t) or pa.types.is_binary(t)):
+        return None
+    bufs = arr.buffers()
+    if len(bufs) < 3 or bufs[1] is None:
+        return None
+    data_addr = bufs[2].address if bufs[2] is not None else bufs[1].address
+    return (data_addr, bufs[1].address, 1 if big else 0, bufs)
+
+
+def rows_sel2(meta_a, meta_b, pick_b: np.ndarray, idx: np.ndarray, width: int) -> np.ndarray:
+    """Padded (len(idx), width) uint8 rows matrix taking row idx[i] from
+    column B when pick_b[idx[i]] else column A — one C pass, no Arrow calls.
+    ``pick_b`` is uint8 over the FULL batch; ``idx`` int64 contiguous."""
+    n = len(idx)
+    out = np.empty((n, max(1, int(width))), dtype=np.uint8)
+    _lib.sassy_rows_sel2(
+        ctypes.c_void_p(meta_a[0]), ctypes.c_void_p(meta_a[1]), meta_a[2],
+        ctypes.c_void_p(meta_b[0]), ctypes.c_void_p(meta_b[1]), meta_b[2],
+        _ptr(pick_b), _ptr(idx), n, int(out.shape[1]), _ptr(out),
+    )
+    return out
 
 
 def minhash_rows(

@@ -453,23 +453,34 @@ class PairScorer:
                     "is_match": pa.array([], pa.bool_()),
                 }
             )
-        # orientation (pattern = shorter side): one vectorized if_else —
-        # the batch never round-trips through Python lists; the kernel
-        # consumes the Arrow arrays zero-copy (myers._rows_matrix)
+        # orientation (pattern = shorter side): on the native non-RC path
+        # the side pick rides into the C rows builder as a mask — neither
+        # pc.if_else (two full-batch payload copies) nor the per-chunk
+        # pc.take happens at all; elsewhere one vectorized if_else (the
+        # batch never round-trips through Python lists)
         _t0 = _prof and _time.time()
         la = pc.binary_length(ta).to_numpy()
         lb = pc.binary_length(tb).to_numpy()
-        a_shorter = pa.array(la <= lb)
-        pats_arr = pc.if_else(a_shorter, ta, tb)
-        txts_arr = pc.if_else(a_shorter, tb, ta)
         min_len = np.minimum(la, lb)
         k_pair = np.maximum(cfg.k_min, (cfg.rel_k * min_len).astype(np.int64)).astype(np.int32)
         k_max = int(k_pair.max())
         rc = cfg.rc and self.prof.supports_rc
-        if _prof:
-            _prof_add("orient", _time.time() - _t0)
 
         from sassy_ray.kernel import native as _native
+
+        sel2 = None
+        if _native.available() and not rc and not cfg.emit_matches:
+            ma = _native.str_buf_meta(ta)
+            mb = _native.str_buf_meta(tb)
+            if ma is not None and mb is not None:
+                sel2 = (ma, mb)
+        pats_arr = txts_arr = None
+        if sel2 is None:
+            a_shorter = pa.array(la <= lb)
+            pats_arr = pc.if_else(a_shorter, ta, tb)
+            txts_arr = pc.if_else(a_shorter, tb, ta)
+        if _prof:
+            _prof_add("orient", _time.time() - _t0)
 
         if _native.available():
             # compiled scorer: every pair walks its own text start-to-finish
@@ -494,13 +505,30 @@ class PairScorer:
             order = np.argsort(tl, kind="stable")
             chunks = self._length_chunks(tl, order, ratio=1.6, min_chunk=2048)
             cost = np.empty(n, dtype=np.int64)
+            if sel2 is not None:
+                pick_txt = (la <= lb).astype(np.uint8)  # text = the longer side
+                pick_pat = (np.uint8(1) - pick_txt)
             for ch in chunks:
                 _t0 = _prof and _time.time()
-                ch_pa = pa.array(ch)
-                sub_p = pc.take(pats_arr, ch_pa)
-                sub_t = pc.take(txts_arr, ch_pa)
                 sub_k = k_arr[ch]
-                nb = NativeBatch(sub_p, sub_t, self.prof, int(sub_k.max()))
+                if sel2 is not None:
+                    ch64 = np.ascontiguousarray(ch, dtype=np.int64)
+                    plens = np.ascontiguousarray(min_len[ch], dtype=np.int64)
+                    tlens_c = np.ascontiguousarray(tl[ch], dtype=np.int64)
+                    pmat = _native.rows_sel2(
+                        sel2[0], sel2[1], pick_pat, ch64, int(plens.max()) if len(plens) else 1
+                    )
+                    tmat = _native.rows_sel2(
+                        sel2[0], sel2[1], pick_txt, ch64, int(tlens_c.max()) if len(tlens_c) else 1
+                    )
+                    nb = NativeBatch(
+                        TextRows(pmat, plens), TextRows(tmat, tlens_c), self.prof, int(sub_k.max())
+                    )
+                else:
+                    ch_pa = pa.array(ch)
+                    sub_p = pc.take(pats_arr, ch_pa)
+                    sub_t = pc.take(txts_arr, ch_pa)
+                    nb = NativeBatch(sub_p, sub_t, self.prof, int(sub_k.max()))
                 if _prof:
                     _t1 = _time.time()
                     _prof_add("setup", _t1 - _t0)

@@ -361,3 +361,62 @@ def test_chunked_search_multi_arrow_input():
     with force_numpy():
         assert flat(chunked_search_multi(s, pats[:1], blist, 3, chunk_len=150)) == ref1
     assert ref1
+
+
+def test_scorer_sel2_path_equivalence():
+    """PairScorer's C side-select rows path (no if_else / per-chunk take)
+    must produce identical (cost, k, is_match) to both the legacy
+    take-based native path (forced via emit-shaped config knobs) and the
+    pure-NumPy fallback, over random mixed-length pairs with orientation
+    flips, empty strings, and per-pair k."""
+    import pyarrow as pa
+
+    from sassy_ray.stages.scoring import PairScorer, ScoreConfig
+
+    rng = random.Random(33)
+    words = ["lorem", "ipsum", "dolor", "sit", "amet", "zyx", ""]
+    rows_a, rows_b = [], []
+    for i in range(700):
+        base = " ".join(rng.choice(words) for _ in range(rng.randint(0, 60)))
+        if rng.random() < 0.5:
+            # near-dup: edit a few chars
+            b = list(base)
+            for _ in range(rng.randint(0, 4)):
+                if b:
+                    b[rng.randrange(len(b))] = rng.choice("abcXYZ ")
+            other = "".join(b)
+        else:
+            other = " ".join(rng.choice(words) for _ in range(rng.randint(0, 80)))
+        if rng.random() < 0.5:
+            rows_a.append(base), rows_b.append(other)
+        else:
+            rows_a.append(other), rows_b.append(base)
+    batch = pa.table(
+        {
+            "doc_id_a": pa.array([f"a{i}" for i in range(len(rows_a))]),
+            "doc_id_b": pa.array([f"b{i}" for i in range(len(rows_b))]),
+            "text_a": pa.array(rows_a),
+            "text_b": pa.array(rows_b),
+        }
+    )
+    cfg = ScoreConfig(profile="ascii_ci", k_min=2, rel_k=0.05, lowercase=True)
+    got = PairScorer(cfg)(batch)  # sel2 path (native, no rc, no emit)
+
+    # legacy take path: emit_matches disables sel2 but adds columns — use
+    # a scorer whose inputs defeat str_buf_meta instead (sliced arrays)
+    batch_sliced = pa.table(
+        {
+            "doc_id_a": batch.column("doc_id_a"),
+            "doc_id_b": batch.column("doc_id_b"),
+            "text_a": pa.concat_arrays(
+                [pa.array(["PAD"]), batch.column("text_a").combine_chunks()]
+            ).slice(1, len(rows_a)),
+            "text_b": batch.column("text_b"),
+        }
+    )
+    legacy = PairScorer(cfg)(batch_sliced)
+    assert got.equals(legacy)
+
+    with force_numpy():
+        fallback = PairScorer(cfg)(batch)
+    assert got.equals(fallback)
