@@ -48,10 +48,15 @@ class PairGenConfig:
         # by block_key hash into nparts sub-tables, each part runs the SAME
         # vectorized group->emit->dedup on its shard, cross-part pair dups
         # fall to a second (pair-key) exchange.  Engaged when >1 CPU and the
-        # input fits nparts worker heaps — a part must hold rows/nparts rows,
-        # so beyond this limit the spill-capable Dataset groupby takes over
-        # (the 10^12-doc route).
-        exchange_rows_limit: int = 200_000_000,
+        # input fits nparts worker heaps — a part must hold rows/nparts
+        # rows, so beyond the limit the spill-capable Dataset groupby takes
+        # over (the 10^12-doc route).  None (default) derives the limit from
+        # the cluster's per-CPU heap at call time (a fixed row count was the
+        # classic breaks-at-10x config: a 28M-doc corpus fell off the
+        # exchange onto the ~100x-slower groupby while each exchange part
+        # would have held a comfortable ~3.5M rows); pass an int to pin it,
+        # 0 to force the groupby route.
+        exchange_rows_limit: int | None = None,
     ) -> None:
         self.salt_cap = salt_cap
         self.max_pairs_per_group = max_pairs_per_group
@@ -413,7 +418,19 @@ def make_pairs_dataset(block_rows_ds, cfg: PairGenConfig):
     n_rows = block_rows_ds.count()
     if _prof:
         print(f"[pairs] mat+count {time.time() - _t0:.2f}s ({n_rows} rows)", file=sys.stderr)
-    if 0 < n_rows <= cfg.exchange_rows_limit and (
+    exch_limit = cfg.exchange_rows_limit
+    if exch_limit is None:
+        # a part must fit a worker heap: nparts caps at 64 (object-count
+        # economics of the num_returns fan-out), each part's emit working
+        # set is ~4x its ~30 B/row payload, and we budget a quarter of the
+        # per-CPU task heap for it.  On this 32-CPU/56 GB-heap box that is
+        # ~930M block rows; on a real cluster it scales with per-node
+        # memory, and beyond it the spill-capable groupby stays the route.
+        heap_per_cpu = float(ray.cluster_resources().get("memory", 8e9)) / max(
+            1, cpus_now
+        )
+        exch_limit = int(64 * (heap_per_cpu * 0.25) / (30 * 4))
+    if 0 < n_rows <= exch_limit and (
         cpus_now >= 2 or n_rows > cfg.single_task_rows_limit
     ):
         # parallel manual hash exchange (see _pairs_exchange): part count
