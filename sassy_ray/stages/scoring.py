@@ -469,7 +469,7 @@ class PairScorer:
         from sassy_ray.kernel import native as _native
 
         sel2 = None
-        if _native.available() and not rc and not cfg.emit_matches:
+        if _native.available() and not cfg.emit_matches:
             ma = _native.str_buf_meta(ta)
             mb = _native.str_buf_meta(tb)
             if ma is not None and mb is not None:
@@ -511,6 +511,7 @@ class PairScorer:
             for ch in chunks:
                 _t0 = _prof and _time.time()
                 sub_k = k_arr[ch]
+                s = len(ch)
                 if sel2 is not None:
                     ch64 = np.ascontiguousarray(ch, dtype=np.int64)
                     plens = np.ascontiguousarray(min_len[ch], dtype=np.int64)
@@ -521,25 +522,52 @@ class PairScorer:
                     tmat = _native.rows_sel2(
                         sel2[0], sel2[1], pick_txt, ch64, int(tlens_c.max()) if len(tlens_c) else 1
                     )
-                    nb = NativeBatch(
-                        TextRows(pmat, plens), TextRows(tmat, tlens_c), self.prof, int(sub_k.max())
-                    )
+                    pat_rows, txt_rows = TextRows(pmat, plens), TextRows(tmat, tlens_c)
                 else:
                     ch_pa = pa.array(ch)
                     sub_p = pc.take(pats_arr, ch_pa)
                     sub_t = pc.take(txts_arr, ch_pa)
-                    nb = NativeBatch(sub_p, sub_t, self.prof, int(sub_k.max()))
-                if _prof:
-                    _t1 = _time.time()
-                    _prof_add("setup", _t1 - _t0)
-                c = nb.run_best(k_arr=sub_k)
-                if _prof:
-                    _prof_add("kernel", _time.time() - _t1)
+                    pat_rows, txt_rows = sub_p, sub_t
                 if rc:
-                    tr = TextRows.from_any(sub_p)
+                    # BOTH strands in ONE NativeBatch: patterns = [fwd; rc]
+                    # stacked rows sharing the single text matrix, jobs
+                    # interleaved (2i = fwd i, 2i+1 = rc i) so the stable
+                    # length sort keeps a pair's two scans ADJACENT — the
+                    # second strand re-reads the SAME text row L1-warm, and
+                    # the text matrix / remap / histogram build once instead
+                    # of twice (the old shape paid a full second NativeBatch
+                    # over identical texts)
+                    tr = TextRows.from_any(pat_rows)
                     comp = TextRows(self.prof.complement_lut[tr.mat], tr.lens)
-                    nbr = NativeBatch(comp.reversed(), sub_t, self.prof, int(sub_k.max()))
-                    c = np.minimum(c, nbr.run_best(k_arr=sub_k))
+                    rcr = comp.reversed()
+                    w = max(tr.mat.shape[1], rcr.mat.shape[1], 1)
+                    both = np.zeros((2 * s, w), dtype=np.uint8)
+                    both[0::2, : tr.mat.shape[1]] = tr.mat
+                    both[1::2, : rcr.mat.shape[1]] = rcr.mat
+                    lens2 = np.empty(2 * s, np.int64)
+                    lens2[0::2] = tr.lens
+                    lens2[1::2] = rcr.lens
+                    nb = NativeBatch(
+                        TextRows(both, lens2), txt_rows, self.prof, int(sub_k.max())
+                    )
+                    job_p = np.arange(2 * s, dtype=np.int64)
+                    job_t = np.ascontiguousarray(np.repeat(np.arange(s, dtype=np.int64), 2))
+                    k2 = np.ascontiguousarray(np.repeat(sub_k, 2))
+                    if _prof:
+                        _t1 = _time.time()
+                        _prof_add("setup", _t1 - _t0)
+                    c2 = nb.run_best(job_p, job_t, 2 * s, k_arr=k2)
+                    c = c2.reshape(s, 2).min(axis=1)
+                    if _prof:
+                        _prof_add("kernel", _time.time() - _t1)
+                else:
+                    nb = NativeBatch(pat_rows, txt_rows, self.prof, int(sub_k.max()))
+                    if _prof:
+                        _t1 = _time.time()
+                        _prof_add("setup", _t1 - _t0)
+                    c = nb.run_best(k_arr=sub_k)
+                    if _prof:
+                        _prof_add("kernel", _time.time() - _t1)
                 cost[ch] = c
             cost = np.minimum(cost.astype(np.int32), k_pair + 1)
             _t0 = _prof and _time.time()

@@ -420,3 +420,65 @@ def test_scorer_sel2_path_equivalence():
     with force_numpy():
         fallback = PairScorer(cfg)(batch)
     assert got.equals(fallback)
+
+
+def test_scorer_rc_fused_strands_equivalence():
+    """DNA rc=True scorer: the fused both-strands-one-NativeBatch path
+    (interleaved job lists over a shared text matrix) must equal the pure
+    NumPy fallback, including pairs where the RC strand is the better
+    score, empty strings, and orientation flips."""
+    import pyarrow as pa
+
+    from sassy_ray.kernel.profiles import get_profile
+    from sassy_ray.stages.scoring import PairScorer, ScoreConfig
+
+    rng = random.Random(77)
+    prof = get_profile("dna")
+    rows_a, rows_b = [], []
+    for i in range(500):
+        base = _rnd(rng, rng.randint(0, 120)).decode()
+        roll = rng.random()
+        if roll < 0.35:
+            b = list(base)
+            for _ in range(rng.randint(0, 3)):
+                if b:
+                    b[rng.randrange(len(b))] = rng.choice("ACGT")
+            other = "".join(b)
+        elif roll < 0.7 and base:
+            # RC near-dup: only the reverse complement should match
+            other = prof.reverse_complement(base.encode()).decode()
+            if rng.random() < 0.5 and other:
+                lo = list(other)
+                lo[rng.randrange(len(lo))] = rng.choice("ACGT")
+                other = "".join(lo)
+        else:
+            other = _rnd(rng, rng.randint(0, 150)).decode()
+        if rng.random() < 0.5:
+            rows_a.append(base), rows_b.append(other)
+        else:
+            rows_a.append(other), rows_b.append(base)
+    batch = pa.table(
+        {
+            "doc_id_a": pa.array([f"a{i}" for i in range(len(rows_a))]),
+            "doc_id_b": pa.array([f"b{i}" for i in range(len(rows_b))]),
+            "text_a": pa.array(rows_a),
+            "text_b": pa.array(rows_b),
+        }
+    )
+    cfg = ScoreConfig(profile="dna", k_min=2, rel_k=0.08, rc=True)
+    got = PairScorer(cfg)(batch)
+    with force_numpy():
+        want = PairScorer(cfg)(batch)
+    assert got.equals(want)
+    # and through the legacy (non-sel2) rows source: sliced input arrays
+    batch2 = pa.table(
+        {
+            "doc_id_a": batch.column("doc_id_a"),
+            "doc_id_b": batch.column("doc_id_b"),
+            "text_a": pa.concat_arrays(
+                [pa.array(["ACGT"]), batch.column("text_a").combine_chunks()]
+            ).slice(1, len(rows_a)),
+            "text_b": batch.column("text_b"),
+        }
+    )
+    assert PairScorer(cfg)(batch2).equals(want)
