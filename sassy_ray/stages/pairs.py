@@ -242,6 +242,21 @@ def _pair_hashes_arrow(tbl) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
+def derived_exchange_limit(cpus: int, memory_bytes: float) -> int:
+    """Max block-row count the manual hash exchange accepts, derived from
+    cluster memory at call time: a part must fit a worker heap — nparts
+    caps at 64 (object-count economics of the num_returns fan-out), each
+    part's emit working set is ~4x its ~30 B/row payload, and a quarter of
+    the per-CPU task heap is budgeted for it.  ~390M rows on a 32-CPU /
+    94 GB-task-heap node; scales with per-node memory on a cluster.  A
+    FIXED row gate was the classic breaks-at-10x config: a 28M-doc corpus
+    (224M rows) silently crossed the old 200M constant onto the ~50x-
+    slower spill-capable groupby route while each exchange part would have
+    held a comfortable ~3.5M rows."""
+    heap_per_cpu = memory_bytes / max(1, cpus)
+    return int(64 * (heap_per_cpu * 0.25) / (30 * 4))
+
+
 def _pairs_exchange(block_rows_ds, cfg: PairGenConfig, nparts: int, split_out: int = 1):
     """Manual hash exchange, raw Ray tasks (the Dataset API's sort-based
     groupby costs ~100k rows/s at these sizes; this path is a plain
@@ -420,16 +435,9 @@ def make_pairs_dataset(block_rows_ds, cfg: PairGenConfig):
         print(f"[pairs] mat+count {time.time() - _t0:.2f}s ({n_rows} rows)", file=sys.stderr)
     exch_limit = cfg.exchange_rows_limit
     if exch_limit is None:
-        # a part must fit a worker heap: nparts caps at 64 (object-count
-        # economics of the num_returns fan-out), each part's emit working
-        # set is ~4x its ~30 B/row payload, and we budget a quarter of the
-        # per-CPU task heap for it.  On this 32-CPU/56 GB-heap box that is
-        # ~930M block rows; on a real cluster it scales with per-node
-        # memory, and beyond it the spill-capable groupby stays the route.
-        heap_per_cpu = float(ray.cluster_resources().get("memory", 8e9)) / max(
-            1, cpus_now
+        exch_limit = derived_exchange_limit(
+            cpus_now, float(ray.cluster_resources().get("memory", 8e9))
         )
-        exch_limit = int(64 * (heap_per_cpu * 0.25) / (30 * 4))
     if 0 < n_rows <= exch_limit and (
         cpus_now >= 2 or n_rows > cfg.single_task_rows_limit
     ):

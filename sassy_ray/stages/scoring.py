@@ -494,9 +494,9 @@ class PairScorer:
             # text AND sizes every pattern's PEQ at the batch-max limb
             # count, so one 5k-char pair in an 8k batch multiplies the
             # setup's memset/remap traffic ~10x (measured 53 -> ~8 ms per
-            # 8192-pair batch on the sf0.1 corpus).  RC patterns build
-            # vectorized off the Arrow buffers (complement LUT + reversed
-            # TextRows).
+            # 8192-pair batch on the sf0.1 corpus).  rc corpora fuse BOTH
+            # strands into one NativeBatch per chunk (see the rc branch
+            # below).
             from sassy_ray.kernel.myers import TextRows
             from sassy_ray.kernel.native import NativeBatch
 

@@ -271,3 +271,21 @@ def test_oph_minhash_properties():
     s2 = minhash_signatures([b"abc"], cfg)
     s3 = minhash_signatures([b"abc"], cfg)
     assert (s2 == s3).all()
+
+
+def test_derived_exchange_limit_scales_with_memory():
+    """The exchange-vs-groupby gate must scale with per-node memory, never
+    sit on a fixed row count: the known-good sizes (224M rows on the
+    94 GB/32-CPU box) clear it, a part's budgeted working set stays within
+    a quarter of the per-CPU heap, and tiny nodes get a tiny limit."""
+    from sassy_ray.stages.pairs import derived_exchange_limit
+
+    big = derived_exchange_limit(32, 94e9)
+    assert big > 224_000_000  # the 28M-doc corpus that exposed the fixed gate
+    # per-part working set within budget: rows/64 parts x 30 B x 4
+    assert (big / 64) * 30 * 4 <= (94e9 / 32) * 0.25 * 1.001
+    # the limit tracks PER-CPU heap (a part must fit one worker)
+    assert derived_exchange_limit(32, 9.4e9) == big // 10
+    small = derived_exchange_limit(4, 1e9)
+    assert small < big / 10
+    assert derived_exchange_limit(1, 0.0) == 0  # degenerate: groupby route
