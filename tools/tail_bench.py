@@ -202,6 +202,12 @@ def main() -> None:
     ap.add_argument("--vectors", type=int, default=1_000_000)
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument(
+        "--crispr",
+        action="store_true",
+        help="bench the CRISPR off-target pipeline at the reference eval "
+        "shape (312 x 23bp guides, shared exact PAM, k=--k)",
+    )
+    ap.add_argument(
         "--grep",
         action="store_true",
         help="bench the distributed single-pattern long-text grep pipeline "
@@ -355,6 +361,59 @@ def main() -> None:
                     "max_task_rows": max_task_rows,
                     "max_bucket_rows_unsalted": int(counts.max()),
                     "planted_recall": round(recall, 3),
+                }
+            )
+        )
+        ray.shutdown()
+        return
+
+    if args.crispr:
+        # the reference's flagship off-target eval shape
+        # (evals/src/sassy2/output-xeon-256/off_target_results.csv: 312 x
+        # 23bp guides over the 3.1 GB CHM13 genome, k=3): shared exact PAM,
+        # IUPAC profile, rc, endpoint PAM filter (allow_pam_edits=False is
+        # the reference CLI default)
+        from sassy_ray.pipelines.crispr import CrisprConfig, run_crispr
+
+        docs_tbl, _ = synth_grep_docs(args.docs, args.doc_len, args.pat_len)
+        rng = np.random.default_rng(11)
+        dna = np.frombuffer(b"ACGT", np.uint8)
+        guides = [
+            dna[rng.integers(0, 4, size=20, dtype=np.uint8)].tobytes() + b"AGG"
+            for _ in range(312)
+        ]
+        # plant mutated guide sites in ~2% of docs so matches exist
+        texts = docs_tbl.column("text").to_pylist()
+        hit_rows = rng.integers(0, len(texts), size=max(1, len(texts) // 50))
+        for r in hit_rows:
+            g = bytearray(guides[int(rng.integers(0, len(guides)))])
+            for _ in range(int(rng.integers(0, 3))):
+                g[int(rng.integers(0, 20))] = dna[int(rng.integers(0, 4))]
+            o = int(rng.integers(0, len(texts[r]) - len(g)))
+            t = texts[r]
+            texts[r] = t[:o] + bytes(g).decode() + t[o + len(g):]
+        docs_tbl = docs_tbl.set_column(
+            docs_tbl.column_names.index("text"), "text", pa.array(texts)
+        )
+        ds = rd.from_arrow(docs_tbl).repartition(max(8, args.cpus)).materialize()
+        cfg = CrisprConfig(guides, k=args.k, pam_length=3, allow_pam_edits=False)
+        t0 = time.time()
+        matches, n_matches = run_crispr(ds, cfg)
+        dt = time.time() - t0
+        mb = args.docs * args.doc_len / 1e6
+        print(
+            json.dumps(
+                {
+                    "metric": "crispr_distributed",
+                    "guides": len(guides),
+                    "docs": args.docs,
+                    "doc_len": args.doc_len,
+                    "k": args.k,
+                    "num_cpus": args.cpus,
+                    "sec": round(dt, 2),
+                    "text_mb_per_s": round(mb / dt, 1),
+                    "pattern_scan_mb_per_s": round(mb * len(guides) / dt, 1),
+                    "matches": int(n_matches),
                 }
             )
         )
