@@ -1043,6 +1043,369 @@ __attribute__((always_inline)) static inline void scan_job16_l1_avx(
   }
   *w_io = w;
 }
+/* Thirty-two single-limb jobs sharing ONE text row, 8 per 32-bit-lane AVX2
+ * vector — pattern tiling, the transposed layout idea of the reference's v2
+ * engine (pattern_tiling/ semantics; none of its code).  Because every lane
+ * reads the SAME text char, the PEQ lookup collapses from an A-step
+ * cmpeq-select to ONE indexed vector load from a per-group transposed
+ * table, and the 32-bit lanes double pattern density over the 64-bit
+ * interleave (patterns <= 32 chars — the demux/CRISPR guide shapes).
+ * Four independent vectors keep the ~10-op serial Myers chains pipelined.
+ * Modes 0 (minima walk, vectorized gate + 8-lane scalar spill), 1 (all
+ * positions <= k, same gate shape) and 2 (best cost via min_epi32).  All
+ * lanes share one n: no tails.  Emissions interleave across lanes; the
+ * Python wrapper re-sorts to job-major. */
+#define SASSY_TILE_MAX_A 16
+__attribute__((always_inline)) static inline void scan_tiled32_l32_avx(
+    const int64_t *jid, const uint8_t *trow, int64_t n,
+    const uint64_t *const *pqs, const int64_t A, const int64_t *ms,
+    const int64_t *ks, const int32_t mode, int64_t *out_job, int64_t *out_pos,
+    int32_t *out_cost, int64_t out_cap, int32_t *out_best, int64_t *w_io) {
+  __m256i peqT[SASSY_TILE_MAX_A][4];
+  __m256i pv[4], mv[4], sc[4], prev[4], dec[4], best[4], shv[4], kv[4];
+  const __m256i one = _mm256_set1_epi32(1);
+  const __m256i ones = _mm256_set1_epi32(-1);
+  int64_t w = *w_io;
+  for (int64_t a = 0; a < A; a++)
+    for (int v = 0; v < 4; v++) {
+      int b = v * 8;
+      peqT[a][v] = _mm256_set_epi32(
+          (int)(uint32_t)pqs[b + 7][a], (int)(uint32_t)pqs[b + 6][a],
+          (int)(uint32_t)pqs[b + 5][a], (int)(uint32_t)pqs[b + 4][a],
+          (int)(uint32_t)pqs[b + 3][a], (int)(uint32_t)pqs[b + 2][a],
+          (int)(uint32_t)pqs[b + 1][a], (int)(uint32_t)pqs[b + 0][a]);
+    }
+  for (int v = 0; v < 4; v++) {
+    int b = v * 8;
+    pv[v] = ones;
+    mv[v] = _mm256_setzero_si256();
+    sc[v] = _mm256_set_epi32((int)ms[b + 7], (int)ms[b + 6], (int)ms[b + 5],
+                             (int)ms[b + 4], (int)ms[b + 3], (int)ms[b + 2],
+                             (int)ms[b + 1], (int)ms[b + 0]);
+    prev[v] = sc[v];
+    best[v] = sc[v];
+    dec[v] = ones;
+    shv[v] = _mm256_set_epi32(
+        (int)(ms[b + 7] - 1), (int)(ms[b + 6] - 1), (int)(ms[b + 5] - 1),
+        (int)(ms[b + 4] - 1), (int)(ms[b + 3] - 1), (int)(ms[b + 2] - 1),
+        (int)(ms[b + 1] - 1), (int)(ms[b + 0] - 1));
+    kv[v] = _mm256_set_epi32((int)ks[b + 7], (int)ks[b + 6], (int)ks[b + 5],
+                             (int)ks[b + 4], (int)ks[b + 3], (int)ks[b + 2],
+                             (int)ks[b + 1], (int)ks[b + 0]);
+  }
+  if (mode == 1)
+    for (int s = 0; s < 32; s++)
+      if (ms[s] <= ks[s]) {
+        if (w < out_cap) {
+          out_job[w] = jid[s];
+          out_pos[w] = 0;
+          out_cost[w] = (int32_t)ms[s];
+        }
+        w++;
+      }
+  for (int64_t tt = 0; tt < n; tt++) {
+    size_t c = trow[tt];
+    for (int v = 0; v < 4; v++) {
+      __m256i eq = peqT[c][v];
+      __m256i xv = _mm256_or_si256(eq, mv[v]);
+      __m256i eqpv = _mm256_and_si256(eq, pv[v]);
+      __m256i xh = _mm256_or_si256(
+          _mm256_xor_si256(_mm256_add_epi32(eqpv, pv[v]), pv[v]), eq);
+      __m256i ph = _mm256_or_si256(
+          mv[v], _mm256_andnot_si256(_mm256_or_si256(xh, pv[v]), ones));
+      __m256i mh = _mm256_and_si256(pv[v], xh);
+      __m256i phb = _mm256_and_si256(_mm256_srlv_epi32(ph, shv[v]), one);
+      __m256i mhb = _mm256_and_si256(_mm256_srlv_epi32(mh, shv[v]), one);
+      sc[v] = _mm256_sub_epi32(_mm256_add_epi32(sc[v], phb), mhb);
+      ph = _mm256_add_epi32(ph, ph);
+      mh = _mm256_add_epi32(mh, mh);
+      pv[v] = _mm256_or_si256(
+          mh, _mm256_andnot_si256(_mm256_or_si256(xv, ph), ones));
+      mv[v] = _mm256_and_si256(ph, xv);
+      if (mode == 2) {
+        best[v] = _mm256_min_epi32(best[v], sc[v]);
+      } else if (mode == 1) {
+        /* all positions <= k: gate on every lane's score > its k */
+        __m256i gt = _mm256_cmpgt_epi32(sc[v], kv[v]);
+        if (_mm256_movemask_epi8(gt) != -1) {
+          int32_t ca[8], ka8[8];
+          _mm256_storeu_si256((__m256i *)ca, sc[v]);
+          _mm256_storeu_si256((__m256i *)ka8, kv[v]);
+          for (int l = 0; l < 8; l++)
+            if (ca[l] <= ka8[l]) {
+              if (w < out_cap) {
+                out_job[w] = jid[v * 8 + l];
+                out_pos[w] = tt + 1;
+                out_cost[w] = ca[l];
+              }
+              w++;
+            }
+        }
+      } else {
+        /* mode 0 walk: gate when every lane's prev > its k */
+        __m256i gt = _mm256_cmpgt_epi32(prev[v], kv[v]);
+        if (_mm256_movemask_epi8(gt) == -1) {
+          dec[v] = ones;
+          prev[v] = sc[v];
+        } else {
+          int32_t pa[8], ca[8], da[8], ka8[8];
+          _mm256_storeu_si256((__m256i *)pa, prev[v]);
+          _mm256_storeu_si256((__m256i *)ca, sc[v]);
+          _mm256_storeu_si256((__m256i *)da, dec[v]);
+          _mm256_storeu_si256((__m256i *)ka8, kv[v]);
+          for (int l = 0; l < 8; l++) {
+            if (pa[l] > ka8[l]) {
+              da[l] = -1;
+            } else {
+              if (ca[l] > pa[l] && da[l]) {
+                if (w < out_cap) {
+                  out_job[w] = jid[v * 8 + l];
+                  out_pos[w] = tt;
+                  out_cost[w] = pa[l];
+                }
+                w++;
+              }
+              da[l] = ((ca[l] < pa[l]) || (da[l] && ca[l] == pa[l])) ? -1 : 0;
+            }
+            pa[l] = ca[l];
+          }
+          prev[v] = _mm256_loadu_si256((__m256i *)pa);
+          dec[v] = _mm256_loadu_si256((__m256i *)da);
+        }
+      }
+    }
+  }
+  /* final rule (mode 0) / best writeback (mode 2) */
+  int32_t preva[32], deca[32], besta[32];
+  for (int v = 0; v < 4; v++) {
+    _mm256_storeu_si256((__m256i *)(preva + v * 8), prev[v]);
+    _mm256_storeu_si256((__m256i *)(deca + v * 8), dec[v]);
+    _mm256_storeu_si256((__m256i *)(besta + v * 8), best[v]);
+  }
+  for (int s = 0; s < 32; s++) {
+    if (mode == 0) {
+      if (deca[s] && preva[s] <= (int32_t)ks[s]) {
+        if (w < out_cap) {
+          out_job[w] = jid[s];
+          out_pos[w] = n;
+          out_cost[w] = preva[s];
+        }
+        w++;
+      }
+    } else if (mode == 2) {
+      out_best[jid[s]] = besta[s];
+    }
+  }
+  *w_io = w;
+}
+/* Thirty-two single-limb jobs sharing ONE pattern (m <= 32) over 32
+ * DIFFERENT text rows, 8 per 32-bit-lane AVX2 vector — the dual of the
+ * pattern-tiled kernel above, for the grep / chunked-long-text shape
+ * (thousands of chunk rows sharing one pattern).  Per-lane codes differ,
+ * so the PEQ lookup stays a cmpeq-select over A per-code constants (dense
+ * alphabet, A <= SASSY_AVX_MAX_A), but every constant is shared across
+ * vectors (one pattern) and the 32-bit lanes double job density over the
+ * 64-bit 16-job path.  Modes 0/1/2; shared min-length prefix vectorized,
+ * per-lane scalar tails. */
+__attribute__((always_inline)) static inline void scan_job32_1pat_l32_avx(
+    const int64_t *jid, const uint8_t *const *trows, const int64_t *ns,
+    const uint64_t *pq, const int64_t A, const int64_t m, const int64_t *ks,
+    const int32_t mode, int64_t *out_job, int64_t *out_pos, int32_t *out_cost,
+    int64_t out_cap, int32_t *out_best, int64_t *w_io) {
+  __m256i peqval[SASSY_AVX_MAX_A], aval[SASSY_AVX_MAX_A];
+  __m256i pv[4], mv[4], sc[4], prev[4], dec[4], best[4], kv[4];
+  const __m256i one = _mm256_set1_epi32(1);
+  const __m256i ones = _mm256_set1_epi32(-1);
+  const __m256i shv = _mm256_set1_epi32((int)(m - 1));
+  int64_t w = *w_io;
+  int64_t nmin = ns[0];
+  for (int s = 1; s < 32; s++)
+    if (ns[s] < nmin)
+      nmin = ns[s];
+  for (int64_t a = 0; a < A; a++) {
+    aval[a] = _mm256_set1_epi32((int)a);
+    peqval[a] = _mm256_set1_epi32((int)(uint32_t)pq[a]);
+  }
+  for (int v = 0; v < 4; v++) {
+    int b = v * 8;
+    pv[v] = ones;
+    mv[v] = _mm256_setzero_si256();
+    sc[v] = _mm256_set1_epi32((int)m);
+    prev[v] = sc[v];
+    best[v] = sc[v];
+    dec[v] = ones;
+    kv[v] = _mm256_set_epi32((int)ks[b + 7], (int)ks[b + 6], (int)ks[b + 5],
+                             (int)ks[b + 4], (int)ks[b + 3], (int)ks[b + 2],
+                             (int)ks[b + 1], (int)ks[b + 0]);
+  }
+  if (mode == 1)
+    for (int s = 0; s < 32; s++)
+      if (m <= ks[s]) {
+        if (w < out_cap) {
+          out_job[w] = jid[s];
+          out_pos[w] = 0;
+          out_cost[w] = (int32_t)m;
+        }
+        w++;
+      }
+  uint8_t codesT[SASSY_AVX_TCHUNK][32];
+  for (int64_t t0 = 0; t0 < nmin; t0 += SASSY_AVX_TCHUNK) {
+    int64_t t1 = t0 + SASSY_AVX_TCHUNK < nmin ? t0 + SASSY_AVX_TCHUNK : nmin;
+    for (int s = 0; s < 32; s++) {
+      const uint8_t *tr = trows[s] + t0;
+      for (int64_t u = 0; u < t1 - t0; u++)
+        codesT[u][s] = tr[u];
+    }
+    for (int64_t tt = t0; tt < t1; tt++) {
+      const uint8_t *ct = codesT[tt - t0];
+      for (int v = 0; v < 4; v++) {
+        __m256i codes = _mm256_cvtepu8_epi32(
+            _mm_loadl_epi64((const __m128i *)(ct + v * 8)));
+        __m256i eq = _mm256_setzero_si256();
+        for (int64_t a = 0; a < A; a++)
+          eq = _mm256_or_si256(
+              eq, _mm256_and_si256(_mm256_cmpeq_epi32(codes, aval[a]),
+                                   peqval[a]));
+        __m256i xv = _mm256_or_si256(eq, mv[v]);
+        __m256i eqpv = _mm256_and_si256(eq, pv[v]);
+        __m256i xh = _mm256_or_si256(
+            _mm256_xor_si256(_mm256_add_epi32(eqpv, pv[v]), pv[v]), eq);
+        __m256i ph = _mm256_or_si256(
+            mv[v], _mm256_andnot_si256(_mm256_or_si256(xh, pv[v]), ones));
+        __m256i mh = _mm256_and_si256(pv[v], xh);
+        __m256i phb = _mm256_and_si256(_mm256_srlv_epi32(ph, shv), one);
+        __m256i mhb = _mm256_and_si256(_mm256_srlv_epi32(mh, shv), one);
+        sc[v] = _mm256_sub_epi32(_mm256_add_epi32(sc[v], phb), mhb);
+        ph = _mm256_add_epi32(ph, ph);
+        mh = _mm256_add_epi32(mh, mh);
+        pv[v] = _mm256_or_si256(
+            mh, _mm256_andnot_si256(_mm256_or_si256(xv, ph), ones));
+        mv[v] = _mm256_and_si256(ph, xv);
+        if (mode == 2) {
+          best[v] = _mm256_min_epi32(best[v], sc[v]);
+        } else if (mode == 1) {
+          __m256i gt = _mm256_cmpgt_epi32(sc[v], kv[v]);
+          if (_mm256_movemask_epi8(gt) != -1) {
+            int32_t ca[8], ka8[8];
+            _mm256_storeu_si256((__m256i *)ca, sc[v]);
+            _mm256_storeu_si256((__m256i *)ka8, kv[v]);
+            for (int l = 0; l < 8; l++)
+              if (ca[l] <= ka8[l]) {
+                if (w < out_cap) {
+                  out_job[w] = jid[v * 8 + l];
+                  out_pos[w] = tt + 1;
+                  out_cost[w] = ca[l];
+                }
+                w++;
+              }
+          }
+        } else {
+          __m256i gt = _mm256_cmpgt_epi32(prev[v], kv[v]);
+          if (_mm256_movemask_epi8(gt) == -1) {
+            dec[v] = ones;
+            prev[v] = sc[v];
+          } else {
+            int32_t pa[8], ca[8], da[8], ka8[8];
+            _mm256_storeu_si256((__m256i *)pa, prev[v]);
+            _mm256_storeu_si256((__m256i *)ca, sc[v]);
+            _mm256_storeu_si256((__m256i *)da, dec[v]);
+            _mm256_storeu_si256((__m256i *)ka8, kv[v]);
+            for (int l = 0; l < 8; l++) {
+              if (pa[l] > ka8[l]) {
+                da[l] = -1;
+              } else {
+                if (ca[l] > pa[l] && da[l]) {
+                  if (w < out_cap) {
+                    out_job[w] = jid[v * 8 + l];
+                    out_pos[w] = tt;
+                    out_cost[w] = pa[l];
+                  }
+                  w++;
+                }
+                da[l] =
+                    ((ca[l] < pa[l]) || (da[l] && ca[l] == pa[l])) ? -1 : 0;
+              }
+              pa[l] = ca[l];
+            }
+            prev[v] = _mm256_loadu_si256((__m256i *)pa);
+            dec[v] = _mm256_loadu_si256((__m256i *)da);
+          }
+        }
+      }
+    }
+  }
+  /* extract state; per-lane scalar tails + final rule / best writeback */
+  int32_t pva[32], mva[32], sca[32], preva[32], deca[32], besta[32];
+  for (int v = 0; v < 4; v++) {
+    _mm256_storeu_si256((__m256i *)(pva + v * 8), pv[v]);
+    _mm256_storeu_si256((__m256i *)(mva + v * 8), mv[v]);
+    _mm256_storeu_si256((__m256i *)(sca + v * 8), sc[v]);
+    _mm256_storeu_si256((__m256i *)(preva + v * 8), prev[v]);
+    _mm256_storeu_si256((__m256i *)(deca + v * 8), dec[v]);
+    _mm256_storeu_si256((__m256i *)(besta + v * 8), best[v]);
+  }
+  uint64_t shift = (uint64_t)((m - 1) & 31);
+  for (int s = 0; s < 32; s++) {
+    const uint8_t *tr = trows[s];
+    uint32_t pvs = (uint32_t)pva[s], mvs = (uint32_t)mva[s];
+    int64_t scs = sca[s], prevs = preva[s], bests = besta[s], kj = ks[s];
+    int decs = deca[s] != 0;
+    for (int64_t u = nmin; u < ns[s]; u++) {
+      uint32_t eq = (uint32_t)pq[tr[u]];
+      uint32_t xv = eq | mvs;
+      uint32_t xh = (((eq & pvs) + pvs) ^ pvs) | eq;
+      uint32_t ph = mvs | ~(xh | pvs);
+      uint32_t mh = pvs & xh;
+      scs += (int64_t)((ph >> shift) & 1) - (int64_t)((mh >> shift) & 1);
+      ph <<= 1;
+      mh <<= 1;
+      pvs = mh | ~(xv | ph);
+      mvs = ph & xv;
+      int64_t c = scs;
+      if (mode == 0) {
+        if (prevs > kj) {
+          decs = 1;
+        } else {
+          if (c > prevs && decs) {
+            if (w < out_cap) {
+              out_job[w] = jid[s];
+              out_pos[w] = u;
+              out_cost[w] = (int32_t)prevs;
+            }
+            w++;
+          }
+          decs = (c < prevs) || (decs && c == prevs);
+        }
+        prevs = c;
+      } else if (mode == 1) {
+        if (c <= kj) {
+          if (w < out_cap) {
+            out_job[w] = jid[s];
+            out_pos[w] = u + 1;
+            out_cost[w] = (int32_t)c;
+          }
+          w++;
+        }
+      } else {
+        if (c < bests)
+          bests = c;
+      }
+    }
+    if (mode == 0) {
+      if (decs && prevs <= kj) {
+        if (w < out_cap) {
+          out_job[w] = jid[s];
+          out_pos[w] = ns[s];
+          out_cost[w] = (int32_t)prevs;
+        }
+        w++;
+      }
+    } else if (mode == 2) {
+      out_best[jid[s]] = (int32_t)imin64(bests, BIGC);
+    }
+  }
+  *w_io = w;
+}
 #endif /* __AVX2__ */
 
 int64_t sassy_scan(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
@@ -1064,6 +1427,132 @@ int64_t sassy_scan(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
   if (pv0 == NULL && ov_add == NULL && o_arr == NULL) {
     int64_t j = 0;
 #ifdef __AVX2__
+    /* pattern-tiled 32-job groups: all jobs share one text row (the
+     * cartesian demux/CRISPR shape emits P consecutive same-text jobs),
+     * patterns <= 32 chars, modes 0/2.  A group that fails the shape test
+     * (text-boundary straddle) advances on 4-job scalar groups and the
+     * tiled loop resumes — `break` here would strand every later text's
+     * tileable run on the slower path. */
+    if (L == 1 && A <= SASSY_TILE_MAX_A && mode <= 2 && job_t) {
+      int stop = 0;
+      while (!stop && j + 32 <= J) {
+        int64_t t0j = job_t[j];
+        int64_t jid[32], ms32[32], ks32[32];
+        const uint64_t *pqs[32];
+        int ok = 1;
+        for (int s = 0; s < 32; s++) {
+          int64_t jj = j + s;
+          int64_t p = job_p ? job_p[jj] : jj;
+          if (job_t[jj] != t0j || m_arr[p] < 1 || m_arr[p] > 32) {
+            ok = 0;
+            break;
+          }
+          jid[s] = jj;
+          ms32[s] = m_arr[p];
+          ks32[s] = k_arr ? k_arr[jj] : k;
+          pqs[s] = peq + (size_t)p * A; /* L == 1 */
+        }
+        if (ok) {
+          const uint8_t *trow = txt + (size_t)t0j * Wt;
+          if (mode == 0)
+            scan_tiled32_l32_avx(jid, trow, n_arr[t0j], pqs, A, ms32, ks32, 0,
+                                 out_job, out_pos, out_cost, out_cap, out_best,
+                                 &w);
+          else if (mode == 1)
+            scan_tiled32_l32_avx(jid, trow, n_arr[t0j], pqs, A, ms32, ks32, 1,
+                                 out_job, out_pos, out_cost, out_cap, out_best,
+                                 &w);
+          else
+            scan_tiled32_l32_avx(jid, trow, n_arr[t0j], pqs, A, ms32, ks32, 2,
+                                 out_job, out_pos, out_cost, out_cap, out_best,
+                                 &w);
+          j += 32;
+          continue;
+        }
+        /* advance past the non-tileable stretch on 4-job groups */
+        int adv = 0;
+        while (adv < 32 && j + 4 <= J) {
+          int64_t jid4[4], ns4[4], ms4[4], ks4[4];
+          const uint8_t *trows4[4];
+          const uint64_t *pqs4[4];
+          int ok4 = 1;
+          for (int s = 0; s < 4; s++) {
+            int64_t jj = j + s;
+            int64_t p = job_p ? job_p[jj] : jj;
+            int64_t t = job_t[jj];
+            if (m_arr[p] > 64 || m_arr[p] < 1) {
+              ok4 = 0;
+              break;
+            }
+            jid4[s] = jj;
+            ns4[s] = n_arr[t];
+            ms4[s] = m_arr[p];
+            ks4[s] = k_arr ? k_arr[jj] : k;
+            trows4[s] = txt + (size_t)t * Wt;
+            pqs4[s] = peq + (size_t)p * A * L;
+          }
+          if (!ok4) {
+            stop = 1; /* out-of-range m: leave for the generic cascade */
+            break;
+          }
+          if (mode == 0)
+            scan_job4_l1(jid4, trows4, ns4, pqs4, 1, ms4, ks4, 0, out_job,
+                         out_pos, out_cost, out_cap, out_best, &w);
+          else if (mode == 1)
+            scan_job4_l1(jid4, trows4, ns4, pqs4, 1, ms4, ks4, 1, out_job,
+                         out_pos, out_cost, out_cap, out_best, &w);
+          else
+            scan_job4_l1(jid4, trows4, ns4, pqs4, 1, ms4, ks4, 2, out_job,
+                         out_pos, out_cost, out_cap, out_best, &w);
+          j += 4;
+          adv += 4;
+        }
+        if (adv == 0)
+          break; /* fewer than 4 jobs left: scalar remainder below */
+      }
+    }
+    /* shared-pattern 32-job groups (the grep / chunked-long-text shape:
+     * thousands of chunk rows sharing one <= 32-char pattern): 32-bit
+     * lanes double job density over the 16-job path below.  A group with
+     * mixed patterns or out-of-range m falls through to that path. */
+    if (L == 1 && A <= SASSY_AVX_MAX_A && mode <= 2 && job_p) {
+      while (j + 32 <= J) {
+        int64_t p0 = job_p[j];
+        int ok = (m_arr[p0] >= 1 && m_arr[p0] <= 32);
+        if (ok)
+          for (int s = 1; s < 32; s++)
+            if (job_p[j + s] != p0) {
+              ok = 0;
+              break;
+            }
+        if (!ok)
+          break;
+        int64_t jid[32], ns32[32], ks32[32];
+        const uint8_t *trows[32];
+        for (int s = 0; s < 32; s++) {
+          int64_t jj = j + s;
+          int64_t t = job_t ? job_t[jj] : jj;
+          jid[s] = jj;
+          ns32[s] = n_arr[t];
+          ks32[s] = k_arr ? k_arr[jj] : k;
+          trows[s] = txt + (size_t)t * Wt;
+        }
+        const uint64_t *pq = peq + (size_t)p0 * A; /* L == 1 */
+        if (mode == 0)
+          scan_job32_1pat_l32_avx(jid, trows, ns32, pq, A, m_arr[p0], ks32, 0,
+                                  out_job, out_pos, out_cost, out_cap,
+                                  out_best, &w);
+        else if (mode == 1)
+          scan_job32_1pat_l32_avx(jid, trows, ns32, pq, A, m_arr[p0], ks32, 1,
+                                  out_job, out_pos, out_cost, out_cap,
+                                  out_best, &w);
+        else
+          scan_job32_1pat_l32_avx(jid, trows, ns32, pq, A, m_arr[p0], ks32, 2,
+                                  out_job, out_pos, out_cost, out_cap,
+                                  out_best, &w);
+        j += 32;
+      }
+    }
     /* vectorized 16-job groups: single-limb, dense alphabet, modes 0/2 */
     if (L == 1 && A <= SASSY_AVX_MAX_A && (mode == 0 || mode == 2)) {
       while (j + 16 <= J) {

@@ -482,3 +482,67 @@ def test_scorer_rc_fused_strands_equivalence():
         }
     )
     assert PairScorer(cfg)(batch2).equals(want)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_tiled_cartesian_equivalence(seed):
+    """The pattern-tiled 32-job AVX2 path (same-text job groups, <= 32-char
+    patterns, 32-bit lanes) vs the per-job scalar walk: the cartesian
+    demux/CRISPR shape emits P consecutive same-text jobs, which is exactly
+    the group shape the tiled dispatcher engages on.  Modes 0 and 1, with
+    text-boundary straddles (P not a multiple of 32) and planted matches."""
+    rng = np.random.default_rng(seed)
+    prof = get_profile("dna")
+    for P, T, k in ((37, 4, 3), (64, 2, 1), (33, 3, 5)):
+        pats = [
+            rng.choice(list(b"ACGT"), size=int(rng.integers(max(1, k), 33))).astype(np.uint8).tobytes()
+            for _ in range(P)
+        ]
+        txts = [
+            rng.choice(list(b"ACGT"), size=int(rng.integers(40, 400))).astype(np.uint8).tobytes()
+            for _ in range(T)
+        ]
+        t0 = bytearray(txts[0])
+        t0[5 : 5 + len(pats[0])] = pats[0]  # planted exact hit
+        txts[0] = bytes(t0)
+        for all_min in (False, True):
+            nb = native.NativeBatch(pats, txts, prof, k)
+            pat_ids = nb.pat_row if nb.pat_row is not None else np.arange(P, dtype=np.int64)
+            job_p = np.ascontiguousarray(np.tile(pat_ids, T))
+            job_t = np.ascontiguousarray(np.repeat(np.arange(T, dtype=np.int64), P))
+            got = nb.run_minima(all_min, job_p, job_t, len(job_p))
+            # scalar twin: one job per call (J=1 never reaches any group path)
+            exp = []
+            for jj in range(len(job_p)):
+                ji, jp, jc = nb.run_minima(
+                    all_min,
+                    np.ascontiguousarray(job_p[jj : jj + 1]),
+                    np.ascontiguousarray(job_t[jj : jj + 1]),
+                    1,
+                )
+                exp.extend((jj, int(p_), int(c)) for _j, p_, c in zip(ji, jp, jc))
+            assert _keyed(got) == sorted(exp), (P, T, k, all_min)
+
+
+def test_tiled_shared_pattern_equivalence():
+    """The shared-pattern 32-job AVX2 path (one <= 32-char pattern over many
+    texts — the grep / chunked-scan shape) vs the NumPy kernel."""
+    rng = np.random.default_rng(7)
+    for m, k in ((23, 3), (8, 1), (32, 5)):
+        pat = rng.choice(list(b"ACGT"), size=m).astype(np.uint8).tobytes()
+        txts = [
+            rng.choice(list(b"ACGT"), size=int(rng.integers(1, 500))).astype(np.uint8).tobytes()
+            for _ in range(75)
+        ]
+        for i in range(0, 75, 6):
+            if len(txts[i]) > m + 2:
+                t0 = bytearray(txts[i])
+                pos = int(rng.integers(0, len(t0) - m))
+                t0[pos : pos + m] = pat
+                txts[i] = bytes(t0)
+        pats = [pat] * len(txts)
+        for all_min in (False, True):
+            nat = native.scan_pairs(pats, txts, prof := get_profile("dna"), k, all_min)
+            with force_numpy():
+                ref = myers.batch_scan_minima(pats, txts, prof, k, all_min)
+            assert _keyed(ref) == _keyed(nat), (m, k, all_min)
