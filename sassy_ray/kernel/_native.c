@@ -1198,6 +1198,149 @@ __attribute__((always_inline)) static inline void scan_tiled32_l32_avx(
   }
   *w_io = w;
 }
+#if defined(__AVX512F__)
+/* Sixty-four single-limb jobs sharing ONE text row, 16 per 32-bit-lane
+ * AVX-512 vector — the 512-bit widening of scan_tiled32_l32_avx below
+ * (same transposed-PEQ pattern tiling; the reference's own v2 numbers
+ * come from AVX-512 the same way).  Mask registers replace the
+ * movemask+spill dance: the walk gate is one cmp producing a 16-bit
+ * mask.  Modes 0/1/2. */
+__attribute__((always_inline)) static inline void scan_tiled64_l32_avx512(
+    const int64_t *jid, const uint8_t *trow, int64_t n,
+    const uint64_t *const *pqs, const int64_t A, const int64_t *ms,
+    const int64_t *ks, const int32_t mode, int64_t *out_job, int64_t *out_pos,
+    int32_t *out_cost, int64_t out_cap, int32_t *out_best, int64_t *w_io) {
+  __m512i peqT[SASSY_TILE_MAX_A][4];
+  __m512i pv[4], mv[4], sc[4], prev[4], dec[4], best[4], shv[4], kv[4];
+  const __m512i one = _mm512_set1_epi32(1);
+  const __m512i ones = _mm512_set1_epi32(-1);
+  int64_t w = *w_io;
+  for (int64_t a = 0; a < A; a++)
+    for (int v = 0; v < 4; v++) {
+      int32_t tmp[16];
+      for (int l = 0; l < 16; l++)
+        tmp[l] = (int32_t)(uint32_t)pqs[v * 16 + l][a];
+      peqT[a][v] = _mm512_loadu_si512((const void *)tmp);
+    }
+  for (int v = 0; v < 4; v++) {
+    int32_t tm[16], ts[16], tk[16];
+    for (int l = 0; l < 16; l++) {
+      tm[l] = (int32_t)ms[v * 16 + l];
+      ts[l] = (int32_t)(ms[v * 16 + l] - 1);
+      tk[l] = (int32_t)ks[v * 16 + l];
+    }
+    pv[v] = ones;
+    mv[v] = _mm512_setzero_si512();
+    sc[v] = _mm512_loadu_si512((const void *)tm);
+    prev[v] = sc[v];
+    best[v] = sc[v];
+    dec[v] = ones;
+    shv[v] = _mm512_loadu_si512((const void *)ts);
+    kv[v] = _mm512_loadu_si512((const void *)tk);
+  }
+  if (mode == 1)
+    for (int s = 0; s < 64; s++)
+      if (ms[s] <= ks[s]) {
+        if (w < out_cap) {
+          out_job[w] = jid[s];
+          out_pos[w] = 0;
+          out_cost[w] = (int32_t)ms[s];
+        }
+        w++;
+      }
+  for (int64_t tt = 0; tt < n; tt++) {
+    size_t c = trow[tt];
+    for (int v = 0; v < 4; v++) {
+      __m512i eq = peqT[c][v];
+      __m512i xv = _mm512_or_si512(eq, mv[v]);
+      __m512i eqpv = _mm512_and_si512(eq, pv[v]);
+      __m512i xh = _mm512_or_si512(
+          _mm512_xor_si512(_mm512_add_epi32(eqpv, pv[v]), pv[v]), eq);
+      __m512i ph = _mm512_or_si512(
+          mv[v], _mm512_andnot_si512(_mm512_or_si512(xh, pv[v]), ones));
+      __m512i mh = _mm512_and_si512(pv[v], xh);
+      __m512i phb = _mm512_and_si512(_mm512_srlv_epi32(ph, shv[v]), one);
+      __m512i mhb = _mm512_and_si512(_mm512_srlv_epi32(mh, shv[v]), one);
+      sc[v] = _mm512_sub_epi32(_mm512_add_epi32(sc[v], phb), mhb);
+      ph = _mm512_add_epi32(ph, ph);
+      mh = _mm512_add_epi32(mh, mh);
+      pv[v] = _mm512_or_si512(
+          mh, _mm512_andnot_si512(_mm512_or_si512(xv, ph), ones));
+      mv[v] = _mm512_and_si512(ph, xv);
+      if (mode == 2) {
+        best[v] = _mm512_min_epi32(best[v], sc[v]);
+      } else if (mode == 1) {
+        __mmask16 le = _mm512_cmple_epi32_mask(sc[v], kv[v]);
+        if (le) {
+          int32_t ca[16];
+          _mm512_storeu_si512((void *)ca, sc[v]);
+          for (int l = 0; l < 16; l++)
+            if (le & (1u << l)) {
+              if (w < out_cap) {
+                out_job[w] = jid[v * 16 + l];
+                out_pos[w] = tt + 1;
+                out_cost[w] = ca[l];
+              }
+              w++;
+            }
+        }
+      } else {
+        __mmask16 le = _mm512_cmple_epi32_mask(prev[v], kv[v]);
+        if (!le) {
+          dec[v] = ones;
+          prev[v] = sc[v];
+        } else {
+          int32_t pa[16], ca[16], da[16], ka16[16];
+          _mm512_storeu_si512((void *)pa, prev[v]);
+          _mm512_storeu_si512((void *)ca, sc[v]);
+          _mm512_storeu_si512((void *)da, dec[v]);
+          _mm512_storeu_si512((void *)ka16, kv[v]);
+          for (int l = 0; l < 16; l++) {
+            if (pa[l] > ka16[l]) {
+              da[l] = -1;
+            } else {
+              if (ca[l] > pa[l] && da[l]) {
+                if (w < out_cap) {
+                  out_job[w] = jid[v * 16 + l];
+                  out_pos[w] = tt;
+                  out_cost[w] = pa[l];
+                }
+                w++;
+              }
+              da[l] = ((ca[l] < pa[l]) || (da[l] && ca[l] == pa[l])) ? -1 : 0;
+            }
+            pa[l] = ca[l];
+          }
+          prev[v] = _mm512_loadu_si512((void *)pa);
+          dec[v] = _mm512_loadu_si512((void *)da);
+        }
+      }
+    }
+  }
+  int32_t preva[64], deca[64], besta[64];
+  for (int v = 0; v < 4; v++) {
+    _mm512_storeu_si512((void *)(preva + v * 16), prev[v]);
+    _mm512_storeu_si512((void *)(deca + v * 16), dec[v]);
+    _mm512_storeu_si512((void *)(besta + v * 16), best[v]);
+  }
+  for (int s = 0; s < 64; s++) {
+    if (mode == 0) {
+      if (deca[s] && preva[s] <= (int32_t)ks[s]) {
+        if (w < out_cap) {
+          out_job[w] = jid[s];
+          out_pos[w] = n;
+          out_cost[w] = preva[s];
+        }
+        w++;
+      }
+    } else if (mode == 2) {
+      out_best[jid[s]] = besta[s];
+    }
+  }
+  *w_io = w;
+}
+#endif /* __AVX512F__ */
+
 /* Thirty-two single-limb jobs sharing ONE pattern (m <= 32) over 32
  * DIFFERENT text rows, 8 per 32-bit-lane AVX2 vector — the dual of the
  * pattern-tiled kernel above, for the grep / chunked-long-text shape
@@ -1437,8 +1580,8 @@ int64_t sassy_scan(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
       int stop = 0;
       while (!stop && j + 32 <= J) {
         int64_t t0j = job_t[j];
-        int64_t jid[32], ms32[32], ks32[32];
-        const uint64_t *pqs[32];
+        int64_t jid[64], ms32[64], ks32[64];
+        const uint64_t *pqs[64];
         int ok = 1;
         for (int s = 0; s < 32; s++) {
           int64_t jj = j + s;
@@ -1452,6 +1595,40 @@ int64_t sassy_scan(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
           ks32[s] = k_arr ? k_arr[jj] : k;
           pqs[s] = peq + (size_t)p * A; /* L == 1 */
         }
+#if defined(__AVX512F__)
+        if (ok && j + 64 <= J) {
+          int ok64 = 1;
+          for (int s = 32; s < 64; s++) {
+            int64_t jj = j + s;
+            int64_t p = job_p ? job_p[jj] : jj;
+            if (job_t[jj] != t0j || m_arr[p] < 1 || m_arr[p] > 32) {
+              ok64 = 0;
+              break;
+            }
+            jid[s] = jj;
+            ms32[s] = m_arr[p];
+            ks32[s] = k_arr ? k_arr[jj] : k;
+            pqs[s] = peq + (size_t)p * A;
+          }
+          if (ok64) {
+            const uint8_t *trow = txt + (size_t)t0j * Wt;
+            if (mode == 0)
+              scan_tiled64_l32_avx512(jid, trow, n_arr[t0j], pqs, A, ms32,
+                                      ks32, 0, out_job, out_pos, out_cost,
+                                      out_cap, out_best, &w);
+            else if (mode == 1)
+              scan_tiled64_l32_avx512(jid, trow, n_arr[t0j], pqs, A, ms32,
+                                      ks32, 1, out_job, out_pos, out_cost,
+                                      out_cap, out_best, &w);
+            else
+              scan_tiled64_l32_avx512(jid, trow, n_arr[t0j], pqs, A, ms32,
+                                      ks32, 2, out_job, out_pos, out_cost,
+                                      out_cap, out_best, &w);
+            j += 64;
+            continue;
+          }
+        }
+#endif
         if (ok) {
           const uint8_t *trow = txt + (size_t)t0j * Wt;
           if (mode == 0)
