@@ -271,6 +271,22 @@ static inline void copy_remap_rev_(const uint8_t *src, int64_t l,
       dst[i] = src[l - 1 - i];
 }
 
+/* Per-row byte reversal of a padded rows matrix (TextRows.reversed — the
+ * rc strand of every scan/search path): AVX2 in-register byte reverse via
+ * copy_remap_rev_, zero-padded tails.  The NumPy equivalent
+ * (take_along_axis over an index matrix) moves ~8 B of int64 index
+ * traffic per payload byte. */
+void sassy_reverse_rows(const uint8_t *mat, const int64_t *lens, int64_t n,
+                        int64_t w, uint8_t *out) {
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t *src = mat + (size_t)i * w;
+    uint8_t *dst = out + (size_t)i * w;
+    int64_t l = lens[i];
+    copy_remap_rev_(src, l, NULL, 0, NULL, dst);
+    memset(dst + l, 0, (size_t)(w - l));
+  }
+}
+
 /* Fused overlapping-chunk-row builder for the long-text scan paths: one
  * read pass over the texts, one write pass into the padded row matrix,
  * with the dense alphabet remap (and, for rc, the text reversal) applied

@@ -113,6 +113,15 @@ class TextRows:
         return (self[i] for i in range(len(self)))
 
     def reversed(self) -> "TextRows":
+        from sassy_ray.kernel import native
+
+        if native.available() and self.mat.size:
+            # C per-row byte reverse (AVX2) — the NumPy take_along_axis
+            # moves ~8 B of int64 index traffic per payload byte and was
+            # ~55% of a 64x100kb rc search (18 of 31 ms)
+            return TextRows(
+                native.reverse_rows(self.mat, self.lens), self.lens, self.codes_ab
+            )
         n, w = self.mat.shape
         idx = self.lens[:, None] - 1 - np.arange(w, dtype=np.int64)[None, :]
         np.maximum(idx, 0, out=idx)

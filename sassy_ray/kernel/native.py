@@ -115,6 +115,8 @@ def _build() -> ctypes.CDLL | None:
     lib.sassy_rows_sel2.restype = None
     lib.sassy_byte_hist_ptrs.argtypes = [P, P, I, P]
     lib.sassy_byte_hist_ptrs.restype = None
+    lib.sassy_reverse_rows.argtypes = [P, P, I, I, P]
+    lib.sassy_reverse_rows.restype = None
     lib.sassy_chunk_remap.argtypes = [
         P, P, I,          # texts (ptr array), tlens, n_texts
         I, I,             # chunk_len, overlap
@@ -234,6 +236,19 @@ def minhash_rows(
         _ptr(buf), _ptr(starts), n_docs, int(q), int(num_perm),
         ctypes.c_int(1 if rc_canonical else 0), _ptr(comp_lut), _ptr(sig),
     )
+
+
+def reverse_rows(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-row byte reversal of a padded (n, w) uint8 rows matrix (zero-pad
+    tails preserved) — the rc-strand twin of ``TextRows.reversed``'s NumPy
+    take_along_axis, at memory speed.  Caller guarantees native
+    availability."""
+    mat = np.ascontiguousarray(mat)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    out = np.empty_like(mat)
+    n, w = mat.shape if mat.ndim == 2 else (0, 1)
+    _lib.sassy_reverse_rows(_ptr(mat), _ptr(lens), n, w, _ptr(out))
+    return out
 
 
 def rows_from_offsets(data: np.ndarray, off: np.ndarray, width: int) -> np.ndarray:
