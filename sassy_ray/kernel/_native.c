@@ -1565,6 +1565,210 @@ __attribute__((always_inline)) static inline void scan_job32_1pat_l32_avx(
   }
   *w_io = w;
 }
+#if defined(__AVX512F__)
+/* 512-bit widening of the shared-pattern kernel: 64 jobs (one <= 32-char
+ * pattern over 64 different texts), 16 per 32-bit-lane zmm.  The per-lane
+ * PEQ select becomes cmpeq-mask + masked-move (2 ops/code vs 3), and the
+ * walk gates are mask compares.  Modes 0/1/2; shared min-length prefix
+ * vectorized, per-lane scalar tails. */
+__attribute__((always_inline)) static inline void scan_job64_1pat_l32_avx512(
+    const int64_t *jid, const uint8_t *const *trows, const int64_t *ns,
+    const uint64_t *pq, const int64_t A, const int64_t m, const int64_t *ks,
+    const int32_t mode, int64_t *out_job, int64_t *out_pos, int32_t *out_cost,
+    int64_t out_cap, int32_t *out_best, int64_t *w_io) {
+  __m512i peqval[SASSY_AVX_MAX_A], aval[SASSY_AVX_MAX_A];
+  __m512i pv[4], mv[4], sc[4], prev[4], dec[4], best[4], kv[4];
+  const __m512i one = _mm512_set1_epi32(1);
+  const __m512i ones = _mm512_set1_epi32(-1);
+  const __m512i shv = _mm512_set1_epi32((int)(m - 1));
+  int64_t w = *w_io;
+  int64_t nmin = ns[0];
+  for (int s = 1; s < 64; s++)
+    if (ns[s] < nmin)
+      nmin = ns[s];
+  for (int64_t a = 0; a < A; a++) {
+    aval[a] = _mm512_set1_epi32((int)a);
+    peqval[a] = _mm512_set1_epi32((int)(uint32_t)pq[a]);
+  }
+  for (int v = 0; v < 4; v++) {
+    int b = v * 16;
+    int32_t tk[16];
+    for (int l = 0; l < 16; l++)
+      tk[l] = (int32_t)ks[b + l];
+    pv[v] = ones;
+    mv[v] = _mm512_setzero_si512();
+    sc[v] = _mm512_set1_epi32((int)m);
+    prev[v] = sc[v];
+    best[v] = sc[v];
+    dec[v] = ones;
+    kv[v] = _mm512_loadu_si512((const void *)tk);
+  }
+  if (mode == 1)
+    for (int s = 0; s < 64; s++)
+      if (m <= ks[s]) {
+        if (w < out_cap) {
+          out_job[w] = jid[s];
+          out_pos[w] = 0;
+          out_cost[w] = (int32_t)m;
+        }
+        w++;
+      }
+  uint8_t codesT[SASSY_AVX_TCHUNK][64];
+  for (int64_t t0 = 0; t0 < nmin; t0 += SASSY_AVX_TCHUNK) {
+    int64_t t1 = t0 + SASSY_AVX_TCHUNK < nmin ? t0 + SASSY_AVX_TCHUNK : nmin;
+    for (int s = 0; s < 64; s++) {
+      const uint8_t *tr = trows[s] + t0;
+      for (int64_t u = 0; u < t1 - t0; u++)
+        codesT[u][s] = tr[u];
+    }
+    for (int64_t tt = t0; tt < t1; tt++) {
+      const uint8_t *ct = codesT[tt - t0];
+      for (int v = 0; v < 4; v++) {
+        __m512i codes = _mm512_cvtepu8_epi32(
+            _mm_loadu_si128((const __m128i *)(ct + v * 16)));
+        __m512i eq = _mm512_setzero_si512();
+        for (int64_t a = 0; a < A; a++)
+          eq = _mm512_mask_mov_epi32(
+              eq, _mm512_cmpeq_epi32_mask(codes, aval[a]), peqval[a]);
+        __m512i xv = _mm512_or_si512(eq, mv[v]);
+        __m512i eqpv = _mm512_and_si512(eq, pv[v]);
+        __m512i xh = _mm512_or_si512(
+            _mm512_xor_si512(_mm512_add_epi32(eqpv, pv[v]), pv[v]), eq);
+        __m512i ph = _mm512_or_si512(
+            mv[v], _mm512_andnot_si512(_mm512_or_si512(xh, pv[v]), ones));
+        __m512i mh = _mm512_and_si512(pv[v], xh);
+        __m512i phb = _mm512_and_si512(_mm512_srlv_epi32(ph, shv), one);
+        __m512i mhb = _mm512_and_si512(_mm512_srlv_epi32(mh, shv), one);
+        sc[v] = _mm512_sub_epi32(_mm512_add_epi32(sc[v], phb), mhb);
+        ph = _mm512_add_epi32(ph, ph);
+        mh = _mm512_add_epi32(mh, mh);
+        pv[v] = _mm512_or_si512(
+            mh, _mm512_andnot_si512(_mm512_or_si512(xv, ph), ones));
+        mv[v] = _mm512_and_si512(ph, xv);
+        if (mode == 2) {
+          best[v] = _mm512_min_epi32(best[v], sc[v]);
+        } else if (mode == 1) {
+          __mmask16 le = _mm512_cmple_epi32_mask(sc[v], kv[v]);
+          if (le) {
+            int32_t ca[16];
+            _mm512_storeu_si512((void *)ca, sc[v]);
+            for (int l = 0; l < 16; l++)
+              if (le & (1u << l)) {
+                if (w < out_cap) {
+                  out_job[w] = jid[v * 16 + l];
+                  out_pos[w] = tt + 1;
+                  out_cost[w] = ca[l];
+                }
+                w++;
+              }
+          }
+        } else {
+          __mmask16 le = _mm512_cmple_epi32_mask(prev[v], kv[v]);
+          if (!le) {
+            dec[v] = ones;
+            prev[v] = sc[v];
+          } else {
+            int32_t pa[16], ca[16], da[16], ka16[16];
+            _mm512_storeu_si512((void *)pa, prev[v]);
+            _mm512_storeu_si512((void *)ca, sc[v]);
+            _mm512_storeu_si512((void *)da, dec[v]);
+            _mm512_storeu_si512((void *)ka16, kv[v]);
+            for (int l = 0; l < 16; l++) {
+              if (pa[l] > ka16[l]) {
+                da[l] = -1;
+              } else {
+                if (ca[l] > pa[l] && da[l]) {
+                  if (w < out_cap) {
+                    out_job[w] = jid[v * 16 + l];
+                    out_pos[w] = tt;
+                    out_cost[w] = pa[l];
+                  }
+                  w++;
+                }
+                da[l] = ((ca[l] < pa[l]) || (da[l] && ca[l] == pa[l])) ? -1 : 0;
+              }
+              pa[l] = ca[l];
+            }
+            prev[v] = _mm512_loadu_si512((void *)pa);
+            dec[v] = _mm512_loadu_si512((void *)da);
+          }
+        }
+      }
+    }
+  }
+  /* extract state; per-lane scalar tails + final rule / best writeback */
+  int32_t pva[64], mva[64], sca[64], preva[64], deca[64], besta[64];
+  for (int v = 0; v < 4; v++) {
+    _mm512_storeu_si512((void *)(pva + v * 16), pv[v]);
+    _mm512_storeu_si512((void *)(mva + v * 16), mv[v]);
+    _mm512_storeu_si512((void *)(sca + v * 16), sc[v]);
+    _mm512_storeu_si512((void *)(preva + v * 16), prev[v]);
+    _mm512_storeu_si512((void *)(deca + v * 16), dec[v]);
+    _mm512_storeu_si512((void *)(besta + v * 16), best[v]);
+  }
+  uint64_t shift = (uint64_t)((m - 1) & 31);
+  for (int s = 0; s < 64; s++) {
+    const uint8_t *tr = trows[s];
+    uint32_t pvs = (uint32_t)pva[s], mvs = (uint32_t)mva[s];
+    int64_t scs = sca[s], prevs = preva[s], bests = besta[s], kj = ks[s];
+    int decs = deca[s] != 0;
+    for (int64_t u = nmin; u < ns[s]; u++) {
+      uint32_t eq = (uint32_t)pq[tr[u]];
+      uint32_t xv = eq | mvs;
+      uint32_t xh = (((eq & pvs) + pvs) ^ pvs) | eq;
+      uint32_t ph = mvs | ~(xh | pvs);
+      uint32_t mh = pvs & xh;
+      scs += (int64_t)((ph >> shift) & 1) - (int64_t)((mh >> shift) & 1);
+      ph <<= 1;
+      mh <<= 1;
+      pvs = mh | ~(xv | ph);
+      mvs = ph & xv;
+      int64_t c = scs;
+      if (mode == 0) {
+        if (prevs > kj) {
+          decs = 1;
+        } else {
+          if (c > prevs && decs) {
+            if (w < out_cap) {
+              out_job[w] = jid[s];
+              out_pos[w] = u;
+              out_cost[w] = (int32_t)prevs;
+            }
+            w++;
+          }
+          decs = (c < prevs) || (decs && c == prevs);
+        }
+        prevs = c;
+      } else if (mode == 1) {
+        if (c <= kj) {
+          if (w < out_cap) {
+            out_job[w] = jid[s];
+            out_pos[w] = u + 1;
+            out_cost[w] = (int32_t)c;
+          }
+          w++;
+        }
+      } else {
+        if (c < bests)
+          bests = c;
+      }
+    }
+    if (mode == 0) {
+      if (decs && prevs <= kj) {
+        if (w < out_cap) {
+          out_job[w] = jid[s];
+          out_pos[w] = ns[s];
+          out_cost[w] = (int32_t)prevs;
+        }
+        w++;
+      }
+    } else if (mode == 2) {
+      out_best[jid[s]] = (int32_t)imin64(bests, BIGC);
+    }
+  }
+  *w_io = w;
+}
+#endif /* __AVX512F__ */
 #endif /* __AVX2__ */
 
 int64_t sassy_scan(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
@@ -1579,258 +1783,265 @@ int64_t sassy_scan(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
                    uint64_t *Mv, int64_t *bs) {
   int64_t w = 0;
   (void)ov_max;
-  /* fast path: groups of 4 consecutive single-limb jobs, no overhang.
-   * The group worker is force-inlined at call sites with literal (L, mode)
-   * so gcc clones a constant-folded loop per shape — the runtime-argument
-   * form measured 254 vs 395 MB/s single-core for the same code. */
+  /* Fast path (no overhang): ONE unified dispatch loop that, at each job
+   * position, picks the best applicable group kernel and falls through to
+   * the next cheaper one — never a per-kernel `while` that consumes the
+   * rest of the batch on a weaker path (a sequence of loops did exactly
+   * that: a sorted scan batch with job_t set but no same-text runs burned
+   * every job on the 4-job fallback of the tiled loop, 2.3x slower than
+   * its own shared-pattern kernel).  Group workers are force-inlined with
+   * literal (L, mode) so gcc clones a constant-folded loop per shape (the
+   * runtime-argument form measured 254 vs 395 MB/s for identical code).
+   * Kernel ladder per position:
+   *   1. same-text pattern-tiled 64/32-job groups (m <= 32, A <= 16);
+   *   2. shared-pattern 64/32-job groups (m <= 32, A <= 8);
+   *   3. 16-job AVX2 interleave (m <= 64, A <= 8, modes 0/2);
+   *   4. 4-job scalar interleave (m <= 64);
+   *   5. single-job scalar; m > 64 sends the remainder to the general
+   *      multi-limb engine.
+   * Shape checks fail on the FIRST mismatching job (O(1) for batches that
+   * lack the shape entirely). */
   if (pv0 == NULL && ov_add == NULL && o_arr == NULL) {
     int64_t j = 0;
+    while (j < J) {
 #ifdef __AVX2__
-    /* pattern-tiled 32-job groups: all jobs share one text row (the
-     * cartesian demux/CRISPR shape emits P consecutive same-text jobs),
-     * patterns <= 32 chars, modes 0/2.  A group that fails the shape test
-     * (text-boundary straddle) advances on 4-job scalar groups and the
-     * tiled loop resumes — `break` here would strand every later text's
-     * tileable run on the slower path. */
-    if (L == 1 && A <= SASSY_TILE_MAX_A && mode <= 2 && job_t) {
-      int stop = 0;
-      while (!stop && j + 32 <= J) {
+      /* 1. same-text pattern tiling (cartesian demux/CRISPR shape) */
+      if (L == 1 && A <= SASSY_TILE_MAX_A && mode <= 2 && job_t &&
+          j + 32 <= J) {
         int64_t t0j = job_t[j];
-        int64_t jid[64], ms32[64], ks32[64];
-        const uint64_t *pqs[64];
-        int ok = 1;
+        int64_t jid[128], msg[128], ksg[128];
+        const uint64_t *pqs[128];
+        int gok = 1;
         for (int s = 0; s < 32; s++) {
           int64_t jj = j + s;
           int64_t p = job_p ? job_p[jj] : jj;
           if (job_t[jj] != t0j || m_arr[p] < 1 || m_arr[p] > 32) {
-            ok = 0;
+            gok = 0;
             break;
           }
           jid[s] = jj;
-          ms32[s] = m_arr[p];
-          ks32[s] = k_arr ? k_arr[jj] : k;
+          msg[s] = m_arr[p];
+          ksg[s] = k_arr ? k_arr[jj] : k;
           pqs[s] = peq + (size_t)p * A; /* L == 1 */
         }
-#if defined(__AVX512F__)
-        if (ok && j + 64 <= J) {
-          int ok64 = 1;
-          for (int s = 32; s < 64; s++) {
-            int64_t jj = j + s;
-            int64_t p = job_p ? job_p[jj] : jj;
-            if (job_t[jj] != t0j || m_arr[p] < 1 || m_arr[p] > 32) {
-              ok64 = 0;
-              break;
-            }
-            jid[s] = jj;
-            ms32[s] = m_arr[p];
-            ks32[s] = k_arr ? k_arr[jj] : k;
-            pqs[s] = peq + (size_t)p * A;
-          }
-          if (ok64) {
-            const uint8_t *trow = txt + (size_t)t0j * Wt;
-            if (mode == 0)
-              scan_tiled64_l32_avx512(jid, trow, n_arr[t0j], pqs, A, ms32,
-                                      ks32, 0, out_job, out_pos, out_cost,
-                                      out_cap, out_best, &w);
-            else if (mode == 1)
-              scan_tiled64_l32_avx512(jid, trow, n_arr[t0j], pqs, A, ms32,
-                                      ks32, 1, out_job, out_pos, out_cost,
-                                      out_cap, out_best, &w);
-            else
-              scan_tiled64_l32_avx512(jid, trow, n_arr[t0j], pqs, A, ms32,
-                                      ks32, 2, out_job, out_pos, out_cost,
-                                      out_cap, out_best, &w);
-            j += 64;
-            continue;
-          }
-        }
-#endif
-        if (ok) {
+        if (gok) {
           const uint8_t *trow = txt + (size_t)t0j * Wt;
+#if defined(__AVX512F__)
+          if (j + 64 <= J) {
+            int g64 = 1;
+            for (int s = 32; s < 64; s++) {
+              int64_t jj = j + s;
+              int64_t p = job_p ? job_p[jj] : jj;
+              if (job_t[jj] != t0j || m_arr[p] < 1 || m_arr[p] > 32) {
+                g64 = 0;
+                break;
+              }
+              jid[s] = jj;
+              msg[s] = m_arr[p];
+              ksg[s] = k_arr ? k_arr[jj] : k;
+              pqs[s] = peq + (size_t)p * A;
+            }
+            if (g64) {
+              if (mode == 0)
+                scan_tiled64_l32_avx512(jid, trow, n_arr[t0j], pqs, A, msg,
+                                        ksg, 0, out_job, out_pos, out_cost,
+                                        out_cap, out_best, &w);
+              else if (mode == 1)
+                scan_tiled64_l32_avx512(jid, trow, n_arr[t0j], pqs, A, msg,
+                                        ksg, 1, out_job, out_pos, out_cost,
+                                        out_cap, out_best, &w);
+              else
+                scan_tiled64_l32_avx512(jid, trow, n_arr[t0j], pqs, A, msg,
+                                        ksg, 2, out_job, out_pos, out_cost,
+                                        out_cap, out_best, &w);
+              j += 64;
+              continue;
+            }
+          }
+#endif
           if (mode == 0)
-            scan_tiled32_l32_avx(jid, trow, n_arr[t0j], pqs, A, ms32, ks32, 0,
-                                 out_job, out_pos, out_cost, out_cap, out_best,
-                                 &w);
+            scan_tiled32_l32_avx(jid, trow, n_arr[t0j], pqs, A, msg, ksg, 0,
+                                 out_job, out_pos, out_cost, out_cap,
+                                 out_best, &w);
           else if (mode == 1)
-            scan_tiled32_l32_avx(jid, trow, n_arr[t0j], pqs, A, ms32, ks32, 1,
-                                 out_job, out_pos, out_cost, out_cap, out_best,
-                                 &w);
+            scan_tiled32_l32_avx(jid, trow, n_arr[t0j], pqs, A, msg, ksg, 1,
+                                 out_job, out_pos, out_cost, out_cap,
+                                 out_best, &w);
           else
-            scan_tiled32_l32_avx(jid, trow, n_arr[t0j], pqs, A, ms32, ks32, 2,
-                                 out_job, out_pos, out_cost, out_cap, out_best,
-                                 &w);
+            scan_tiled32_l32_avx(jid, trow, n_arr[t0j], pqs, A, msg, ksg, 2,
+                                 out_job, out_pos, out_cost, out_cap,
+                                 out_best, &w);
           j += 32;
           continue;
         }
-        /* advance past the non-tileable stretch on 4-job groups */
-        int adv = 0;
-        while (adv < 32 && j + 4 <= J) {
-          int64_t jid4[4], ns4[4], ms4[4], ks4[4];
-          const uint8_t *trows4[4];
-          const uint64_t *pqs4[4];
-          int ok4 = 1;
-          for (int s = 0; s < 4; s++) {
-            int64_t jj = j + s;
-            int64_t p = job_p ? job_p[jj] : jj;
-            int64_t t = job_t[jj];
-            if (m_arr[p] > 64 || m_arr[p] < 1) {
-              ok4 = 0;
-              break;
-            }
-            jid4[s] = jj;
-            ns4[s] = n_arr[t];
-            ms4[s] = m_arr[p];
-            ks4[s] = k_arr ? k_arr[jj] : k;
-            trows4[s] = txt + (size_t)t * Wt;
-            pqs4[s] = peq + (size_t)p * A * L;
-          }
-          if (!ok4) {
-            stop = 1; /* out-of-range m: leave for the generic cascade */
-            break;
-          }
-          if (mode == 0)
-            scan_job4_l1(jid4, trows4, ns4, pqs4, 1, ms4, ks4, 0, out_job,
-                         out_pos, out_cost, out_cap, out_best, &w);
-          else if (mode == 1)
-            scan_job4_l1(jid4, trows4, ns4, pqs4, 1, ms4, ks4, 1, out_job,
-                         out_pos, out_cost, out_cap, out_best, &w);
-          else
-            scan_job4_l1(jid4, trows4, ns4, pqs4, 1, ms4, ks4, 2, out_job,
-                         out_pos, out_cost, out_cap, out_best, &w);
-          j += 4;
-          adv += 4;
-        }
-        if (adv == 0)
-          break; /* fewer than 4 jobs left: scalar remainder below */
       }
-    }
-    /* shared-pattern 32-job groups (the grep / chunked-long-text shape:
-     * thousands of chunk rows sharing one <= 32-char pattern): 32-bit
-     * lanes double job density over the 16-job path below.  A group with
-     * mixed patterns or out-of-range m falls through to that path. */
-    if (L == 1 && A <= SASSY_AVX_MAX_A && mode <= 2 && job_p) {
-      while (j + 32 <= J) {
+      /* 2. shared-pattern groups (grep / chunked-long-text shape) */
+      if (L == 1 && A <= SASSY_AVX_MAX_A && mode <= 2 && job_p &&
+          j + 32 <= J) {
         int64_t p0 = job_p[j];
-        int ok = (m_arr[p0] >= 1 && m_arr[p0] <= 32);
-        if (ok)
+        int gok = (m_arr[p0] >= 1 && m_arr[p0] <= 32);
+        if (gok)
           for (int s = 1; s < 32; s++)
             if (job_p[j + s] != p0) {
-              ok = 0;
+              gok = 0;
               break;
             }
-        if (!ok)
-          break;
-        int64_t jid[32], ns32[32], ks32[32];
-        const uint8_t *trows[32];
-        for (int s = 0; s < 32; s++) {
-          int64_t jj = j + s;
-          int64_t t = job_t ? job_t[jj] : jj;
-          jid[s] = jj;
-          ns32[s] = n_arr[t];
-          ks32[s] = k_arr ? k_arr[jj] : k;
-          trows[s] = txt + (size_t)t * Wt;
+        if (gok) {
+          int64_t jid[64], nsg[64], ksg[64];
+          const uint8_t *trows[64];
+          for (int s = 0; s < 32; s++) {
+            int64_t jj = j + s;
+            int64_t t = job_t ? job_t[jj] : jj;
+            jid[s] = jj;
+            nsg[s] = n_arr[t];
+            ksg[s] = k_arr ? k_arr[jj] : k;
+            trows[s] = txt + (size_t)t * Wt;
+          }
+          const uint64_t *pq = peq + (size_t)p0 * A; /* L == 1 */
+#if defined(__AVX512F__)
+          if (j + 64 <= J) {
+            int g64 = 1;
+            for (int s = 32; s < 64; s++)
+              if (job_p[j + s] != p0) {
+                g64 = 0;
+                break;
+              }
+            if (g64) {
+              for (int s = 32; s < 64; s++) {
+                int64_t jj = j + s;
+                int64_t t = job_t ? job_t[jj] : jj;
+                jid[s] = jj;
+                nsg[s] = n_arr[t];
+                ksg[s] = k_arr ? k_arr[jj] : k;
+                trows[s] = txt + (size_t)t * Wt;
+              }
+              if (mode == 0)
+                scan_job64_1pat_l32_avx512(jid, trows, nsg, pq, A, m_arr[p0],
+                                           ksg, 0, out_job, out_pos, out_cost,
+                                           out_cap, out_best, &w);
+              else if (mode == 1)
+                scan_job64_1pat_l32_avx512(jid, trows, nsg, pq, A, m_arr[p0],
+                                           ksg, 1, out_job, out_pos, out_cost,
+                                           out_cap, out_best, &w);
+              else
+                scan_job64_1pat_l32_avx512(jid, trows, nsg, pq, A, m_arr[p0],
+                                           ksg, 2, out_job, out_pos, out_cost,
+                                           out_cap, out_best, &w);
+              j += 64;
+              continue;
+            }
+          }
+#endif
+          if (mode == 0)
+            scan_job32_1pat_l32_avx(jid, trows, nsg, pq, A, m_arr[p0], ksg, 0,
+                                    out_job, out_pos, out_cost, out_cap,
+                                    out_best, &w);
+          else if (mode == 1)
+            scan_job32_1pat_l32_avx(jid, trows, nsg, pq, A, m_arr[p0], ksg, 1,
+                                    out_job, out_pos, out_cost, out_cap,
+                                    out_best, &w);
+          else
+            scan_job32_1pat_l32_avx(jid, trows, nsg, pq, A, m_arr[p0], ksg, 2,
+                                    out_job, out_pos, out_cost, out_cap,
+                                    out_best, &w);
+          j += 32;
+          continue;
         }
-        const uint64_t *pq = peq + (size_t)p0 * A; /* L == 1 */
-        if (mode == 0)
-          scan_job32_1pat_l32_avx(jid, trows, ns32, pq, A, m_arr[p0], ks32, 0,
-                                  out_job, out_pos, out_cost, out_cap,
-                                  out_best, &w);
-        else if (mode == 1)
-          scan_job32_1pat_l32_avx(jid, trows, ns32, pq, A, m_arr[p0], ks32, 1,
-                                  out_job, out_pos, out_cost, out_cap,
-                                  out_best, &w);
-        else
-          scan_job32_1pat_l32_avx(jid, trows, ns32, pq, A, m_arr[p0], ks32, 2,
-                                  out_job, out_pos, out_cost, out_cap,
-                                  out_best, &w);
-        j += 32;
       }
-    }
-    /* vectorized 16-job groups: single-limb, dense alphabet, modes 0/2 */
-    if (L == 1 && A <= SASSY_AVX_MAX_A && (mode == 0 || mode == 2)) {
-      while (j + 16 <= J) {
-        int64_t jid[16], ns16[16], ms16[16], ks16[16];
+      /* 3. 16-job 64-bit AVX2 interleave */
+      if (L == 1 && A <= SASSY_AVX_MAX_A && (mode == 0 || mode == 2) &&
+          j + 16 <= J) {
+        int64_t jid[16], nsg[16], msg[16], ksg[16];
         const uint8_t *trows[16];
         const uint64_t *pqs[16];
-        int ok = 1;
+        int gok = 1;
         for (int s = 0; s < 16; s++) {
           int64_t jj = j + s;
           int64_t p = job_p ? job_p[jj] : jj;
           int64_t t = job_t ? job_t[jj] : jj;
           if (m_arr[p] > 64 || m_arr[p] < 1) {
-            ok = 0;
+            gok = 0;
             break;
           }
           jid[s] = jj;
-          ns16[s] = n_arr[t];
-          ms16[s] = m_arr[p];
-          ks16[s] = k_arr ? k_arr[jj] : k;
+          nsg[s] = n_arr[t];
+          msg[s] = m_arr[p];
+          ksg[s] = k_arr ? k_arr[jj] : k;
           trows[s] = txt + (size_t)t * Wt;
           pqs[s] = peq + (size_t)p * A;
         }
-        if (!ok)
-          break;
-        if (mode == 0)
-          scan_job16_l1_avx(jid, trows, ns16, pqs, 1, ms16, ks16, A, 0,
-                            out_job, out_pos, out_cost, out_cap, out_best, &w);
-        else
-          scan_job16_l1_avx(jid, trows, ns16, pqs, 1, ms16, ks16, A, 2,
-                            out_job, out_pos, out_cost, out_cap, out_best, &w);
-        j += 16;
+        if (gok) {
+          if (mode == 0)
+            scan_job16_l1_avx(jid, trows, nsg, pqs, 1, msg, ksg, A, 0,
+                              out_job, out_pos, out_cost, out_cap, out_best,
+                              &w);
+          else
+            scan_job16_l1_avx(jid, trows, nsg, pqs, 1, msg, ksg, A, 2,
+                              out_job, out_pos, out_cost, out_cap, out_best,
+                              &w);
+          j += 16;
+          continue;
+        }
+      }
+#endif /* __AVX2__ */
+      /* 4. 4-job scalar interleave */
+      if (j + 4 <= J) {
+        int64_t jid[4], nsg[4], msg[4], ksg[4];
+        const uint8_t *trows[4];
+        const uint64_t *pqs[4];
+        int gok = 1;
+        for (int s = 0; s < 4; s++) {
+          int64_t jj = j + s;
+          int64_t p = job_p ? job_p[jj] : jj;
+          int64_t t = job_t ? job_t[jj] : jj;
+          if (m_arr[p] > 64 || m_arr[p] < 1) {
+            gok = 0;
+            break;
+          }
+          jid[s] = jj;
+          nsg[s] = n_arr[t];
+          msg[s] = m_arr[p];
+          ksg[s] = k_arr ? k_arr[jj] : k;
+          trows[s] = txt + (size_t)t * Wt;
+          pqs[s] = peq + (size_t)p * A * L;
+        }
+        if (gok) {
+          if (L == 1 && mode == 0) {
+            scan_job4_l1(jid, trows, nsg, pqs, 1, msg, ksg, 0, out_job,
+                         out_pos, out_cost, out_cap, out_best, &w);
+          } else if (L == 1 && mode == 2) {
+            scan_job4_l1(jid, trows, nsg, pqs, 1, msg, ksg, 2, out_job,
+                         out_pos, out_cost, out_cap, out_best, &w);
+          } else if (L == 1 && mode == 1) {
+            scan_job4_l1(jid, trows, nsg, pqs, 1, msg, ksg, 1, out_job,
+                         out_pos, out_cost, out_cap, out_best, &w);
+          } else {
+            scan_job4_l1(jid, trows, nsg, pqs, L, msg, ksg, mode, out_job,
+                         out_pos, out_cost, out_cap, out_best, &w);
+          }
+          j += 4;
+          continue;
+        }
+        goto general_rest; /* an m out of [1, 64] in this group */
+      }
+      /* 5. scalar remainder */
+      {
+        int64_t p = job_p ? job_p[j] : j;
+        int64_t t = job_t ? job_t[j] : j;
+        int64_t m = m_arr[p];
+        if (m > 64 || m < 1)
+          goto general_rest;
+        scan_job_l1(j, txt + (size_t)t * Wt, n_arr[t],
+                    peq + (size_t)p * A * L, L, m, 0, ~0ULL, m, NULL,
+                    k_arr ? k_arr[j] : k, mode, out_job, out_pos, out_cost,
+                    out_cap, out_best, &w);
+        j++;
+        continue;
       }
     }
-#endif
-#define SASSY_GROUP_LOOP(LC, MODEC)                                           \
-    while (j + 4 <= J) {                                                      \
-      int64_t jid[4], ns[4], ms[4], ks[4];                                    \
-      const uint8_t *trows[4];                                                \
-      const uint64_t *pqs[4];                                                 \
-      int ok = 1;                                                             \
-      for (int s = 0; s < 4; s++) {                                           \
-        int64_t jj = j + s;                                                   \
-        int64_t p = job_p ? job_p[jj] : jj;                                   \
-        int64_t t = job_t ? job_t[jj] : jj;                                   \
-        if (m_arr[p] > 64 || m_arr[p] < 1) {                                  \
-          ok = 0;                                                             \
-          break;                                                              \
-        }                                                                     \
-        jid[s] = jj;                                                          \
-        ns[s] = n_arr[t];                                                     \
-        ms[s] = m_arr[p];                                                     \
-        ks[s] = k_arr ? k_arr[jj] : k;                                        \
-        trows[s] = txt + (size_t)t * Wt;                                      \
-        pqs[s] = peq + (size_t)p * A * (LC);                                  \
-      }                                                                       \
-      if (!ok)                                                                \
-        break;                                                                \
-      scan_job4_l1(jid, trows, ns, pqs, (LC), ms, ks, (MODEC), out_job,       \
-                   out_pos, out_cost, out_cap, out_best, &w);                 \
-      j += 4;                                                                 \
-    }
-    if (L == 1 && mode == 0) {
-      SASSY_GROUP_LOOP(1, 0)
-    } else if (L == 1 && mode == 2) {
-      SASSY_GROUP_LOOP(1, 2)
-    } else if (L == 1 && mode == 1) {
-      SASSY_GROUP_LOOP(1, 1)
-    } else {
-      SASSY_GROUP_LOOP(L, mode)
-    }
-#undef SASSY_GROUP_LOOP
-    /* fall through to the scalar loop for the remainder */
-    for (; j < J; j++) {
-      int64_t p = job_p ? job_p[j] : j;
-      int64_t t = job_t ? job_t[j] : j;
-      int64_t m = m_arr[p];
-      if (m > 64 || m < 1)
-        goto general; /* mixed batch: handle everything left generically */
-      scan_job_l1(j, txt + (size_t)t * Wt, n_arr[t], peq + (size_t)p * A * L,
-                  L, m, 0, ~0ULL, m, NULL, k_arr ? k_arr[j] : k, mode, out_job,
-                  out_pos, out_cost, out_cap, out_best, &w);
-    }
     return w;
-  general:;
-    /* rare: restart remaining jobs on the general path from j */
+  general_rest:;
+    /* m > 64 encountered: the rest of the batch runs the general engine */
     for (int64_t jj = j; jj < J; jj++) {
       w = scan_one(txt, Wt, n_arr, peq, A, L, m_arr, pv0, score0, o_arr,
                    ov_add, job_p, job_t, jj, k, k_arr, mode, out_job, out_pos,
