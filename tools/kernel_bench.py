@@ -2,7 +2,7 @@
 ER pair-scoring throughput.  No Ray — pure kernel numbers, comparable to
 BASELINE.md's 'kernel scan throughput' row.
 
-Usage: python tools/kernel_bench.py [scan|pairs|multi]
+Usage: python tools/kernel_bench.py [scan|pairs|multi|tiled|demux|pairs_long|all]
 """
 
 from __future__ import annotations
@@ -61,6 +61,34 @@ def bench_multi(n_texts=16, text_len=100_000, n_pats=32, m=23, k=3, reps=3):
           f"{total/best/1e6:.1f} MB/s/core pattern-scan ({out.num_rows} matches)")
 
 
+def bench_tiled(n_texts=4, text_len=100_000, n_pats=312, m=23, k=3, reps=5):
+    """CRISPR-like cartesian shape: many <=32-char patterns x few long
+    texts — the pattern-tiled 64/32-job group kernels (the reference v2's
+    transposed layout).  Kernel-only (NativeBatch.run_minima), one strand."""
+    from sassy_ray.kernel import native
+    from sassy_ray.kernel.profiles import get_profile
+
+    if not native.available():
+        print("tiled: native kernel unavailable")
+        return
+    prof = get_profile("dna")
+    pats = [mk_dna(m, 400 + i) for i in range(n_pats)]
+    texts = [mk_dna(text_len, 500 + i) for i in range(n_texts)]
+    nb = native.NativeBatch(pats, texts, prof, k)
+    pat_ids = nb.pat_row if nb.pat_row is not None else np.arange(n_pats, dtype=np.int64)
+    job_p = np.ascontiguousarray(np.tile(pat_ids, n_texts))
+    job_t = np.ascontiguousarray(np.repeat(np.arange(n_texts, dtype=np.int64), n_pats))
+    nb.run_minima(False, job_p[:n_pats], job_t[:n_pats], n_pats)  # warm
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.time()
+        r = nb.run_minima(False, job_p, job_t, len(job_p))
+        best = min(best, time.time() - t0)
+    total = n_texts * text_len * n_pats
+    print(f"tiled: {n_pats} pats x {n_texts*text_len/1e6:.1f} MB in {best:.2f}s = "
+          f"{total/best/1e6:.1f} MB/s/core pattern-scan ({len(r[0])} hits)")
+
+
 def bench_demux(n_reads=2000, read_len=400, n_bars=96, m=24, k=3, reps=3):
     """Barcode-demux shape (the reference's flagship v2 workload:
     96 x 24bp barcodes over short reads, k=3 — nanopore_results.csv).
@@ -116,6 +144,8 @@ if __name__ == "__main__":
         bench_scan()
     if which in ("multi", "all"):
         bench_multi()
+    if which in ("tiled", "all"):
+        bench_tiled()
     if which in ("demux", "all"):
         bench_demux()
     if which in ("pairs", "all"):
