@@ -117,6 +117,8 @@ def _build() -> ctypes.CDLL | None:
     lib.sassy_byte_hist_ptrs.restype = None
     lib.sassy_reverse_rows.argtypes = [P, P, I, I, P]
     lib.sassy_reverse_rows.restype = None
+    lib.sassy_traceback.argtypes = [P, P, P, P, I, P, P, P, P, P, P]
+    lib.sassy_traceback.restype = I
     lib.sassy_chunk_remap.argtypes = [
         P, P, I,          # texts (ptr array), tlens, n_texts
         I, I,             # chunk_len, overlap
@@ -236,6 +238,43 @@ def minhash_rows(
         _ptr(buf), _ptr(starts), n_docs, int(q), int(num_perm),
         ctypes.c_int(1 if rc_canonical else 0), _ptr(comp_lut), _ptr(sig),
     )
+
+
+def traceback_batch(patterns, windows, mm: np.ndarray):
+    """C twin of trace.batch_traceback's fill+walk+RLE (exact =X>D>I walk
+    order, identical cigar strings): per candidate, returns
+    (start_in_window int64, cost int32, cigar str).  ``patterns``/
+    ``windows`` are lists of bytes; ``mm`` the 256x256 uint8 match matrix.
+    Caller guarantees native availability."""
+    import ctypes
+
+    C = len(patterns)
+    m_arr = np.fromiter((len(p) for p in patterns), np.int64, C)
+    w_arr = np.fromiter((len(w) for w in windows), np.int64, C)
+    pptr = (ctypes.c_char_p * max(1, C))(*patterns)
+    wptr = (ctypes.c_char_p * max(1, C))(*windows)
+    # slot bound: every RLE run is >= 1 op and emits <= digits+1 <= 21
+    # bytes, runs <= ops <= m+w; 4*(m+w)+16 dominates both shapes
+    slots = 4 * (m_arr + w_arr) + 16
+    off = np.zeros(C, dtype=np.int64)
+    if C > 1:
+        np.cumsum(slots[:-1], out=off[1:])
+    buf = np.empty(int(slots.sum()) if C else 1, np.uint8)
+    out_start = np.empty(C, np.int64)
+    out_cost = np.empty(C, np.int32)
+    clen = np.empty(C, np.int64)
+    mm = np.ascontiguousarray(mm, dtype=np.uint8)
+    rc = _lib.sassy_traceback(
+        pptr, _ptr(m_arr), wptr, _ptr(w_arr), C, _ptr(mm), _ptr(out_start),
+        _ptr(out_cost), _ptr(buf), _ptr(off), _ptr(clen),
+    )
+    if rc != 0:
+        raise AssertionError(f"trace failed at candidate {-int(rc) - 1}")
+    bb = buf.tobytes()
+    cigars = [
+        bb[o : o + l].decode() for o, l in zip(off.tolist(), clen.tolist())
+    ]
+    return out_start, out_cost, cigars
 
 
 def reverse_rows(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:

@@ -38,6 +38,27 @@ def batch_traceback(
     fill_len = np.array([len(p) + k for p in patterns], dtype=np.int64)
     offs = np.maximum(0, np.asarray(end_positions, dtype=np.int64) - fill_len)
     windows = [t[o:e] for t, o, e in zip(texts, offs.tolist(), end_positions)]
+    from sassy_ray.kernel import native
+
+    if native.available():
+        # C fill+walk+RLE — bit-identical cigars/starts/costs (the NumPy
+        # fill pays one dispatch per pattern row; the walk ran on Python
+        # lists — together they cost as much as the scan on demux batches)
+        starts, costs, cigars = native.traceback_batch(
+            patterns, windows, profile.match_matrix.view(np.uint8)
+        )
+        return [
+            Match(
+                text_start=int(offs[c]) + int(starts[c]),
+                text_end=int(offs[c]) + len(windows[c]),
+                pattern_start=0,
+                pattern_end=len(patterns[c]),
+                cost=int(costs[c]),
+                strand=FWD,
+                cigar=cigars[c],
+            )
+            for c in range(C)
+        ]
     m_arr = np.array([len(p) for p in patterns], dtype=np.int64)
     w_arr = np.array([len(w) for w in windows], dtype=np.int64)
     m_max = int(m_arr.max())
