@@ -449,6 +449,11 @@ int64_t sassy_traceback(const uint8_t **pats, const int64_t *m_arr,
       ocap = (m + wl + 1) * 2;
       ops = (uint8_t *)malloc((size_t)ocap);
     }
+    if (!D || !ops) {
+      free(D);
+      free(ops);
+      return -(C + 1); /* OOM: out-of-range index, caller raises */
+    }
     const uint8_t *p = pats[c];
     const uint8_t *wn = wins[c];
     int64_t W = wl + 1;
