@@ -546,3 +546,57 @@ def test_tiled_shared_pattern_equivalence():
             with force_numpy():
                 ref = myers.batch_scan_minima(pats, txts, prof, k, all_min)
             assert _keyed(ref) == _keyed(nat), (m, k, all_min)
+
+
+def test_reverse_rows_matches_numpy():
+    """C per-row byte reversal vs the NumPy take_along_axis body, ragged
+    lengths incl. zero-length rows."""
+    rng = np.random.default_rng(0)
+    from sassy_ray.kernel.myers import TextRows
+
+    for _ in range(10):
+        n = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 150))
+        lens = rng.integers(0, w + 1, size=n).astype(np.int64)
+        mat = np.zeros((n, w), np.uint8)
+        for i in range(n):
+            mat[i, : lens[i]] = rng.integers(1, 255, size=lens[i])
+        got = TextRows(mat, lens).reversed()
+        with force_numpy():
+            exp = TextRows(mat, lens).reversed()
+        assert np.array_equal(got.mat, exp.mat)
+        assert np.array_equal(got.lens, exp.lens)
+
+
+def test_traceback_c_matches_numpy():
+    """C fill+walk+RLE vs the NumPy batch_traceback: identical starts,
+    costs and cigar strings (same =X>D>I preference), incl. planted exact
+    matches, zero-length windows and multi-profile match matrices."""
+    from sassy_ray.kernel import trace
+
+    rng = np.random.default_rng(5)
+    for profname in ("dna", "ascii_ci"):
+        prof = get_profile(profname)
+        ab = b"ACGT" if profname == "dna" else b"abcdef "
+        pats, texts, ends, k = [], [], [], 3
+        for _ in range(80):
+            m = int(rng.integers(1, 40))
+            p = rng.choice(list(ab), size=m).astype(np.uint8).tobytes()
+            tl = int(rng.integers(1, 200))
+            t = rng.choice(list(ab), size=tl).astype(np.uint8).tobytes()
+            if rng.random() < 0.5 and tl > m:
+                pos = int(rng.integers(0, tl - m))
+                t = t[:pos] + p + t[pos + m :]
+            pats.append(p)
+            texts.append(t)
+            ends.append(int(rng.integers(0, tl + 1)))
+        got = trace.batch_traceback(pats, texts, ends, prof, k)
+        with force_numpy():
+            exp = trace.batch_traceback(pats, texts, ends, prof, k)
+        for g, e in zip(got, exp):
+            assert (g.text_start, g.text_end, g.cost, g.cigar) == (
+                e.text_start,
+                e.text_end,
+                e.cost,
+                e.cigar,
+            )
