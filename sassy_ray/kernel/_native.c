@@ -1011,6 +1011,39 @@ static int64_t scan_one(const uint8_t *txt, int64_t Wt, const int64_t *n_arr,
 #define SASSY_AVX_MAX_A 8
 #define SASSY_AVX_TCHUNK 512
 
+/* 16x16 byte transpose: dst[x*stride..+16) = bytes (rows[0..15])[off+x].
+ * The scalar per-byte codesT fill was ~half the shared-pattern kernels'
+ * cost (1 move per row per char); the unpack network does 16 loads + 64
+ * unpacks + 16 stores per 256 bytes.  Verified identity-mapped (register
+ * x = column x). */
+__attribute__((always_inline)) static inline void sassy_tr16_(
+    const uint8_t *const *rows, int64_t off, uint8_t *dst, int64_t stride) {
+  __m128i r[16], a[16], b[16];
+  for (int i = 0; i < 16; i++)
+    r[i] = _mm_loadu_si128((const __m128i *)(rows[i] + off));
+  for (int p = 0; p < 8; p++) {
+    a[p] = _mm_unpacklo_epi8(r[2 * p], r[2 * p + 1]);
+    a[p + 8] = _mm_unpackhi_epi8(r[2 * p], r[2 * p + 1]);
+  }
+  for (int h = 0; h < 16; h += 8)
+    for (int q = 0; q < 4; q++) {
+      b[h + q] = _mm_unpacklo_epi16(a[h + 2 * q], a[h + 2 * q + 1]);
+      b[h + q + 4] = _mm_unpackhi_epi16(a[h + 2 * q], a[h + 2 * q + 1]);
+    }
+  for (int base = 0; base < 16; base += 4)
+    for (int hh = 0; hh < 2; hh++) {
+      a[base + hh] = _mm_unpacklo_epi32(b[base + 2 * hh], b[base + 2 * hh + 1]);
+      a[base + hh + 2] =
+          _mm_unpackhi_epi32(b[base + 2 * hh], b[base + 2 * hh + 1]);
+    }
+  for (int base = 0; base < 16; base += 2) {
+    b[base] = _mm_unpacklo_epi64(a[base], a[base + 1]);
+    b[base + 1] = _mm_unpackhi_epi64(a[base], a[base + 1]);
+  }
+  for (int x = 0; x < 16; x++)
+    _mm_storeu_si128((__m128i *)(dst + (size_t)x * stride), b[x]);
+}
+
 __attribute__((always_inline)) static inline void scan_job16_l1_avx(
     const int64_t *jid, const uint8_t *const *trows, const int64_t *ns,
     const uint64_t *const *pqs, const int64_t LL, const int64_t *ms,
@@ -1053,10 +1086,13 @@ __attribute__((always_inline)) static inline void scan_job16_l1_avx(
   uint8_t codesT[SASSY_AVX_TCHUNK][16];
   for (int64_t t0 = 0; t0 < nmin; t0 += SASSY_AVX_TCHUNK) {
     int64_t t1 = t0 + SASSY_AVX_TCHUNK < nmin ? t0 + SASSY_AVX_TCHUNK : nmin;
-    for (int s = 0; s < 16; s++) {
-      const uint8_t *tr = trows[s] + t0;
-      for (int64_t u = 0; u < t1 - t0; u++)
-        codesT[u][s] = tr[u];
+    {
+      int64_t u0 = t0;
+      for (; u0 + 16 <= t1; u0 += 16)
+        sassy_tr16_(trows, u0, &codesT[u0 - t0][0], 16);
+      for (; u0 < t1; u0++)
+        for (int s = 0; s < 16; s++)
+          codesT[u0 - t0][s] = trows[s][u0];
     }
     for (int64_t tt = t0; tt < t1; tt++) {
       const uint8_t *ct = codesT[tt - t0];
@@ -1537,10 +1573,14 @@ __attribute__((always_inline)) static inline void scan_job32_1pat_l32_avx(
   uint8_t codesT[SASSY_AVX_TCHUNK][32];
   for (int64_t t0 = 0; t0 < nmin; t0 += SASSY_AVX_TCHUNK) {
     int64_t t1 = t0 + SASSY_AVX_TCHUNK < nmin ? t0 + SASSY_AVX_TCHUNK : nmin;
-    for (int s = 0; s < 32; s++) {
-      const uint8_t *tr = trows[s] + t0;
-      for (int64_t u = 0; u < t1 - t0; u++)
-        codesT[u][s] = tr[u];
+    {
+      int64_t u0 = t0;
+      for (; u0 + 16 <= t1; u0 += 16)
+        for (int g = 0; g < 2; g++)
+          sassy_tr16_(trows + g * 16, u0, &codesT[u0 - t0][g * 16], 32);
+      for (; u0 < t1; u0++)
+        for (int s = 0; s < 32; s++)
+          codesT[u0 - t0][s] = trows[s][u0];
     }
     for (int64_t tt = t0; tt < t1; tt++) {
       const uint8_t *ct = codesT[tt - t0];
@@ -1743,10 +1783,14 @@ __attribute__((always_inline)) static inline void scan_job64_1pat_l32_avx512(
   uint8_t codesT[SASSY_AVX_TCHUNK][64];
   for (int64_t t0 = 0; t0 < nmin; t0 += SASSY_AVX_TCHUNK) {
     int64_t t1 = t0 + SASSY_AVX_TCHUNK < nmin ? t0 + SASSY_AVX_TCHUNK : nmin;
-    for (int s = 0; s < 64; s++) {
-      const uint8_t *tr = trows[s] + t0;
-      for (int64_t u = 0; u < t1 - t0; u++)
-        codesT[u][s] = tr[u];
+    {
+      int64_t u0 = t0;
+      for (; u0 + 16 <= t1; u0 += 16)
+        for (int g = 0; g < 4; g++)
+          sassy_tr16_(trows + g * 16, u0, &codesT[u0 - t0][g * 16], 64);
+      for (; u0 < t1; u0++)
+        for (int s = 0; s < 64; s++)
+          codesT[u0 - t0][s] = trows[s][u0];
     }
     for (int64_t tt = t0; tt < t1; tt++) {
       const uint8_t *ct = codesT[tt - t0];
