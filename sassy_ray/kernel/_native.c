@@ -1390,7 +1390,8 @@ __attribute__((always_inline)) static inline void scan_tiled64_l32_avx512(
     const int64_t *ks, const int32_t mode, int64_t *out_job, int64_t *out_pos,
     int32_t *out_cost, int64_t out_cap, int32_t *out_best, int64_t *w_io) {
   __m512i peqT[SASSY_TILE_MAX_A][4];
-  __m512i pv[4], mv[4], sc[4], prev[4], dec[4], best[4], shv[4], kv[4];
+  __m512i pv[4], mv[4], sc[4], prev[4], dec[4], best[4], shv[4], kv[4],
+      bitv[4];
   const __m512i one = _mm512_set1_epi32(1);
   const __m512i ones = _mm512_set1_epi32(-1);
   int64_t w = *w_io;
@@ -1415,6 +1416,7 @@ __attribute__((always_inline)) static inline void scan_tiled64_l32_avx512(
     best[v] = sc[v];
     dec[v] = ones;
     shv[v] = _mm512_loadu_si512((const void *)ts);
+    bitv[v] = _mm512_sllv_epi32(one, shv[v]); /* score tap bit m-1 per lane */
     kv[v] = _mm512_loadu_si512((const void *)tk);
   }
   if (mode == 1)
@@ -1438,9 +1440,12 @@ __attribute__((always_inline)) static inline void scan_tiled64_l32_avx512(
       __m512i ph = _mm512_or_si512(
           mv[v], _mm512_andnot_si512(_mm512_or_si512(xh, pv[v]), ones));
       __m512i mh = _mm512_and_si512(pv[v], xh);
-      __m512i phb = _mm512_and_si512(_mm512_srlv_epi32(ph, shv[v]), one);
-      __m512i mhb = _mm512_and_si512(_mm512_srlv_epi32(mh, shv[v]), one);
-      sc[v] = _mm512_sub_epi32(_mm512_add_epi32(sc[v], phb), mhb);
+      /* score tap via test-mask + masked add/sub: 4 ops vs 6, and the
+       * variable shifts leave port 0 (test runs on port 5) */
+      __mmask16 tp = _mm512_test_epi32_mask(ph, bitv[v]);
+      __mmask16 tm = _mm512_test_epi32_mask(mh, bitv[v]);
+      sc[v] = _mm512_mask_add_epi32(sc[v], tp, sc[v], one);
+      sc[v] = _mm512_mask_sub_epi32(sc[v], tm, sc[v], one);
       ph = _mm512_add_epi32(ph, ph);
       mh = _mm512_add_epi32(mh, mh);
       pv[v] = _mm512_or_si512(
@@ -1748,6 +1753,7 @@ __attribute__((always_inline)) static inline void scan_job64_1pat_l32_avx512(
   const __m512i one = _mm512_set1_epi32(1);
   const __m512i ones = _mm512_set1_epi32(-1);
   const __m512i shv = _mm512_set1_epi32((int)(m - 1));
+  const __m512i bitv = _mm512_set1_epi32((int)(1u << ((m - 1) & 31)));
   int64_t w = *w_io;
   int64_t nmin = ns[0];
   for (int s = 1; s < 64; s++)
@@ -1808,9 +1814,10 @@ __attribute__((always_inline)) static inline void scan_job64_1pat_l32_avx512(
         __m512i ph = _mm512_or_si512(
             mv[v], _mm512_andnot_si512(_mm512_or_si512(xh, pv[v]), ones));
         __m512i mh = _mm512_and_si512(pv[v], xh);
-        __m512i phb = _mm512_and_si512(_mm512_srlv_epi32(ph, shv), one);
-        __m512i mhb = _mm512_and_si512(_mm512_srlv_epi32(mh, shv), one);
-        sc[v] = _mm512_sub_epi32(_mm512_add_epi32(sc[v], phb), mhb);
+        __mmask16 tp = _mm512_test_epi32_mask(ph, bitv);
+        __mmask16 tm = _mm512_test_epi32_mask(mh, bitv);
+        sc[v] = _mm512_mask_add_epi32(sc[v], tp, sc[v], one);
+        sc[v] = _mm512_mask_sub_epi32(sc[v], tm, sc[v], one);
         ph = _mm512_add_epi32(ph, ph);
         mh = _mm512_add_epi32(mh, mh);
         pv[v] = _mm512_or_si512(
